@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §6
+  * (oracle conventions). Every implemented operator registers here:
+  * `queries(name)(spark, sfDir)` produces the result DataFrame and
+  * `oracleSql(name)` is the equivalent DuckDB SQL over the same parquet
+  * tables (omitted only for non-SQL-expressible operators → rows-only
+  * check).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q1Pricing(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing"        -> (Relational.q1Pricing _),
+    "q2_filter_agg"     -> (Relational.q2FilterAgg _),
+    "q3_join5"          -> (Relational.q3Join5 _),
+    "q4_exists"         -> (Relational.q4Exists _),
+    "q5_window"         -> (Relational.q5Window _),
+    "q6_rollup"         -> (Relational.q6Rollup _),
+    "q7_topk_per_group" -> (Relational.q7TopkPerGroup _),
+    "e1_events_window"  -> (Relational.e1EventsWindow _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing"        -> Relational.q1Sql,
+    "q2_filter_agg"     -> Relational.q2Sql,
+    "q3_join5"          -> Relational.q3Sql,
+    "q4_exists"         -> Relational.q4Sql,
+    "q5_window"         -> Relational.q5Sql,
+    "q6_rollup"         -> Relational.q6Sql,
+    "q7_topk_per_group" -> Relational.q7Sql,
+    "e1_events_window"  -> Relational.e1Sql,
+  )
 }

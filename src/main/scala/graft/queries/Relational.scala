@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational / OLAP core (SURVEY §2.7 + §2.1 e1).
+  *
+  * Conventions shared with the DuckDB oracle (SURVEY §6):
+  *  - every computed column is aliased identically in both engines;
+  *  - floating aggregates are rounded (2-4 dp) in both, so last-ulp
+  *    differences from partial-aggregation order can't flip the hash;
+  *  - dimension tables are broadcast explicitly (tiny at every scale);
+  *    fact-fact joins shuffle on the key once and rely on AQE for skew.
+  */
+object Relational {
+
+  /** q1_pricing — TPC-H Q1 shape: multi-key grouped aggregation over the
+    * fact table with a pushed-down timestamp filter. Map-side partial agg
+    * reduces 6 rows out of every partition regardless of input size.
+    */
+  def q1Pricing(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q2_filter_agg — TPC-H Q6 shape: highly selective scan-filter-agg.
+    * The three predicates and the 2-column projection must reach the
+    * parquet reader (PushedFilters / ReadSchema) — at 100 TB this query
+    * is pure scan bandwidth.
+    */
+  def q2FilterAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") <  lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.08) &&
+        col("l_quantity") < 25)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+
+  val q2Sql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.02 AND 0.08
+      |  AND l_quantity < 25""".stripMargin
+
+  /** q3_join5 — 5-way star join: fact shuffles once per fact-fact edge;
+    * nation/region are broadcast (constant-size at any scale factor).
+    */
+  def q3Join5(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o  = Tables.orders(spark, sfDir)
+    val c  = Tables.customer(spark, sfDir)
+    val n  = broadcast(Tables.nation(spark, sfDir))
+    val r  = broadcast(Tables.region(spark, sfDir))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  val q3Sql: String =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  /** q4_exists — semi-join: orders having at least one returned line.
+    * left_semi never duplicates or widens rows — the shuffle carries
+    * only the order key.
+    */
+  def q4Exists(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val returned = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** q5_window — rank per partition: one shuffle on o_custkey, then a
+    * sort within partitions; ties broken on o_orderkey for determinism.
+    */
+  def q5Window(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+  }
+
+  val q5Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      |  FROM orders) WHERE rnk <= 3""".stripMargin
+
+  /** q6_rollup — hierarchical aggregate; Spark expands grouping sets in
+    * a single shuffle pass. */
+  def q6Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum("o_totalprice"), 2).as("total_price"))
+
+  val q6Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** q7_topk_per_group — top-3 users by spend per event type. Pre-agg
+    * (user, type) first so the window sorts grouped rows, not raw events.
+    */
+  def q7TopkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy("event_type", "user_id")
+      .agg(round(sum("value"), 2).as("total_value"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("total_value").desc, col("user_id").asc)
+    perUser.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+  }
+
+  val q7Sql: String =
+    """SELECT event_type, user_id, total_value, rnk FROM (
+      |  SELECT event_type, user_id, total_value,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY total_value DESC, user_id ASC) AS rnk
+      |  FROM (
+      |    SELECT event_type, user_id, round(sum(value), 2) AS total_value
+      |    FROM events GROUP BY event_type, user_id))
+      |WHERE rnk <= 3""".stripMargin
+
+  /** e1_events_window — tumbling 1-hour event-time window (batch parity
+    * of the streaming path in graft.streaming.EventStream). */
+  def e1EventsWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum("value"), 2).as("sum_value"))
+
+  val e1Sql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  count(*) AS n_events,
+      |  round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+}
