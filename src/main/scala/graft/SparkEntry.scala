@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{Relational, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §6
   * (oracle conventions). Every implemented operator registers here:
@@ -25,6 +25,17 @@ object SparkEntry {
     "q6_rollup"         -> (Relational.q6Rollup _),
     "q7_topk_per_group" -> (Relational.q7TopkPerGroup _),
     "e1_events_window"  -> (Relational.e1EventsWindow _),
+    "vf_norm"           -> (VectorQueries.vfNorm _),
+    "vf_pairwise"       -> (VectorQueries.vfPairwise _),
+    "v0_embed"          -> (VectorQueries.v0Embed _),
+    "v1_knn_cos"        -> (VectorQueries.v1KnnCos _),
+    "v2_knn_dot"        -> (VectorQueries.v2KnnDot _),
+    "v3_knn_l2"         -> (VectorQueries.v3KnnL2 _),
+    "v4_knn_filtered"   -> (VectorQueries.v4KnnFiltered _),
+    "v5_range_search"   -> (VectorQueries.v5Range _),
+    "v6_knn_ivf"        -> (VectorQueries.v6KnnIvf _),
+    "v7_knn_lsh"        -> (VectorQueries.v7KnnLsh _),
+    "d5_embed_neardup"  -> (VectorQueries.d5EmbedNearDup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -36,5 +47,16 @@ object SparkEntry {
     "q6_rollup"         -> Relational.q6Sql,
     "q7_topk_per_group" -> Relational.q7Sql,
     "e1_events_window"  -> Relational.e1Sql,
+    "vf_norm"           -> VectorQueries.vfNormSql,
+    "vf_pairwise"       -> VectorQueries.vfPairwiseSql,
+    "v0_embed"          -> VectorQueries.v0Sql,
+    "v1_knn_cos"        -> VectorQueries.v1Sql,
+    "v2_knn_dot"        -> VectorQueries.v2Sql,
+    "v3_knn_l2"         -> VectorQueries.v3Sql,
+    "v4_knn_filtered"   -> VectorQueries.v4Sql,
+    "v5_range_search"   -> VectorQueries.v5Sql,
+    "v6_knn_ivf"        -> VectorQueries.v6Sql,
+    "v7_knn_lsh"        -> VectorQueries.v7Sql,
+    "d5_embed_neardup"  -> VectorQueries.d5Sql,
   )
 }

@@ -1,0 +1,237 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Embed, VectorSearch}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Vec
+
+/** Vector function + similarity-search query bindings (SURVEY §2.2-2.3,
+  * §2.4 d5) with DuckDB oracle SQL.
+  *
+  * Fixture convention (documented in SURVEY §6): query set = vectors
+  * with vec_id < 8; corpus = the rest; IVF centroids = vec_id < 16 with
+  * corpus vec_id >= 16. All distance arithmetic is double with a fixed
+  * operation order so both engines produce identical bits (see Vec).
+  */
+object VectorQueries {
+
+  private val QN = 8   // query vectors
+  private val CN = 16  // IVF centroids
+  val K = 5            // top-k, reference n_results=5 (chroma.py:103)
+
+  def queryVecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < QN)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+  def corpusVecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") >= QN)
+      .select(col("vec_id"), col("embedding").as("v"), col("label"))
+
+  // ---- SQL fragments shared by the oracles ----------------------------
+
+  /** dot product of two DOUBLE[] lists, matching Vec.dot bit-for-bit. */
+  private def dotS(a: String, b: String) = s"list_dot_product($a, $b)"
+  private def cosS(a: String, b: String) =
+    s"${dotS(a, b)} / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)}))"
+  private def l2S(a: String, b: String) =
+    s"sqrt(greatest(${dotS(a, a)} - 2.0 * ${dotS(a, b)} + ${dotS(b, b)}, 0.0))"
+
+  private val qCte =
+    s"q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < $QN)"
+  private val cCte =
+    s"c AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings WHERE vec_id >= $QN)"
+
+  private def topkSql(scoredSelect: String, desc: Boolean, k: Int = K) = {
+    val dir = if (desc) "DESC" else "ASC"
+    s"""SELECT query_id, vec_id, round(score, 6) AS score, rnk FROM (
+       |  SELECT query_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score $dir, vec_id ASC) AS rnk
+       |  FROM ($scoredSelect)) WHERE rnk <= $k""".stripMargin
+  }
+
+  // ---- vf_norm --------------------------------------------------------
+
+  def vfNorm(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        round(Vec.norm(col("embedding")), 6).as("l2_norm"))
+
+  val vfNormSql: String =
+    """SELECT vec_id, label,
+      |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
+      |FROM embeddings""".stripMargin
+
+  // ---- vf_pairwise: cos/dot/l2 on consecutive vector pairs ------------
+
+  def vfPairwise(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id"), col("embedding").as("va"))
+    val b = e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("vb"))
+    a.join(b, "vec_id")
+      .select(col("vec_id"),
+        round(Vec.cosine(col("va"), col("vb")), 6).as("cos_sim"),
+        round(Vec.dot(col("va"), col("vb")), 6).as("dot_p"),
+        round(Vec.l2(col("va"), col("vb")), 6).as("l2_dist"))
+  }
+
+  val vfPairwiseSql: String =
+    s"""WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS va FROM embeddings),
+       |     b AS (SELECT vec_id - 1 AS vec_id, embedding::DOUBLE[] AS vb FROM embeddings)
+       |SELECT vec_id,
+       |  round(${cosS("va", "vb")}, 6) AS cos_sim,
+       |  round(${dotS("va", "vb")}, 6) AS dot_p,
+       |  round(${l2S("va", "vb")}, 6) AS l2_dist
+       |FROM a JOIN b USING (vec_id)""".stripMargin
+
+  // ---- v1/v2/v3: brute-force kNN --------------------------------------
+
+  def v1KnnCos(s: SparkSession, d: String): DataFrame =
+    VectorSearch.knnCosine(queryVecs(s, d), corpusVecs(s, d), K)
+
+  val v1Sql: String =
+    s"""WITH $qCte, $cCte
+       |${topkSql(s"SELECT query_id, vec_id, ${cosS("qv", "v")} AS score FROM c, q", desc = true)}""".stripMargin
+
+  def v2KnnDot(s: SparkSession, d: String): DataFrame =
+    VectorSearch.knnDot(queryVecs(s, d), corpusVecs(s, d), K)
+
+  val v2Sql: String =
+    s"""WITH $qCte, $cCte
+       |${topkSql(s"SELECT query_id, vec_id, ${dotS("qv", "v")} AS score FROM c, q", desc = true)}""".stripMargin
+
+  def v3KnnL2(s: SparkSession, d: String): DataFrame =
+    VectorSearch.knnL2(queryVecs(s, d), corpusVecs(s, d), K)
+
+  val v3Sql: String =
+    s"""WITH $qCte, $cCte
+       |${topkSql(s"SELECT query_id, vec_id, ${l2S("qv", "v")} AS score FROM c, q", desc = false)}""".stripMargin
+
+  // ---- v4: metadata-filtered kNN (filter BEFORE distance compute) -----
+
+  def v4KnnFiltered(s: SparkSession, d: String): DataFrame =
+    VectorSearch.knnCosine(
+      queryVecs(s, d),
+      corpusVecs(s, d).filter(col("label").isin(2, 3, 4)),
+      K)
+
+  val v4Sql: String =
+    s"""WITH $qCte, $cCte
+       |${topkSql(s"SELECT query_id, vec_id, ${cosS("qv", "v")} AS score FROM c, q WHERE label IN (2, 3, 4)", desc = true)}""".stripMargin
+
+  // ---- v5: range search ------------------------------------------------
+
+  val RangeMinCos = 0.3
+
+  def v5Range(s: SparkSession, d: String): DataFrame =
+    VectorSearch.rangeSearch(queryVecs(s, d), corpusVecs(s, d), RangeMinCos)
+
+  val v5Sql: String =
+    s"""WITH $qCte, $cCte
+       |SELECT query_id, vec_id, round(score, 6) AS score FROM (
+       |  SELECT query_id, vec_id, ${cosS("qv", "v")} AS score FROM c, q)
+       |WHERE score >= $RangeMinCos""".stripMargin
+
+  // ---- v6: IVF kNN -----------------------------------------------------
+
+  val NProbe = 4
+
+  def centroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < CN)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cv"))
+
+  def ivfCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") >= CN)
+      .select(col("vec_id"), col("embedding").as("v"))
+
+  def v6KnnIvf(s: SparkSession, d: String): DataFrame =
+    VectorSearch.knnIvf(queryVecs(s, d), ivfCorpus(s, d), centroids(s, d), K, NProbe)
+
+  val v6Sql: String = {
+    val centCte =
+      s"cent AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < $CN)"
+    val corpCte =
+      s"corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= $CN)"
+    s"""WITH $qCte, $centCte, $corpCte,
+       |assigned AS (
+       |  SELECT vec_id, v, cell_id FROM (
+       |    SELECT corp.vec_id, corp.v, cent.cell_id,
+       |      row_number() OVER (PARTITION BY corp.vec_id
+       |        ORDER BY ${l2S("corp.v", "cent.cv")} ASC, cent.cell_id ASC) AS crnk
+       |    FROM corp, cent) WHERE crnk = 1),
+       |probed AS (
+       |  SELECT query_id, qv, cell_id FROM (
+       |    SELECT q.query_id, q.qv, cent.cell_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${l2S("q.qv", "cent.cv")} ASC, cent.cell_id ASC) AS crnk
+       |    FROM q, cent) WHERE crnk <= $NProbe)
+       |${topkSql(s"SELECT p.query_id, a.vec_id, ${cosS("p.qv", "a.v")} AS score FROM assigned a JOIN probed p USING (cell_id)", desc = true)}""".stripMargin
+  }
+
+  // ---- v7: sign-bit LSH kNN -------------------------------------------
+
+  val LshBits = 8
+
+  def v7KnnLsh(s: SparkSession, d: String): DataFrame =
+    VectorSearch.knnLsh(queryVecs(s, d), corpusVecs(s, d), K, LshBits)
+
+  val v7Sql: String = {
+    def bucketS(v: String) = (0 until LshBits)
+      .map(i => s"(CASE WHEN $v[${i + 1}] >= 0.0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $qCte, $cCte,
+       |qb AS (SELECT query_id, qv, ${bucketS("qv")} AS bucket FROM q),
+       |cb AS (SELECT vec_id, v, ${bucketS("v")} AS bucket FROM c)
+       |${topkSql(s"SELECT query_id, vec_id, ${cosS("qv", "v")} AS score FROM cb JOIN qb USING (bucket)", desc = true)}""".stripMargin
+  }
+
+  // ---- d5: embedding-cosine near-duplicate pairs ----------------------
+
+  val NearDupMinCos = 0.4
+
+  /** All-pairs near-dup here (exact); the 100 TB path prunes candidates
+    * with the LSH band join from Dedup before exact rescoring.
+    */
+  def d5EmbedNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("score", Vec.cosine(col("va"), col("vb")))
+      .filter(col("score") >= NearDupMinCos)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+  }
+
+  val d5Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT id_a, id_b, round(score, 6) AS score FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosS("a.v", "b.v")} AS score
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |WHERE score >= $NearDupMinCos""".stripMargin
+
+  // ---- v0: deterministic hashing-TF embedder over documents -----------
+
+  val EmbedDim = 64
+
+  def v0Embed(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), Embed.embedding(col("text"), EmbedDim).as("embedding"))
+
+  val v0Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS tokens
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, list_transform(tokens, t ->
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, length(t) + 1), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+       |      (h, c) -> (h * 31 + c) % ${Embed.HashMod}) % $EmbedDim) AS buckets
+       |  FROM toks),
+       |cnts AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, $EmbedDim), bb -> CAST(len(list_filter(buckets, x -> x = bb)) AS DOUBLE)) AS counts
+       |  FROM b),
+       |n AS (SELECT doc_id, counts, sqrt(list_dot_product(counts, counts)) AS nrm FROM cnts)
+       |SELECT doc_id, list_transform(counts, x -> round(x / nrm, 6)) AS embedding FROM n""".stripMargin
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.functions.Vec
+import graft.operators.Embed
+import graft.queries.VectorQueries
+import org.apache.spark.sql.functions._
+
+class VectorSpec extends SparkSpec {
+
+  test("cosine of a vector with itself is 1") {
+    val df = Tables.embeddings(spark, sf).limit(10)
+      .select(Vec.cosine(col("embedding"), col("embedding")).as("c"))
+    assert(df.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("normalize produces unit-norm vectors") {
+    val df = Tables.embeddings(spark, sf).limit(10)
+      .select(Vec.norm(Vec.normalize(col("embedding"))).as("n"))
+    assert(df.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
+
+  test("l2 polarization identity agrees with elementwise distance") {
+    val row = Tables.embeddings(spark, sf)
+      .select(col("embedding")).limit(2).collect()
+    val a = row(0).getSeq[Float](0).map(_.toDouble)
+    val b = row(1).getSeq[Float](0).map(_.toDouble)
+    val direct = math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val viaDf = Tables.embeddings(spark, sf).limit(2)
+      .agg(collect_list(col("embedding")).as("vs"))
+      .select(Vec.l2(element_at(col("vs"), 1), element_at(col("vs"), 2)).as("d"))
+      .head.getDouble(0)
+    assert(math.abs(direct - viaDf) < 1e-9)
+  }
+
+  test("v1 brute-force kNN returns exactly k ranked neighbors per query") {
+    val df = VectorQueries.v1KnnCos(spark, sf).cache()
+    val perQuery = df.groupBy("query_id").count().collect()
+    assert(perQuery.length == 8 && perQuery.forall(_.getLong(1) == VectorQueries.K))
+    // rank 1 beats rank k
+    val q0 = df.filter(col("query_id") === 0).orderBy("rnk")
+      .select("score").collect().map(_.getDouble(0))
+    assert(q0.head >= q0.last)
+  }
+
+  test("v4 filtered kNN only returns corpus rows with allowed labels") {
+    val ids = VectorQueries.v4KnnFiltered(spark, sf).select("vec_id")
+    val labels = ids.join(Tables.embeddings(spark, sf), "vec_id").select("label")
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(labels.subsetOf(Set(2, 3, 4)))
+  }
+
+  test("v6 IVF recalls a decent fraction of brute-force neighbors") {
+    val brute = graft.operators.VectorSearch
+      .knnCosine(VectorQueries.queryVecs(spark, sf), VectorQueries.ivfCorpus(spark, sf)
+        .withColumn("label", lit(0)), VectorQueries.K)
+      .select("query_id", "vec_id")
+    val ivf = VectorQueries.v6KnnIvf(spark, sf).select("query_id", "vec_id")
+    val hit = ivf.intersect(brute).count().toDouble / brute.count()
+    assert(hit > 0.3, s"IVF recall vs brute force too low: $hit")
+  }
+
+  test("v7 LSH candidates share the query's sign bucket") {
+    val df = VectorQueries.v7KnnLsh(spark, sf)
+    assert(df.count() > 0)
+    assert(df.agg(max("rnk")).head.getInt(0) <= VectorQueries.K)
+  }
+
+  test("embedding is deterministic, unit-norm, fixed-dim") {
+    val e1 = VectorQueries.v0Embed(spark, sf).orderBy("doc_id").limit(5).collect()
+    val e2 = VectorQueries.v0Embed(spark, sf).orderBy("doc_id").limit(5).collect()
+    assert(e1.sameElements(e2))
+    val v = e1.head.getSeq[Double](1)
+    assert(v.length == VectorQueries.EmbedDim)
+    val n = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(n - 1.0) < 1e-3) // elements rounded to 6dp post-normalize
+  }
+
+  test("token hash matches the documented polynomial scheme") {
+    val h = spark.range(1)
+      .select(Embed.tokenHash(lit("hello")).as("h")).head.getLong(0)
+    // fold of (h*31 + codepoint) mod 1e9+7 over 'hello'
+    val expect = "hello".foldLeft(0L)((h, c) => (h * 31 + c.toInt) % Embed.HashMod)
+    assert(h == expect)
+  }
+}
