@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Relational, VectorQueries}
+import graft.queries.{CorpusQueries, MetricQueries, Relational, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §6
   * (oracle conventions). Every implemented operator registers here:
@@ -36,6 +36,21 @@ object SparkEntry {
     "v6_knn_ivf"        -> (VectorQueries.v6KnnIvf _),
     "v7_knn_lsh"        -> (VectorQueries.v7KnnLsh _),
     "d5_embed_neardup"  -> (VectorQueries.d5EmbedNearDup _),
+    "d1_exact_dedup"    -> (CorpusQueries.d1ExactDedup _),
+    "d2_ngram_jaccard"  -> (CorpusQueries.d2NgramJaccard _),
+    "d3_minhash"        -> (CorpusQueries.d3Minhash _),
+    "d4_simhash"        -> (CorpusQueries.d4Simhash _),
+    "t1_tokens"         -> (CorpusQueries.t1Tokens _),
+    "t2_quality"        -> (CorpusQueries.t2Quality _),
+    "t3_langid"         -> (CorpusQueries.t3LangId _),
+    "t4_fingerprint"    -> (CorpusQueries.t4Fingerprint _),
+    "q0_querygen"       -> (CorpusQueries.q0QueryGen _),
+    "u1_upsert"         -> (CorpusQueries.u1Upsert _),
+    "m1_latency_pcts"   -> (MetricQueries.m1LatencyPcts _),
+    "m2_recall_at_k"    -> (MetricQueries.m2Recall _),
+    "m3_ndcg_at_k"      -> (MetricQueries.m3Ndcg _),
+    "m0_ir_summary"     -> (MetricQueries.m0IrSummary _),
+    "r1_relevancy"      -> (MetricQueries.r1Relevancy _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -58,5 +73,20 @@ object SparkEntry {
     "v6_knn_ivf"        -> VectorQueries.v6Sql,
     "v7_knn_lsh"        -> VectorQueries.v7Sql,
     "d5_embed_neardup"  -> VectorQueries.d5Sql,
+    "d1_exact_dedup"    -> CorpusQueries.d1Sql,
+    "d2_ngram_jaccard"  -> CorpusQueries.d2Sql,
+    "d3_minhash"        -> CorpusQueries.d3Sql,
+    "d4_simhash"        -> CorpusQueries.d4Sql,
+    "t1_tokens"         -> CorpusQueries.t1Sql,
+    "t2_quality"        -> CorpusQueries.t2Sql,
+    "t3_langid"         -> CorpusQueries.t3Sql,
+    "t4_fingerprint"    -> CorpusQueries.t4Sql,
+    "q0_querygen"       -> CorpusQueries.q0Sql,
+    "u1_upsert"         -> CorpusQueries.u1Sql,
+    "m1_latency_pcts"   -> MetricQueries.m1Sql,
+    "m2_recall_at_k"    -> MetricQueries.m2Sql,
+    "m3_ndcg_at_k"      -> MetricQueries.m3Sql,
+    "m0_ir_summary"     -> MetricQueries.m0Sql,
+    "r1_relevancy"      -> MetricQueries.r1Sql,
   )
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IR metrics + latency percentiles (SURVEY §2.6), replicating the
+  * reference's semantics:
+  *  - Recall@K = relevant_in_topk / k, averaged ONLY over queries with
+  *    ≥1 relevant result (/root/reference/src/queries.py:262-294 skips
+  *    zero-relevant queries before averaging);
+  *  - NDCG@K = DCG/IDCG with rel/log2(pos+1), zero-IDCG queries counted
+  *    as 0 in the average (/root/reference/src/queries.py:296-352);
+  *  - P50/P95/P99 by linear interpolation on the sorted values
+  *    (/root/reference/src/metrics.py:13-42, numpy.percentile default).
+  *
+  * The percentile is computed with an explicit sort+interpolate formula
+  * (not percentile_approx) so the DuckDB oracle matches bit-for-bit;
+  * collect_list per group is fine while groups fit an executor — at
+  * 100 TB swap in approx_percentile (documented SURVEY §5).
+  */
+object IrMetrics {
+
+  private def interp(sorted: Column, n: Column, q: Double): Column = {
+    val pos = (n - 1).cast("double") * q
+    val lo = floor(pos).cast("int")
+    val frac = pos - lo.cast("double")
+    val base = element_at(sorted, lo + 1)
+    round(when(frac === 0.0, base)
+      .otherwise(base + (element_at(sorted, lo + 2) - base) * frac), 6)
+  }
+
+  /** Per-group P50/P95/P99 of `valueCol`. */
+  def latencyPercentiles(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.groupBy(groupCol)
+      .agg(array_sort(collect_list(col(valueCol))).as("s"), count(lit(1)).as("n"))
+      .select(col(groupCol),
+        interp(col("s"), col("n"), 0.50).as("p50"),
+        interp(col("s"), col("n"), 0.95).as("p95"),
+        interp(col("s"), col("n"), 0.99).as("p99"))
+
+  /** Per-query recall@k from ranked results carrying a 0/1 `rel` column. */
+  def recallPerQuery(ranked: DataFrame): DataFrame =
+    ranked.groupBy("query_id")
+      .agg(sum("rel").as("n_relevant"), count(lit(1)).as("k"))
+      .select(col("query_id"), col("n_relevant"),
+        round(col("n_relevant").cast("double") / col("k"), 6).as("recall"))
+
+  /** Per-query NDCG@k from ranked results with 0/1 `rel` and rank `rnk`.
+    * IDCG places the relevant results at the top ranks (rel desc). */
+  def ndcgPerQuery(ranked: DataFrame): DataFrame = {
+    val wIdeal = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("rnk").asc)
+    val scored = ranked
+      .withColumn("ideal_rnk", row_number().over(wIdeal))
+      .groupBy("query_id")
+      .agg(sum(col("rel").cast("double") / log2(col("rnk") + 1)).as("dcg"),
+           sum(col("rel").cast("double") / log2(col("ideal_rnk") + 1)).as("idcg"))
+    scored.select(col("query_id"),
+      round(when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(0.0), 6).as("ndcg"))
+  }
+
+  /** Corpus-level averages with the reference's inclusion rules. */
+  def irSummary(recall: DataFrame, ndcg: DataFrame): DataFrame = {
+    val avgRecall = recall.filter(col("n_relevant") > 0)
+      .agg(coalesce(round(avg("recall"), 6), lit(0.0)).as("avg_recall"))
+    val avgNdcg = ndcg.agg(round(avg("ndcg"), 6).as("avg_ndcg"))
+    avgRecall.crossJoin(avgNdcg)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.operators.Embed.{tokenHash, tokens, HashMod}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators (SURVEY §2.5) — language ID, quality
+  * scoring, token counting, fingerprinting, deterministic query-text
+  * generation (stands in for the reference's LLM query generation,
+  * /root/reference/src/queries.py:417-485).
+  *
+  * Everything is Catalyst built-ins (no UDFs), and every numeric rule is
+  * portable arithmetic the DuckDB oracle replicates exactly.
+  */
+object TextAnalysis {
+
+  /** BPE-ish word-piece pattern: letter runs, digit runs, or single
+    * non-alphanumeric marks. Same regex semantics in Java and RE2. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Whitespace token count + BPE-ish piece count. */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_ws_tokens", size(tokens(col(textCol))))
+      .withColumn("n_bpe_tokens", size(regexp_extract_all(col(textCol), lit(BpePattern), lit(0))))
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Quality score in [0,1]: mean-token-length band, stopword presence
+    * band, and punctuation sparsity, equally weighted. All branches are
+    * portable CASE arithmetic.
+    */
+  def quality(df: DataFrame, textCol: String): DataFrame = {
+    val tk = tokens(col(textCol))
+    val nTok = size(tk)
+    val meanLen = (length(col(textCol)) - (nTok - 1)).cast("double") / nTok
+    val stopRatio = size(filter(tk, t => t.isin(Stopwords.map(lit): _*))).cast("double") / nTok
+    val punct = size(regexp_extract_all(col(textCol), lit("[^A-Za-z0-9 ]"), lit(0)))
+    val punctRatio = punct.cast("double") / length(col(textCol))
+    df.withColumn("n_tokens", nTok)
+      .withColumn("mean_token_len", round(meanLen, 4))
+      .withColumn("stopword_ratio", round(stopRatio, 4))
+      .withColumn("punct_ratio", round(punctRatio, 4))
+      .withColumn("quality_score", round(
+        (when(meanLen.between(3.0, 10.0), 1.0).otherwise(0.0)
+          + when(stopRatio.between(0.01, 0.6), 1.0).otherwise(0.0)
+          + when(punctRatio <= 0.1, 1.0).otherwise(0.0)) / 3.0, 4))
+  }
+
+  /** Marker vocabularies for the n-gram-heuristic language ID. The score
+    * for a language is how many of its markers occur as whole tokens. */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "and", "en" -> "fast", "en" -> "of",
+    "es" -> "el", "es" -> "la", "es" -> "que",
+    "fr" -> "le", "fr" -> "les", "fr" -> "une",
+    "de" -> "der", "de" -> "und", "de" -> "das",
+    "zh" -> "de", "zh" -> "shi", "zh" -> "bu")
+
+  /** Predicted language: argmax marker-hit count, ties to the
+    * alphabetically first language (deterministic). */
+  def langId(docs: DataFrame, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val markers = broadcast(LangMarkers.toDF("cand_lang", "marker"))
+    val scored = docs.crossJoin(markers)
+      .withColumn("hit",
+        when(instr(concat(lit(" "), col(textCol), lit(" ")),
+          concat(lit(" "), col("marker"), lit(" "))) > 0, 1).otherwise(0))
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(sum("hit").as("lang_score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("lang_score").desc, col("cand_lang").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("cand_lang").as("predicted_lang"), col("lang_score"))
+  }
+
+  /** Rolling-hash fingerprint: full-text polyhash plus the minimum
+    * char-8-gram hash (winnowing-style min-gram), both mod p. */
+  def fingerprint(df: DataFrame, textCol: String): DataFrame = {
+    val full = tokenHash(col(textCol))
+    val gramLen = 8
+    val grams = transform(
+      sequence(lit(1), greatest(length(col(textCol)) - (gramLen - 1), lit(1))),
+      i => tokenHash(col(textCol).substr(i, lit(gramLen))))
+    df.withColumn("full_hash", full)
+      .withColumn("min_gram_hash", array_min(grams))
+  }
+
+  /** Deterministic query generation (reference samples ~10% of the
+    * corpus and LLM-generates one query per doc): sample doc_id % 10 = 0,
+    * query = the doc's 3 most frequent tokens, frequency-desc then
+    * alphabetical, joined by spaces.
+    */
+  def queryGen(docs: DataFrame, textCol: String): DataFrame = {
+    val sampled = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy("doc_id").orderBy(col("freq").desc, col("tok").asc)
+    sampled.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("rnk"), col("tok")))),
+        x => x.getField("tok")), " ").as("query"))
+  }
+}

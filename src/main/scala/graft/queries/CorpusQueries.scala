@@ -1,0 +1,234 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Embed, TextAnalysis, Upsert}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup + text-analysis + upsert query bindings (SURVEY §2.1 u1,
+  * §2.4, §2.5) with DuckDB oracle SQL. Shared portable-hash fragments
+  * keep both engines bit-identical (see Embed / Dedup).
+  */
+object CorpusQueries {
+
+  // ---- shared DuckDB fragments ----------------------------------------
+
+  /** Polynomial rolling hash of a string expression (matches
+    * Embed.tokenHash). */
+  def polyhashS(e: String): String =
+    // lambda vars deliberately obscure (__pi/__ph/__pc): this fragment is
+    // nested inside callers' lambdas, and DuckDB lexically shadows reused
+    // names — a plain `i` here silently hijacked t4's outer gram index.
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($e) + 1), __pi -> CAST(ascii(substring($e, __pi, 1)) AS BIGINT))), " +
+      s"(__ph, __pc) -> (__ph * 31 + __pc) % ${Embed.HashMod})"
+
+  val toksCte: String =
+    "toks AS (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk FROM documents)"
+
+  val shingleCte: String =
+    s"sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1), " +
+      s"i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM toks WHERE len(tk) >= 3)"
+
+  // ---- d1_exact_dedup -------------------------------------------------
+
+  /** Input corpus with planted duplicates: docs with doc_id < 50 appear
+    * again under doc_id + 1000000 (the testdata has no exact dups). */
+  def docsWithDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    docs.unionAll(
+      docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  def d1ExactDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(docsWithDups(s, d))
+
+  val d1Sql: String =
+    """WITH dup AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50)
+      |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+      |FROM dup GROUP BY text""".stripMargin
+
+  // ---- d2_ngram_jaccard -----------------------------------------------
+
+  val JaccardMin = 0.05
+
+  def d2NgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, JaccardMin)
+
+  val d2Sql: String =
+    s"""WITH $toksCte, $shingleCte,
+       |ex AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS nsh FROM sh WHERE len(sh) > 0)
+       |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+       |  SELECT id_a, id_b, inter::DOUBLE / (na + nb - inter) AS jaccard FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+       |           any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+       |    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2))
+       |WHERE jaccard >= $JaccardMin""".stripMargin
+
+  // ---- d3_minhash -----------------------------------------------------
+
+  def d3Minhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashCandidates(Tables.documents(s, d), 3)
+
+  val d3Sql: String = {
+    val p = Embed.HashMod
+    s"""WITH $toksCte, $shingleCte,
+       |hs AS (SELECT doc_id, list_transform(sh, s -> ${polyhashS("s")}) AS hs
+       |       FROM sh WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id, list_transform(range(0, ${Dedup.NumPerms}), j ->
+       |          list_min(list_transform(hs, h -> ((j*2+3)*h + (j*1234567+89)) % $p))) AS sig
+       |        FROM hs),
+       |bands AS (SELECT doc_id, r.range AS band_idx,
+       |            array_to_string(list_transform(
+       |              array_slice(sig, r.range*${Dedup.RowsPerBand}+1, r.range*${Dedup.RowsPerBand}+${Dedup.RowsPerBand}),
+       |              x -> CAST(x AS VARCHAR)), '_') AS band_key
+       |          FROM sig, range(0, ${Dedup.NumBands}) r)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(DISTINCT a.band_idx) AS n_shared_bands
+       |FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  // ---- d4_simhash -----------------------------------------------------
+
+  def d4Simhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+
+  val d4Sql: String =
+    s"""WITH $toksCte,
+       |th AS (SELECT doc_id, list_transform(tk, t -> ${polyhashS("t")}) AS hs FROM toks)
+       |SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(0, ${Dedup.SimhashBits}), i ->
+       |      CASE WHEN len(list_filter(hs, h -> (h // (1::BIGINT << i)) % 2 = 1)) * 2 >= len(hs)
+       |           THEN (1::BIGINT << i) ELSE 0 END)),
+       |    (a, b) -> a + b) AS simhash
+       |FROM th""".stripMargin
+
+  // ---- t1_tokens ------------------------------------------------------
+
+  def t1Tokens(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.documents(s, d).select("doc_id", "text"), "text")
+      .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+
+  val t1Sql: String =
+    s"""SELECT doc_id,
+       |  len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_ws_tokens,
+       |  len(regexp_extract_all(text, '${TextAnalysis.BpePattern.replace("\\", "\\\\")}')) AS n_bpe_tokens
+       |FROM documents""".stripMargin
+
+  // ---- t2_quality -----------------------------------------------------
+
+  def t2Quality(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.quality(Tables.documents(s, d).select("doc_id", "text"), "text")
+      .select("doc_id", "n_tokens", "mean_token_len", "stopword_ratio",
+        "punct_ratio", "quality_score")
+
+  val t2Sql: String = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH $toksCte,
+       |m AS (SELECT doc_id, text, tk, len(tk) AS n_tokens,
+       |        (length(text) - (len(tk) - 1))::DOUBLE / len(tk) AS mean_len,
+       |        len(list_filter(tk, t -> t IN ($stop)))::DOUBLE / len(tk) AS stop_ratio,
+       |        len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE / length(text) AS punct_ratio
+       |      FROM toks)
+       |SELECT doc_id, n_tokens,
+       |  round(mean_len, 4) AS mean_token_len,
+       |  round(stop_ratio, 4) AS stopword_ratio,
+       |  round(punct_ratio, 4) AS punct_ratio,
+       |  round(((CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+       |       + (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END)
+       |       + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality_score
+       |FROM m""".stripMargin
+  }
+
+  // ---- t3_langid ------------------------------------------------------
+
+  def t3LangId(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.langId(Tables.documents(s, d).select("doc_id", "text"), "text")
+
+  val t3Sql: String = {
+    val markerRows = TextAnalysis.LangMarkers
+      .map { case (l, m) => s"('$l', '$m')" }.mkString(", ")
+    s"""WITH markers(cand_lang, marker) AS (VALUES $markerRows),
+       |scored AS (
+       |  SELECT d.doc_id, m.cand_lang,
+       |    sum(CASE WHEN instr(' ' || d.text || ' ', ' ' || m.marker || ' ') > 0
+       |             THEN 1 ELSE 0 END) AS lang_score
+       |  FROM documents d, markers m
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, cand_lang AS predicted_lang, lang_score FROM (
+       |  SELECT doc_id, cand_lang, lang_score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY lang_score DESC, cand_lang ASC) AS rnk
+       |  FROM scored) WHERE rnk = 1""".stripMargin
+  }
+
+  // ---- t4_fingerprint -------------------------------------------------
+
+  def t4Fingerprint(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(s, d).select("doc_id", "text"), "text")
+      .select("doc_id", "full_hash", "min_gram_hash")
+
+  val t4Sql: String =
+    s"""SELECT doc_id,
+       |  ${polyhashS("text")} AS full_hash,
+       |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+       |    i -> ${polyhashS("substring(text, i, 8)")})) AS min_gram_hash
+       |FROM documents""".stripMargin
+
+  // ---- q0_querygen ----------------------------------------------------
+
+  def q0QueryGen(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.queryGen(Tables.documents(s, d).select("doc_id", "text"), "text")
+
+  val q0Sql: String =
+    s"""WITH $toksCte,
+       |freq AS (
+       |  SELECT doc_id, tok, count(*) AS freq FROM (
+       |    SELECT doc_id, unnest(tk) AS tok FROM toks WHERE doc_id % 10 = 0)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY freq DESC, tok ASC) AS rnk FROM freq)
+       |SELECT doc_id, string_agg(tok, ' ' ORDER BY rnk) AS query
+       |FROM ranked WHERE rnk <= 3 GROUP BY doc_id""".stripMargin
+
+  // ---- u1_upsert ------------------------------------------------------
+
+  /** Two synthetic batches over orders: version 0 = the base table,
+    * version 1 = every 10th order re-submitted with a 10% price bump.
+    * Last write wins per key (reference upsert semantics, db.py:72-80).
+    */
+  /** The +1000.0 update (not ×1.1) keeps prices on exact 2-dp doubles:
+    * source prices are clean 2-dp, and round() on a ×1.1 product lands
+    * on .xx5 boundaries where Spark (HALF_UP on shortest decimal repr)
+    * and the oracle (round on the binary value) legitimately disagree.
+    */
+  def u1Upsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), lit(0).as("version"))
+    val update = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") + 1000.0).as("o_totalprice"),
+        lit(1).as("version"))
+    Upsert.lastWriteWins(base.unionAll(update), "o_orderkey", "version")
+  }
+
+  val u1Sql: String =
+    """WITH batches AS (
+      |  SELECT o_orderkey, o_totalprice, 0 AS version FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, 1 AS version
+      |  FROM orders WHERE o_orderkey % 10 = 0)
+      |SELECT o_orderkey, o_totalprice, version FROM (
+      |  SELECT o_orderkey, o_totalprice, version,
+      |    row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+      |  FROM batches) WHERE rn = 1""".stripMargin
+}

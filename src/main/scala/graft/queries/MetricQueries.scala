@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.IrMetrics
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relevancy + IR-metric query bindings (SURVEY §2.6). The kNN under
+  * m2/m3 is the v1 cosine search; ground-truth relevance is label
+  * equality between query and corpus vector (the deterministic stand-in
+  * for the reference's LLM relevance judgment ≥ 4,
+  * /root/reference/src/queries.py:24-29).
+  */
+object MetricQueries {
+
+  /** v1 kNN results annotated with 0/1 relevance. */
+  def labeledKnn(s: SparkSession, d: String): DataFrame = {
+    val knn = VectorQueries.v1KnnCos(s, d)
+    val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    knn
+      .join(lab.withColumnRenamed("label", "c_label"), "vec_id")
+      .join(broadcast(lab.select(col("vec_id").as("query_id"), col("label").as("q_label"))),
+        "query_id")
+      .withColumn("rel", when(col("c_label") === col("q_label"), 1).otherwise(0))
+  }
+
+  /** CTE prefix shared by the m-query oracles: the v1 kNN + relevance. */
+  private val relCtes: String = {
+    s"""q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 8),
+       |knn AS (
+       |  SELECT query_id, vec_id, rnk FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rnk
+       |    FROM (SELECT query_id, vec_id,
+       |            list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS score
+       |          FROM c, q)) WHERE rnk <= ${VectorQueries.K}),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |rel AS (
+       |  SELECT k.query_id, k.vec_id, k.rnk,
+       |    CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END AS rel
+       |  FROM knn k
+       |  JOIN lab cl ON k.vec_id = cl.vec_id
+       |  JOIN lab ql ON k.query_id = ql.vec_id)""".stripMargin
+  }
+
+  // ---- m1_latency_pcts ------------------------------------------------
+
+  def m1LatencyPcts(s: SparkSession, d: String): DataFrame =
+    IrMetrics.latencyPercentiles(Tables.events(s, d), "event_type", "value")
+
+  val m1Sql: String = {
+    def interpS(q: Double, as: String): String =
+      s"""round(CASE WHEN (n - 1)::DOUBLE * $q - floor((n - 1)::DOUBLE * $q) = 0.0
+         |  THEN s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1]
+         |  ELSE s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1]
+         |     + (s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 2]
+         |        - s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1])
+         |       * ((n - 1)::DOUBLE * $q - floor((n - 1)::DOUBLE * $q))
+         |  END, 6) AS $as""".stripMargin
+    s"""WITH g AS (SELECT event_type, list_sort(list(value)) AS s, count(*) AS n
+       |           FROM events GROUP BY 1)
+       |SELECT event_type,
+       |  ${interpS(0.50, "p50")},
+       |  ${interpS(0.95, "p95")},
+       |  ${interpS(0.99, "p99")}
+       |FROM g""".stripMargin
+  }
+
+  // ---- m2_recall_at_k -------------------------------------------------
+
+  def m2Recall(s: SparkSession, d: String): DataFrame =
+    IrMetrics.recallPerQuery(labeledKnn(s, d))
+
+  val m2Sql: String =
+    s"""WITH $relCtes
+       |SELECT query_id, sum(rel) AS n_relevant,
+       |  round(sum(rel)::DOUBLE / count(*), 6) AS recall
+       |FROM rel GROUP BY query_id""".stripMargin
+
+  // ---- m3_ndcg_at_k ---------------------------------------------------
+
+  def m3Ndcg(s: SparkSession, d: String): DataFrame =
+    IrMetrics.ndcgPerQuery(labeledKnn(s, d))
+
+  val m3Sql: String =
+    s"""WITH $relCtes,
+       |ideal AS (
+       |  SELECT query_id, rnk, rel,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, rnk ASC) AS ideal_rnk
+       |  FROM rel),
+       |agg AS (
+       |  SELECT query_id,
+       |    sum(rel::DOUBLE / log2(rnk + 1)) AS dcg,
+       |    sum(rel::DOUBLE / log2(ideal_rnk + 1)) AS idcg
+       |  FROM ideal GROUP BY query_id)
+       |SELECT query_id,
+       |  round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg
+       |FROM agg""".stripMargin
+
+  // ---- m0_ir_summary --------------------------------------------------
+
+  def m0IrSummary(s: SparkSession, d: String): DataFrame =
+    IrMetrics.irSummary(m2Recall(s, d), m3Ndcg(s, d))
+
+  val m0Sql: String =
+    s"""WITH $relCtes,
+       |recall AS (
+       |  SELECT query_id, sum(rel) AS n_relevant,
+       |    round(sum(rel)::DOUBLE / count(*), 6) AS recall
+       |  FROM rel GROUP BY query_id),
+       |ideal AS (
+       |  SELECT query_id, rnk, rel,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, rnk ASC) AS ideal_rnk
+       |  FROM rel),
+       |ndcg AS (
+       |  SELECT query_id,
+       |    round(CASE WHEN sum(rel::DOUBLE / log2(ideal_rnk + 1)) > 0
+       |          THEN sum(rel::DOUBLE / log2(rnk + 1)) / sum(rel::DOUBLE / log2(ideal_rnk + 1))
+       |          ELSE 0.0 END, 6) AS ndcg
+       |  FROM ideal GROUP BY query_id)
+       |SELECT
+       |  (SELECT coalesce(round(avg(recall), 6), 0.0) FROM recall WHERE n_relevant > 0) AS avg_recall,
+       |  (SELECT round(avg(ndcg), 6) FROM ndcg) AS avg_ndcg""".stripMargin
+
+  // ---- r1_relevancy ---------------------------------------------------
+
+  /** Deterministic 1-5 relevancy over the d2 near-dup candidate pairs:
+    * score = min(5, 1 + floor(10·jaccard)); relevant iff score ≥ 4
+    * (the reference's threshold, queries.py:29). */
+  def r1Relevancy(s: SparkSession, d: String): DataFrame =
+    CorpusQueries.d2NgramJaccard(s, d)
+      .withColumn("relevancy_score",
+        least(lit(5L), lit(1L) + floor(col("jaccard") * 10)))
+      .withColumn("is_relevant",
+        when(col("relevancy_score") >= 4, 1).otherwise(0))
+      .select("id_a", "id_b", "relevancy_score", "is_relevant")
+
+  val r1Sql: String =
+    s"""WITH pairs AS (${CorpusQueries.d2Sql})
+       |SELECT id_a, id_b,
+       |  least(5, 1 + CAST(floor(jaccard * 10) AS BIGINT)) AS relevancy_score,
+       |  CASE WHEN least(5, 1 + CAST(floor(jaccard * 10) AS BIGINT)) >= 4 THEN 1 ELSE 0 END AS is_relevant
+       |FROM pairs""".stripMargin
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.queries.{CorpusQueries, MetricQueries}
+import org.apache.spark.sql.functions._
+
+class DedupTextSpec extends SparkSpec {
+
+  test("d1 exact dedup finds exactly the planted duplicates") {
+    val df = CorpusQueries.d1ExactDedup(spark, sf).cache()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(df.count() == nDocs) // testdata texts are distinct
+    assert(df.filter(col("n_copies") === 2).count() == 50) // planted
+    assert(df.filter(col("n_copies") > 2).count() == 0)
+  }
+
+  test("d2 jaccard pairs are ordered, thresholded, and in (0,1]") {
+    val rows = CorpusQueries.d2NgramJaccard(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall { r =>
+      val j = r.getDouble(2); j >= CorpusQueries.JaccardMin && j <= 1.0 })
+  }
+
+  test("d3 minhash candidates include the strongest jaccard pairs") {
+    val strong = CorpusQueries.d2NgramJaccard(spark, sf)
+      .filter(col("jaccard") > 0.8).select("id_a", "id_b")
+    val cand = CorpusQueries.d3Minhash(spark, sf).select("id_a", "id_b")
+    assert(strong.count() > 0)
+    assert(strong.join(cand, Seq("id_a", "id_b"), "left_anti").count() == 0,
+      "a >0.8-jaccard pair escaped every LSH band")
+  }
+
+  test("d4 simhash stays in 30 bits and near-identical docs collide closely") {
+    val df = CorpusQueries.d4Simhash(spark, sf).cache()
+    val mx = df.agg(max("simhash")).head.getLong(0)
+    assert(mx < (1L << 30) && mx >= 0)
+    // hamming distance between the planted near-dup pair is small
+    val pair = CorpusQueries.d2NgramJaccard(spark, sf)
+      .orderBy(col("jaccard").desc).select("id_a", "id_b").head
+    val h = df.filter(col("doc_id").isin(pair.getLong(0), pair.getLong(1)))
+      .select("simhash").collect().map(_.getLong(0))
+    assert(java.lang.Long.bitCount(h(0) ^ h(1)) <= 6)
+  }
+
+  test("t1 token counts are positive and bpe >= ws") {
+    val df = CorpusQueries.t1Tokens(spark, sf)
+    assert(df.filter(col("n_ws_tokens") <= 0 || col("n_bpe_tokens") < col("n_ws_tokens"))
+      .count() == 0)
+  }
+
+  test("t2 quality scores are in [0,1] with components present") {
+    val df = CorpusQueries.t2Quality(spark, sf)
+    assert(df.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
+    assert(df.filter(col("punct_ratio") < 0 || col("stopword_ratio") < 0).count() == 0)
+  }
+
+  test("t3 langid predicts a known language deterministically") {
+    val langs = graft.operators.TextAnalysis.LangMarkers.map(_._1).toSet
+    val df = CorpusQueries.t3LangId(spark, sf).cache()
+    assert(df.count() == Tables.documents(spark, sf).count())
+    assert(df.select("predicted_lang").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(langs))
+  }
+
+  test("t4 fingerprints are deterministic and within the hash modulus") {
+    val a = CorpusQueries.t4Fingerprint(spark, sf).orderBy("doc_id").collect()
+    val b = CorpusQueries.t4Fingerprint(spark, sf).orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    assert(a.forall(r => r.getLong(1) < graft.operators.Embed.HashMod
+      && r.getLong(2) < graft.operators.Embed.HashMod))
+  }
+
+  test("q0 querygen emits a 3-token query per sampled doc") {
+    val df = CorpusQueries.q0QueryGen(spark, sf).cache()
+    assert(df.count() == Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 0).count())
+    assert(df.filter(size(split(col("query"), " ")) =!= 3).count() == 0)
+  }
+
+  test("u1 upsert keeps one row per key, newest version wins") {
+    val df = CorpusQueries.u1Upsert(spark, sf).cache()
+    val orders = Tables.orders(spark, sf)
+    assert(df.count() == orders.count())
+    assert(df.groupBy("o_orderkey").count().filter(col("count") > 1).count() == 0)
+    val updated = df.filter(col("version") === 1)
+    assert(updated.count() == orders.filter(col("o_orderkey") % 10 === 0).count())
+    // updated price = base + 1000
+    assert(updated.join(orders.withColumnRenamed("o_totalprice", "base"), "o_orderkey")
+      .filter(abs(col("o_totalprice") - col("base") - 1000.0) > 1e-9).count() == 0)
+  }
+}

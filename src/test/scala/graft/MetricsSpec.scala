@@ -1,0 +1,63 @@
+package graft
+
+import graft.queries.MetricQueries
+import org.apache.spark.sql.functions._
+
+class MetricsSpec extends SparkSpec {
+
+  test("m1 percentiles are ordered p50 <= p95 <= p99 per group") {
+    val rows = MetricQueries.m1LatencyPcts(spark, sf).collect()
+    assert(rows.length == 5) // one per event_type
+    assert(rows.forall { r =>
+      val (p50, p95, p99) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      p50 <= p95 && p95 <= p99 })
+  }
+
+  test("m1 p50 equals the numpy-style interpolated median") {
+    val vals = Tables.events(spark, sf).filter(col("event_type") === "click")
+      .select("value").collect().map(_.getDouble(0)).sorted
+    val pos = (vals.length - 1) * 0.5
+    val lo = pos.toInt
+    val expect = if (pos == lo) vals(lo)
+      else vals(lo) + (vals(lo + 1) - vals(lo)) * (pos - lo)
+    val got = MetricQueries.m1LatencyPcts(spark, sf)
+      .filter(col("event_type") === "click").head.getDouble(1)
+    assert(math.abs(got - BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("m2 recall is n_relevant / k in [0,1]") {
+    val rows = MetricQueries.m2Recall(spark, sf).collect()
+    assert(rows.length == 8)
+    assert(rows.forall { r =>
+      val recall = r.getDouble(2)
+      recall >= 0.0 && recall <= 1.0 &&
+        math.abs(recall - r.getLong(1).toDouble / 5) < 1e-6 })
+  }
+
+  test("m3 ndcg is 1 when all top-k are relevant, else in [0,1]") {
+    val m2 = MetricQueries.m2Recall(spark, sf)
+    val m3 = MetricQueries.m3Ndcg(spark, sf)
+    val j = m2.join(m3, "query_id").collect()
+    assert(j.forall { r =>
+      val n = r.getAs[Double]("ndcg"); n >= 0.0 && n <= 1.0 })
+    // perfect recall => perfect ndcg
+    assert(j.filter(_.getAs[Double]("recall") == 1.0)
+      .forall(_.getAs[Double]("ndcg") == 1.0))
+  }
+
+  test("m0 summary row reproduces the reference averaging rules") {
+    val row = MetricQueries.m0IrSummary(spark, sf).head
+    val m2 = MetricQueries.m2Recall(spark, sf).filter(col("n_relevant") > 0)
+      .agg(avg("recall")).head.getDouble(0)
+    assert(math.abs(row.getAs[Double]("avg_recall")
+      - BigDecimal(m2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("r1 relevancy maps jaccard onto the 1-5 scale with threshold 4") {
+    val rows = MetricQueries.r1Relevancy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val s = r.getLong(2)
+      s >= 1 && s <= 5 && (r.getInt(3) == 1) == (s >= 4) })
+  }
+}
