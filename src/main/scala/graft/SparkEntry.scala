@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CorpusQueries, MetricQueries, Relational, VectorQueries}
+import graft.queries.{CorpusQueries, IngestQueries, MetricQueries, Relational, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §6
   * (oracle conventions). Every implemented operator registers here:
@@ -51,6 +51,10 @@ object SparkEntry {
     "m3_ndcg_at_k"      -> (MetricQueries.m3Ndcg _),
     "m0_ir_summary"     -> (MetricQueries.m0IrSummary _),
     "r1_relevancy"      -> (MetricQueries.r1Relevancy _),
+    "ing_csv"           -> (IngestQueries.ingCsv _),
+    "ing_docs"          -> (IngestQueries.ingDocs _),
+    "mm1_meta"          -> (IngestQueries.mm1Meta _),
+    "mm2_framesample"   -> (IngestQueries.mm2FrameSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -88,5 +92,9 @@ object SparkEntry {
     "m3_ndcg_at_k"      -> MetricQueries.m3Sql,
     "m0_ir_summary"     -> MetricQueries.m0Sql,
     "r1_relevancy"      -> MetricQueries.r1Sql,
+    "ing_csv"           -> IngestQueries.ingCsvSql,
+    "ing_docs"          -> IngestQueries.ingDocsSql,
+    "mm1_meta"          -> IngestQueries.mm1Sql,
+    "mm2_framesample"   -> IngestQueries.mm2Sql,
   )
 }

@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.MultiModal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingestion + multimodal query bindings (SURVEY §2.1, §2.8).
+  * The reference's pipeline starts from a CSV corpus
+  * (/root/reference/src/db.py:16-52); ing_csv proves the schema-on-read
+  * CSV path end-to-end by round-tripping the documents table through
+  * CSV files and reading them back with an explicit schema.
+  */
+object IngestQueries {
+
+  val csvSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** CSV round-trip: parquet → csv files → schema'd read → projection.
+    * Written under /tmp, partitioned like any distributed sink would be.
+    */
+  def ingCsv(s: SparkSession, d: String): DataFrame = {
+    val path = s"/tmp/graft_csv_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    Tables.documents(s, d)
+      .write.mode("overwrite").option("header", "true").csv(path)
+    s.read.schema(csvSchema).option("header", "true").csv(path)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  val ingCsvSql: String =
+    "SELECT doc_id, lang, source, n_chars FROM documents"
+
+  /** Corpus normalization to the reference's {id, text, meta} shape
+    * (db.py:33-46), meta flattened to typed columns. */
+  def ingDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("id"), col("text"), col("lang"), col("source"),
+      length(col("text")).as("text_len"))
+
+  val ingDocsSql: String =
+    "SELECT doc_id AS id, text, lang, source, length(text) AS text_len FROM documents"
+
+  /** Media table metadata pass: binary payload size + typed metadata. */
+  def mm1Meta(s: SparkSession, d: String): DataFrame =
+    MultiModal.mediaTable(Tables.documents(s, d))
+      .select(col("id"), col("mime"), length(col("media")).as("n_bytes"),
+        col("lang"), col("source"))
+
+  val mm1Sql: String =
+    """SELECT doc_id AS id, 'text/plain' AS mime,
+      |  octet_length(encode(text)) AS n_bytes, lang, source
+      |FROM documents""".stripMargin
+
+  /** Frame-sampling plan: one frame per 64-byte stride, 16-byte frames. */
+  def mm2FrameSample(s: SparkSession, d: String): DataFrame =
+    MultiModal.frameSample(MultiModal.mediaTable(Tables.documents(s, d)), 64, 16)
+      .select("id", "n_bytes", "n_frames", "first_frame")
+
+  val mm2Sql: String =
+    """SELECT doc_id AS id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  CAST(floor((octet_length(encode(text)) - 1)::DOUBLE / 64) AS BIGINT) + 1 AS n_frames,
+      |  substring(text, 1, 16) AS first_frame
+      |FROM documents""".stripMargin
+}

@@ -1,0 +1,29 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming ingest (SURVEY §2.1): event-time tumbling
+  * windows with a watermark. The same transform serves batch DataFrames
+  * (graft.queries.Relational.e1EventsWindow is its batch parity — same
+  * hour buckets, counts and sums) and streaming ones: pass any
+  * `readStream`/MemoryStream frame with (ts timestamp, event_type
+  * string, value double).
+  *
+  * At scale this is the canonical shape: watermark bounds state, the
+  * windowed aggregation shuffles on (window, event_type), and late rows
+  * beyond the watermark are dropped instead of growing state forever.
+  */
+object EventStream {
+
+  val Watermark = "2 hours"
+
+  def hourlyAgg(events: DataFrame): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", Watermark) else events
+    src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+}
