@@ -30,6 +30,31 @@ object Dedup {
   def shingleHashes(textCol: Column, n: Int): Column =
     transform(shingles(textCol, n), s => tokenHash(s))
 
+  /** Shingles rebuilt from an ALREADY-MATERIALIZED token array column —
+    * element_at on a real row field is O(1); the same formula applied to
+    * `tokens(text)` re-splits the text on every element_at (interpreted
+    * HOFs have no subexpression elimination → minutes per query). */
+  def shinglesFromTokens(tk: Column, n: Int): Column =
+    when(size(tk) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(tk) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** One row per (doc, distinct shingle hash) + the doc's shingle count.
+    * Pipeline: tokenize → Exchange (materializes the token array AND
+    * spreads the single-file scan across the cluster) → shingle →
+    * explode → hash once per shingle. The char-level hash fold runs
+    * exactly ONCE per shingle — computing hashes inside nested lambdas
+    * let CollapseProject inline the fold into every consumer (16×
+    * recompute in the minhash permutations, 300 s/query at sf0.1).
+    */
+  def shingleHashRows(docs: DataFrame, n: Int): DataFrame =
+    graft.Dist.spread(docs.select(col("doc_id"), tokens(col("text")).as("tk")))
+      .select(col("doc_id"), shinglesFromTokens(col("tk"), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("nsh"), tokenHash(col("s")).as("h"))
+
   /** Exact dedup: group by full text, keep the smallest id.
     * Input (id, text); output one row per distinct text. */
   def exact(docs: DataFrame): DataFrame =
@@ -42,15 +67,21 @@ object Dedup {
     * (id_a, id_b) pair for the intersection count — never all-pairs.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("s"))
-    val a = sh.select(col("doc_id").as("id_a"), col("nsh").as("na"), col("s"))
-    val b = sh.select(col("doc_id").as("id_b"), col("nsh").as("nb"), col("s"))
-    a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
+    // the inverted-index join is on the 8-byte shingle HASH, not the
+    // shingle string — same pairs on both engines (the oracle joins on
+    // the same portable hash), far narrower shuffle rows. The shingle
+    // pipeline is cached so the self-join doesn't tokenize+hash the
+    // corpus twice, and the join rows carry only (doc_id, h): per-doc
+    // shingle counts rejoin AFTER pair aggregation (docs ≪ pairs).
+    val sh = shingleHashRows(docs, n).cache()
+    val counts = sh.select("doc_id", "nsh").distinct()
+    val a = sh.select(col("doc_id").as("id_a"), col("h"))
+    val b = sh.select(col("doc_id").as("id_b"), col("h"))
+    a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(counts.select(col("doc_id").as("id_a"), col("nsh").as("na"))), "id_a")
+      .join(broadcast(counts.select(col("doc_id").as("id_b"), col("nsh").as("nb"))), "id_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
@@ -61,12 +92,20 @@ object Dedup {
   val NumBands = 4
   val RowsPerBand: Int = NumPerms / NumBands
 
-  /** MinHash signature from a shingle-hash array column: sig_j = min
-    * over hashes h of ((2j+3)·h + (1234567j+89)) mod p, j = 0..15. */
-  def minhashSignature(hashesCol: Column): Column =
-    transform(sequence(lit(0), lit(NumPerms - 1)), j =>
-      array_min(transform(hashesCol, h =>
-        ((j * 2 + 3).cast("bigint") * h + (j * 1234567 + 89).cast("bigint")) % lit(HashMod))))
+  /** MinHash signatures as one aggregation over shingle-hash rows:
+    * sig_j = min over hashes h of ((2j+3)·h + (1234567j+89)) mod p,
+    * j = 0..15. Sixteen min() aggregates in a single map-side-combined
+    * groupBy — each hash is read 16 times but COMPUTED once.
+    */
+  def minhashSignatures(hashRows: DataFrame): DataFrame = {
+    val perms = (0 until NumPerms).map { j =>
+      min((lit((j * 2 + 3).toLong) * col("h") + lit((j * 1234567 + 89).toLong)) % lit(HashMod))
+        .as(s"s$j")
+    }
+    hashRows.groupBy("doc_id")
+      .agg(perms.head, perms.tail: _*)
+      .select(col("doc_id"), array((0 until NumPerms).map(j => col(s"s$j")): _*).as("sig"))
+  }
 
   /** Band keys: the signature split into NumBands runs of RowsPerBand,
     * each serialized to a string key. */
@@ -79,11 +118,11 @@ object Dedup {
     * equi-join on (band_idx, band_key) — the classic MinHash-LSH
     * bucket-join, linear in bucket populations. */
   def minhashCandidates(docs: DataFrame, n: Int): DataFrame = {
-    val banded = docs
-      .select(col("doc_id"), shingleHashes(col("text"), n).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), minhashSignature(col("hs")).as("sig"))
+    // cached: the banded self-join would otherwise run the whole
+    // tokenize→shingle→hash→16-perm-groupBy pipeline twice
+    val banded = minhashSignatures(shingleHashRows(docs, n))
       .select(col("doc_id"), posexplode(bandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
+      .cache()
     val a = banded.select(col("doc_id").as("id_a"), col("band_idx"), col("band_key"))
     val b = banded.select(col("doc_id").as("id_b"), col("band_idx"), col("band_key"))
     a.join(b, Seq("band_idx", "band_key")).filter(col("id_a") < col("id_b"))
@@ -93,19 +132,25 @@ object Dedup {
 
   val SimhashBits = 30
 
-  /** Per-document SimHash fingerprint: bit i set iff the majority of
+  /** Per-document SimHash fingerprints: bit i set iff the majority of
     * token hashes have bit i set (tokens weighted by occurrence). 30
-    * bits so the value stays inside the portable mod-p hash range. */
-  def simhash(textCol: Column): Column = {
-    val hs = transform(tokens(textCol), t => tokenHash(t))
-    // bit extraction as floor(h / 2^i) % 2: h < 2^30 and 2^i are exact in
-    // double, so this matches the oracle's integer `h // (1<<i)` — the
-    // lambda variable i rules out shiftright(Column, Int) here.
-    aggregate(
-      transform(sequence(lit(0), lit(SimhashBits - 1)), i =>
-        when(size(filter(hs,
-            h => floor(h.cast("double") / pow(lit(2.0), i)) % 2 === 1)) * 2 >= size(hs),
-          pow(lit(2.0), i).cast("bigint")).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+    * bits so the value stays inside the portable mod-p hash range.
+    *
+    * Computed as 30 bit-count aggregates over exploded token-hash rows
+    * (one shuffle, map-side combined) — the nested-lambda formulation
+    * made CollapseProject re-run every token's char fold 30×.
+    */
+  def simhashes(docs: DataFrame, textCol: String): DataFrame = {
+    val th = graft.Dist.spread(docs)
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("t"))
+      .select(col("doc_id"), tokenHash(col("t")).as("h"))
+    val bitCounts = (0 until SimhashBits).map(i =>
+      sum(shiftright(col("h"), i) % 2).as(s"b$i"))
+    val aggs = bitCounts :+ count(lit(1)).as("n")
+    th.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimhashBits).map(i =>
+          when(col(s"b$i") * 2 >= col("n"), lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 }

@@ -29,6 +29,10 @@ object Embed {
 
   /** L2-normalized hashing-TF embedding as array<double>, elements
     * rounded to 6 dp (rounding AFTER normalization, both engines).
+    *
+    * Column-level form — convenient but O(dim × tokens) with the token
+    * hashes re-folded per bucket once CollapseProject inlines them; use
+    * `embedDocs` for anything beyond a handful of rows.
     */
   def embedding(textCol: Column, dim: Int): Column = {
     val buckets = transform(tokens(textCol), t => tokenHash(t) % lit(dim.toLong))
@@ -37,5 +41,26 @@ object Embed {
       b => size(filter(buckets, x => x === b)).cast("double"))
     val nrm = sqrt(aggregate(counts, lit(0.0), (acc, x) => acc + x * x))
     transform(counts, x => round(x / nrm, 6))
+  }
+
+  /** Same embedding, computed the scale-right way: explode tokens, hash
+    * each ONCE, count per (doc, bucket) with map-side combine, then
+    * assemble the dense vector from a per-doc bucket→count map (64 map
+    * lookups instead of 64 re-folds of every token hash).
+    */
+  def embedDocs(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                dim: Int): org.apache.spark.sql.DataFrame = {
+    val buckets = graft.Dist.spread(docs)
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("t"))
+      .select(col("doc_id"), (tokenHash(col("t")) % dim).cast("int").as("bucket"))
+    val maps = buckets.groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("c")))).as("m"))
+    val counts = transform(sequence(lit(0), lit(dim - 1)),
+      b => coalesce(element_at(col("m"), b), lit(0L)).cast("double"))
+    maps.withColumn("counts", counts)
+      .withColumn("nrm", sqrt(aggregate(col("counts"), lit(0.0), (acc, x) => acc + x * x)))
+      .select(col("doc_id"),
+        transform(col("counts"), x => round(x / col("nrm"), 6)).as("embedding"))
   }
 }

@@ -84,7 +84,9 @@ object TextAnalysis {
     val grams = transform(
       sequence(lit(1), greatest(length(col(textCol)) - (gramLen - 1), lit(1))),
       i => tokenHash(col(textCol).substr(i, lit(gramLen))))
-    df.withColumn("full_hash", full)
+    // O(8·len) genuine work per row — spread the single-file scan
+    graft.Dist.spread(df)
+      .withColumn("full_hash", full)
       .withColumn("min_gram_hash", array_min(grams))
   }
 
@@ -94,7 +96,7 @@ object TextAnalysis {
     * alphabetical, joined by spaces.
     */
   def queryGen(docs: DataFrame, textCol: String): DataFrame = {
-    val sampled = docs.filter(col("doc_id") % 10 === 0)
+    val sampled = graft.Dist.spread(docs.filter(col("doc_id") % 10 === 0))
       .select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("freq"))
     val w = Window.partitionBy("doc_id").orderBy(col("freq").desc, col("tok").asc)

@@ -16,9 +16,21 @@ import org.apache.spark.sql.functions._
   *    on cell id (bounded work per query, shuffle on cell id).
   *  - LSH: sign-bit bucketing; candidate join is an equi-join on bucket.
   *
+  * Per-vector norms (and squared norms) are computed ONCE per side
+  * before pairing — recomputing sqrt(Σx²) inside every pair triples the
+  * fold work; the cached value is the identical computation, so oracle
+  * bit-parity holds. Pair-heavy inputs are repartitioned to the session
+  * default parallelism first: a tiny single-file parquet scan otherwise
+  * serializes the entire O(N·M) similarity evaluation onto one task.
+  *
   * Reference behavior: top-k=5 cosine queries, chroma.py:96-106.
   */
 object VectorSearch {
+
+  sealed trait Metric
+  case object Cosine extends Metric
+  case object Dot extends Metric
+  case object L2 extends Metric
 
   /** Per-query top-k by `score` (desc for similarities, asc for
     * distances), ties broken by corpus id for determinism.
@@ -31,26 +43,46 @@ object VectorSearch {
       .withColumn("score", round(col("score"), 6))
   }
 
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Queries with cached norm columns, ready to broadcast. */
+  private def prepQueries(queries: DataFrame): DataFrame =
+    queries.withColumn("qn", Vec.norm(col("qv")))
+      .withColumn("qsq", Vec.normSq(col("qv")))
+
+  private def prepCorpus(corpus: DataFrame): DataFrame =
+    spread(corpus)
+      .withColumn("vn", Vec.norm(col("v")))
+      .withColumn("vsq", Vec.normSq(col("v")))
+
+  /** score(qv, v) with cached norms — same op order as Vec.cosine /
+    * Vec.dot / Vec.l2, so results are bit-identical to the oracle. */
+  private def scoreExpr(m: Metric): Column = m match {
+    case Cosine => Vec.dot(col("qv"), col("v")) / (col("qn") * col("vn"))
+    case Dot    => Vec.dot(col("qv"), col("v"))
+    case L2     => sqrt(greatest(
+      col("qsq") - lit(2.0) * Vec.dot(col("qv"), col("v")) + col("vsq"), lit(0.0)))
+  }
+
   /** Brute-force kNN: one corpus scan × broadcast queries.
     * queries: (query_id, qv), corpus: (vec_id, v [, ...metadata]).
     */
-  def knnBrute(queries: DataFrame, corpus: DataFrame, k: Int,
-               score: (Column, Column) => Column,
-               ascending: Boolean): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .withColumn("score", score(col("qv"), col("v")))
+  def knnBrute(queries: DataFrame, corpus: DataFrame, k: Int, m: Metric): DataFrame = {
+    val scored = prepCorpus(corpus).crossJoin(broadcast(prepQueries(queries)))
+      .withColumn("score", scoreExpr(m))
       .select("query_id", "vec_id", "score")
-    topK(scored, k, ascending)
+    topK(scored, k, ascending = m == L2)
   }
 
   def knnCosine(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
-    knnBrute(queries, corpus, k, Vec.cosine, ascending = false)
+    knnBrute(queries, corpus, k, Cosine)
 
   def knnDot(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
-    knnBrute(queries, corpus, k, Vec.dot, ascending = false)
+    knnBrute(queries, corpus, k, Dot)
 
   def knnL2(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
-    knnBrute(queries, corpus, k, Vec.l2, ascending = true)
+    knnBrute(queries, corpus, k, L2)
 
   /** Range search: every corpus vector within cosine radius of a query.
     * The filter runs before ranking/collection — at scale, candidates
@@ -58,21 +90,42 @@ object VectorSearch {
     */
   def rangeSearch(queries: DataFrame, corpus: DataFrame,
                   minCosine: Double): DataFrame =
-    corpus.crossJoin(broadcast(queries))
-      .withColumn("score", Vec.cosine(col("qv"), col("v")))
+    prepCorpus(corpus).crossJoin(broadcast(prepQueries(queries)))
+      .withColumn("score", scoreExpr(Cosine))
       .filter(col("score") >= minCosine)
       .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+
+  /** All-pairs near-duplicate detection at cosine ≥ minCosine. Exact
+    * (quadratic candidate space) — the left side is spread across the
+    * cluster and norms are cached, so the fold per pair is a single dot.
+    * At 100 TB swap the candidate generation for the LSH band join
+    * (Dedup.minhashCandidates shape) and keep this as the rescorer.
+    */
+  def nearDupPairs(vectors: DataFrame, minCosine: Double): DataFrame = {
+    val a = prepCorpus(vectors.select(col("vec_id"), col("v")))
+      .select(col("vec_id").as("id_a"), col("v").as("qv"), col("vn").as("qn"))
+    val b = vectors.select(col("vec_id").as("id_b"), col("v"))
+      .withColumn("vn", Vec.norm(col("v")))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", Vec.dot(col("qv"), col("v")) / (col("qn") * col("vn")))
+      .filter(col("score") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+  }
 
   /** Deterministic cell assignment: nearest of the broadcast `centroids`
     * (cell_id, cv) by L2; ties on cell_id. One corpus scan, no shuffle.
     */
   def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids.withColumn("csq", Vec.normSq(col("cv")))
     val w = Window.partitionBy("vec_id").orderBy(col("cdist").asc, col("cell_id").asc)
-    vectors.crossJoin(broadcast(centroids))
-      .withColumn("cdist", Vec.l2(col("v"), col("cv")))
+    spread(vectors).withColumn("vsq", Vec.normSq(col("v")))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", sqrt(greatest(
+        col("vsq") - lit(2.0) * Vec.dot(col("v"), col("cv")) + col("csq"), lit(0.0))))
       .withColumn("crnk", row_number().over(w))
       .filter(col("crnk") === 1)
-      .drop("cdist", "crnk", "cv")
+      .drop("cdist", "crnk", "cv", "vsq", "csq")
   }
 
   /** IVF kNN: probe the `nprobe` nearest cells per query, brute-force
@@ -83,14 +136,18 @@ object VectorSearch {
   def knnIvf(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
              k: Int, nprobe: Int): DataFrame = {
     val assigned = assignCells(corpus, centroids)
+      .withColumn("vn", Vec.norm(col("v")))
+    val cents = centroids.withColumn("csq", Vec.normSq(col("cv")))
     val wq = Window.partitionBy("query_id").orderBy(col("cdist").asc, col("cell_id").asc)
-    val probed = queries.crossJoin(broadcast(centroids))
-      .withColumn("cdist", Vec.l2(col("qv"), col("cv")))
+    val probed = queries.withColumn("qsq", Vec.normSq(col("qv")))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", sqrt(greatest(
+        col("qsq") - lit(2.0) * Vec.dot(col("qv"), col("cv")) + col("csq"), lit(0.0))))
       .withColumn("crnk", row_number().over(wq))
       .filter(col("crnk") <= nprobe)
-      .select("query_id", "qv", "cell_id")
-    val scored = assigned.join(probed, "cell_id")
-      .withColumn("score", Vec.cosine(col("qv"), col("v")))
+      .select(col("query_id"), col("qv"), Vec.norm(col("qv")).as("qn"), col("cell_id"))
+    val scored = assigned.join(broadcast(probed), "cell_id")
+      .withColumn("score", Vec.dot(col("qv"), col("v")) / (col("qn") * col("vn")))
       .select("query_id", "vec_id", "score")
     topK(scored, k, ascending = false)
   }
@@ -109,10 +166,12 @@ object VectorSearch {
     * product.
     */
   def knnLsh(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int): DataFrame = {
-    val cb = corpus.withColumn("bucket", signBucket(col("v"), bits))
+    val cb = spread(corpus).withColumn("bucket", signBucket(col("v"), bits))
+      .withColumn("vn", Vec.norm(col("v")))
     val qb = queries.withColumn("bucket", signBucket(col("qv"), bits))
+      .withColumn("qn", Vec.norm(col("qv")))
     val scored = cb.join(broadcast(qb), "bucket")
-      .withColumn("score", Vec.cosine(col("qv"), col("v")))
+      .withColumn("score", Vec.dot(col("qv"), col("v")) / (col("qn") * col("vn")))
       .select("query_id", "vec_id", "score")
     topK(scored, k, ascending = false)
   }

@@ -61,12 +61,13 @@ object CorpusQueries {
 
   val d2Sql: String =
     s"""WITH $toksCte, $shingleCte,
-       |ex AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS nsh FROM sh WHERE len(sh) > 0)
+       |exs AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS nsh FROM sh WHERE len(sh) > 0),
+       |ex AS (SELECT doc_id, nsh, ${polyhashS("s")} AS h FROM exs)
        |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
        |  SELECT id_a, id_b, inter::DOUBLE / (na + nb - inter) AS jaccard FROM (
        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
        |           any_value(a.nsh) AS na, any_value(b.nsh) AS nb
-       |    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |    FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
        |    GROUP BY 1, 2))
        |WHERE jaccard >= $JaccardMin""".stripMargin
 
@@ -97,8 +98,7 @@ object CorpusQueries {
   // ---- d4_simhash -----------------------------------------------------
 
   def d4Simhash(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+    Dedup.simhashes(Tables.documents(s, d), "text")
 
   val d4Sql: String =
     s"""WITH $toksCte,

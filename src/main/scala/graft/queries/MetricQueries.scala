@@ -100,8 +100,11 @@ object MetricQueries {
 
   // ---- m0_ir_summary --------------------------------------------------
 
-  def m0IrSummary(s: SparkSession, d: String): DataFrame =
-    IrMetrics.irSummary(m2Recall(s, d), m3Ndcg(s, d))
+  def m0IrSummary(s: SparkSession, d: String): DataFrame = {
+    // both metrics read the same kNN result — materialize it once
+    val lk = labeledKnn(s, d).cache()
+    IrMetrics.irSummary(IrMetrics.recallPerQuery(lk), IrMetrics.ndcgPerQuery(lk))
+  }
 
   val m0Sql: String =
     s"""WITH $relCtes,

@@ -192,15 +192,10 @@ object VectorQueries {
   /** All-pairs near-dup here (exact); the 100 TB path prunes candidates
     * with the LSH band join from Dedup before exact rescoring.
     */
-  def d5EmbedNearDup(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("score", Vec.cosine(col("va"), col("vb")))
-      .filter(col("score") >= NearDupMinCos)
-      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
-  }
+  def d5EmbedNearDup(s: SparkSession, d: String): DataFrame =
+    VectorSearch.nearDupPairs(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v")),
+      NearDupMinCos)
 
   val d5Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -214,8 +209,7 @@ object VectorQueries {
   val EmbedDim = 64
 
   def v0Embed(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), Embed.embedding(col("text"), EmbedDim).as("embedding"))
+    Embed.embedDocs(Tables.documents(s, d), "text", EmbedDim)
 
   val v0Sql: String =
     s"""WITH toks AS (
