@@ -19,8 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Vec {
 
-  /** Elementwise product folded sequentially in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Elementwise product folded sequentially in double — a native
+    * codegen'd expression (see DotProduct); identical bits to the
+    * equivalent zip_with+aggregate fold at a fraction of the cost. */
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
+
+  /** The original higher-order-function formulation, kept as the
+    * reference semantics for DotProduct (spec-checked equal). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
