@@ -25,6 +25,7 @@ object SparkEntry {
     "q6_rollup"         -> (Relational.q6Rollup _),
     "q7_topk_per_group" -> (Relational.q7TopkPerGroup _),
     "e1_events_window"  -> (Relational.e1EventsWindow _),
+    "e2_sessions"       -> (Relational.e2Sessions _),
     "vf_norm"           -> (VectorQueries.vfNorm _),
     "vf_pairwise"       -> (VectorQueries.vfPairwise _),
     "v0_embed"          -> (VectorQueries.v0Embed _),
@@ -66,6 +67,7 @@ object SparkEntry {
     "q6_rollup"         -> Relational.q6Sql,
     "q7_topk_per_group" -> Relational.q7Sql,
     "e1_events_window"  -> Relational.e1Sql,
+    "e2_sessions"       -> Relational.e2Sql,
     "vf_norm"           -> VectorQueries.vfNormSql,
     "vf_pairwise"       -> VectorQueries.vfPairwiseSql,
     "v0_embed"          -> VectorQueries.v0Sql,

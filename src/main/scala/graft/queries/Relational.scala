@@ -191,4 +191,32 @@ object Relational {
       |  round(sum(value), 2) AS sum_value
       |FROM events
       |GROUP BY 1, 2""".stripMargin
+
+  /** e2_sessions — gap-based sessionization per user via the typed
+    * flatMapGroups fold (graft.streaming.Sessionize); oracle is the
+    * gaps-and-islands SQL. 12-hour gap. */
+  val SessionGapUs: Long = 12L * 3600 * 1000000
+
+  def e2Sessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.streaming.Sessionize.batch(
+      Tables.events(spark, sfDir).select("user_id", "ts", "value")
+        .as[graft.streaming.Sessionize.EventIn],
+      SessionGapUs).toDF()
+  }
+
+  val e2Sql: String =
+    s"""WITH g AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SessionGapUs
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), value)),
+       |s AS (
+       |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+       |    ORDER BY epoch_us(ts), value ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM g)
+       |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+       |FROM s GROUP BY user_id, sid""".stripMargin
 }
