@@ -24,6 +24,7 @@ object SparkEntry {
     "q5_window"         -> (Relational.q5Window _),
     "q6_rollup"         -> (Relational.q6Rollup _),
     "q7_topk_per_group" -> (Relational.q7TopkPerGroup _),
+    "q8_topk_native"    -> (Relational.q8TopkNative _),
     "e1_events_window"  -> (Relational.e1EventsWindow _),
     "e2_sessions"       -> (Relational.e2Sessions _),
     "vf_norm"           -> (VectorQueries.vfNorm _),
@@ -66,6 +67,7 @@ object SparkEntry {
     "q5_window"         -> Relational.q5Sql,
     "q6_rollup"         -> Relational.q6Sql,
     "q7_topk_per_group" -> Relational.q7Sql,
+    "q8_topk_native"    -> Relational.q7Sql, // same semantics, custom operator
     "e1_events_window"  -> Relational.e1Sql,
     "e2_sessions"       -> Relational.e2Sql,
     "vf_norm"           -> VectorQueries.vfNormSql,

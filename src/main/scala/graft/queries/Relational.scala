@@ -177,6 +177,19 @@ object Relational {
       |    FROM events GROUP BY event_type, user_id))
       |WHERE rnk <= 3""".stripMargin
 
+  /** q8_topk_native — q7's semantics executed by the custom TopKPerKey
+    * physical operator (partial per-partition heaps + bounded shuffle +
+    * merge, graft.plans) instead of a full window sort. Same oracle SQL
+    * as q7 — the DuckDB gate proves operator equivalence.
+    */
+  def q8TopkNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy("event_type", "user_id")
+      .agg(round(sum("value"), 2).as("total_value"))
+    graft.plans.TopK.perKey(perUser, Seq("event_type"),
+      Seq(col("total_value").desc, col("user_id").asc), 3)
+  }
+
   /** e1_events_window — tumbling 1-hour event-time window (batch parity
     * of the streaming path in graft.streaming.EventStream). */
   def e1EventsWindow(spark: SparkSession, sfDir: String): DataFrame =
