@@ -33,13 +33,16 @@ object VectorSearch {
   case object L2 extends Metric
 
   /** Per-query top-k by `score` (desc for similarities, asc for
-    * distances), ties broken by corpus id for determinism.
+    * distances), ties broken by corpus id for determinism. Runs on the
+    * custom TopKPerKey operator (graft.plans): per-partition bounded
+    * heaps bound the shuffle to k candidates per query per partition —
+    * the window row_number formulation would shuffle and sort every
+    * scored candidate.
     */
   private def topK(scored: DataFrame, k: Int, ascending: Boolean): DataFrame = {
     val ord = if (ascending) col("score").asc else col("score").desc
-    val w = Window.partitionBy("query_id").orderBy(ord, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(ord, col("vec_id").asc), k)
       .withColumn("score", round(col("score"), 6))
   }
 
