@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end replica of the reference pipeline
+  * (/root/reference/src/chroma.py main): corpus load → embed → upsert
+  * into the "index" (a parquet-backed table) → query generation → top-k
+  * cosine retrieval → relevancy scoring → latency percentiles + IR
+  * metrics → report. Every stage is the distributed operator from this
+  * library; run `runMain graft.Demo [sfDir]`.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    println("=" * 70)
+    println(s"graft demo — reference pipeline on $sfDir")
+    println("=" * 70)
+
+    // 1. corpus load + normalization (reference: db.load_movie_plots_csv)
+    val docs = queries.IngestQueries.ingDocs(spark, sfDir).cache()
+    println(s"corpus: ${docs.count()} documents")
+
+    // 2. embedding (reference: SentenceTransformer → here hashing-TF)
+    val embedded = operators.Embed.embedDocs(
+      docs.withColumnRenamed("id", "doc_id"), "text", 64).cache()
+    println(s"embedded: ${embedded.count()} vectors of dim 64")
+
+    // 3. upsert into the index table, last write wins (reference:
+    //    collection.upsert) — re-submitting the first 10 docs
+    val v0 = embedded.select(col("doc_id"), col("embedding"), lit(0).as("version"))
+    val v1 = embedded.filter(col("doc_id") < 10)
+      .select(col("doc_id"), col("embedding"), lit(1).as("version"))
+    val index = operators.Upsert.lastWriteWins(v0.unionAll(v1), "doc_id", "version")
+    println(s"index: ${index.count()} entries after upsert (10 re-upserted)")
+
+    // 4. deterministic query generation (reference: Ollama querygen)
+    val queryTexts = operators.TextAnalysis.queryGen(
+      docs.withColumnRenamed("id", "doc_id"), "text")
+    println(s"queries: ${queryTexts.count()} generated")
+
+    // 5. embed queries, top-5 cosine retrieval (reference: collection.query)
+    val qVecs = operators.Embed.embedDocs(queryTexts
+        .select(col("doc_id"), col("query").as("text")), "text", 64)
+      .select(col("doc_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = index.select(col("doc_id").as("vec_id"),
+      col("embedding").as("v"), lit(0).as("label"))
+    val t0 = System.nanoTime()
+    val hits = operators.VectorSearch.knnCosine(qVecs, corpus, 5).cache()
+    val nHits = hits.count()
+    val ms = (System.nanoTime() - t0) / 1e6
+    println(f"retrieval: $nHits rows (top-5 × ${nHits / 5} queries) in $ms%.0f ms")
+
+    // 6. relevancy: a result is relevant iff it retrieves the query's
+    //    own source doc or scores ≥ 0.8 cosine (stand-in for LLM ≥ 4/5)
+    val judged = hits.withColumn("rel",
+      when(col("query_id") === col("vec_id") || col("score") >= 0.8, 1).otherwise(0))
+
+    // 7. IR metrics with reference semantics (queries.py)
+    val recall = operators.IrMetrics.recallPerQuery(judged)
+    val ndcg = operators.IrMetrics.ndcgPerQuery(judged)
+    val summary = operators.IrMetrics.irSummary(recall, ndcg).head
+    val selfHit = hits.filter(col("query_id") === col("vec_id") && col("rnk") === 1).count()
+    println(s"self-retrieval: $selfHit/${nHits / 5} queries rank their source doc #1")
+    println(f"IR: avg recall=${summary.getAs[Double]("avg_recall")}%.3f " +
+      f"avg ndcg=${summary.getAs[Double]("avg_ndcg")}%.3f")
+
+    // 8. latency percentiles over per-query scoring work (reference:
+    //    metrics.calculate_percentiles — here the event stream stands in)
+    val pcts = operators.IrMetrics
+      .latencyPercentiles(Tables.events(spark, sfDir), "event_type", "value").collect()
+    println("percentile sample (events.value by type):")
+    pcts.sortBy(_.getString(0)).foreach(r =>
+      println(f"  ${r.getString(0)}%-10s P50=${r.getDouble(1)}%8.3f " +
+        f"P95=${r.getDouble(2)}%8.3f P99=${r.getDouble(3)}%8.3f"))
+
+    println("=" * 70)
+    println("demo complete")
+    spark.stop()
+  }
+}

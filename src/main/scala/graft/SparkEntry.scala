@@ -37,6 +37,7 @@ object SparkEntry {
     "v5_range_search"   -> (VectorQueries.v5Range _),
     "v6_knn_ivf"        -> (VectorQueries.v6KnnIvf _),
     "v7_knn_lsh"        -> (VectorQueries.v7KnnLsh _),
+    "v8_knn_ivf_kmeans" -> (VectorQueries.v8KnnIvfKmeans _),
     "d5_embed_neardup"  -> (VectorQueries.d5EmbedNearDup _),
     "d1_exact_dedup"    -> (CorpusQueries.d1ExactDedup _),
     "d2_ngram_jaccard"  -> (CorpusQueries.d2NgramJaccard _),

@@ -168,6 +168,17 @@ object VectorQueries {
        |${topkSql(s"SELECT p.query_id, a.vec_id, ${cosS("p.qv", "a.v")} AS score FROM assigned a JOIN probed p USING (cell_id)", desc = true)}""".stripMargin
   }
 
+  // ---- v8: IVF kNN with MLlib-KMeans-learned centroids ----------------
+  // rows-only driver check (a k-means fit is not SQL-expressible);
+  // the spec asserts recall against brute force instead.
+
+  def v8KnnIvfKmeans(s: SparkSession, d: String): DataFrame = {
+    val corpus = ivfCorpus(s, d)
+    val centroids = graft.operators.IvfIndex.kmeansCentroids(corpus, CN)
+      .select(col("cell_id"), col("cv"))
+    VectorSearch.knnIvf(queryVecs(s, d), corpus, centroids, K, NProbe)
+  }
+
   // ---- v7: sign-bit LSH kNN -------------------------------------------
 
   val LshBits = 8

@@ -59,6 +59,19 @@ class VectorSpec extends SparkSpec {
     assert(hit > 0.3, s"IVF recall vs brute force too low: $hit")
   }
 
+  test("v8 MLlib-KMeans IVF is deterministic and recalls brute-force neighbors") {
+    val a = VectorQueries.v8KnnIvfKmeans(spark, sf).orderBy("query_id", "rnk").collect()
+    val b = VectorQueries.v8KnnIvfKmeans(spark, sf).orderBy("query_id", "rnk").collect()
+    assert(a.sameElements(b), "seeded kmeans index must be deterministic")
+    val brute = graft.operators.VectorSearch
+      .knnCosine(VectorQueries.queryVecs(spark, sf),
+        VectorQueries.ivfCorpus(spark, sf).withColumn("label", lit(0)), VectorQueries.K)
+      .select("query_id", "vec_id")
+    val ivf = VectorQueries.v8KnnIvfKmeans(spark, sf).select("query_id", "vec_id")
+    val hit = ivf.intersect(brute).count().toDouble / brute.count()
+    assert(hit > 0.3, s"KMeans-IVF recall vs brute force too low: $hit")
+  }
+
   test("v7 LSH candidates share the query's sign bucket") {
     val df = VectorQueries.v7KnnLsh(spark, sf)
     assert(df.count() > 0)
