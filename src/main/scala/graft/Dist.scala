@@ -19,4 +19,22 @@ import org.apache.spark.sql.DataFrame
 object Dist {
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Two-phase salted aggregation for skewed keys: aggregate on
+    * (key, salt) first — spreading one hot key over `salts` reducers —
+    * then combine the partials on the bare key. `aggs` must be
+    * decomposable (sum/count/min/max); averages decompose into
+    * sum+count at the call site.
+    */
+  def saltedSum(df: DataFrame, key: String, valueCol: String,
+                salts: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("__salt", pmod(spark_partition_id()
+        + monotonically_increasing_id(), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__partial"), count(lit(1)).as("__n"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"),
+           sum(col("__n")).as("n_rows"))
+  }
 }

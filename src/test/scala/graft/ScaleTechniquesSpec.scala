@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Proofs for the SURVEY §5 scale techniques: salting decomposes
+  * correctly, and bucketed tables co-locate joins without an exchange.
+  */
+class ScaleTechniquesSpec extends SparkSpec {
+
+  test("salted aggregation equals the direct aggregation") {
+    val direct = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(round(sum("value"), 4).as("s"), count(lit(1)).as("n"))
+      .orderBy("event_type").collect()
+    val salted = Dist.saltedSum(Tables.events(spark, sf), "event_type", "value", 8)
+      .select(col("event_type"), round(col("sum_value"), 4).as("s"), col("n_rows").as("n"))
+      .orderBy("event_type").collect()
+    assert(direct.length == salted.length)
+    direct.zip(salted).foreach { case (d, s) =>
+      assert(d.getString(0) == s.getString(0) && d.getLong(2) == s.getLong(2))
+      assert(math.abs(d.getDouble(1) - s.getDouble(1)) < 1e-6)
+    }
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_b")
+    // disable broadcast so the join strategy decision is about shuffles
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == Tables.lineitem(spark, sf).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+}
