@@ -49,6 +49,9 @@ object SparkEntry {
     "t4_fingerprint"    -> (CorpusQueries.t4Fingerprint _),
     "q0_querygen"       -> (CorpusQueries.q0QueryGen _),
     "u1_upsert"         -> (CorpusQueries.u1Upsert _),
+    "s1_stratified"     -> (CorpusQueries.s1Stratified _),
+    "s2_det_shuffle"    -> (CorpusQueries.s2DetShuffle _),
+    "t5_vocab"          -> (CorpusQueries.t5Vocab _),
     "m1_latency_pcts"   -> (MetricQueries.m1LatencyPcts _),
     "m2_recall_at_k"    -> (MetricQueries.m2Recall _),
     "m3_ndcg_at_k"      -> (MetricQueries.m3Ndcg _),
@@ -92,6 +95,9 @@ object SparkEntry {
     "t4_fingerprint"    -> CorpusQueries.t4Sql,
     "q0_querygen"       -> CorpusQueries.q0Sql,
     "u1_upsert"         -> CorpusQueries.u1Sql,
+    "s1_stratified"     -> CorpusQueries.s1Sql,
+    "s2_det_shuffle"    -> CorpusQueries.s2Sql,
+    "t5_vocab"          -> CorpusQueries.t5Sql,
     "m1_latency_pcts"   -> MetricQueries.m1Sql,
     "m2_recall_at_k"    -> MetricQueries.m2Sql,
     "m3_ndcg_at_k"      -> MetricQueries.m3Sql,

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.operators.Embed.tokenHash
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data sampling & shuffling operators (SURVEY §2.5).
+  * Deterministic by construction (portable-hash order, not RNG) so
+  * every run — and the DuckDB oracle — selects identical rows.
+  */
+object Sampling {
+
+  /** Polyhash + multiplicative mixing. The bare polyhash of a short
+    * decimal string is ORDER-PRESERVING (hash("8") < hash("9")), which
+    * would make the "shuffle" an identity permutation; multiplying by a
+    * large odd constant mod p scatters consecutive keys. Fits in a
+    * 63-bit product (h < 2^30, constant < 2^32), so the DuckDB oracle
+    * computes the identical value in BIGINT.
+    */
+  def mixedHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (tokenHash(c.cast("string")) * lit(2654435761L)) % lit(Embed.HashMod)
+
+  val mixedHashSqlConst = 2654435761L
+
+  /** Stratified sample: the first ceil(frac·n) rows per stratum in
+    * mixed-hash order of the key (a uniform, reproducible draw).
+    * One shuffle on the stratum key.
+    */
+  def stratified(df: DataFrame, stratumCol: String, keyCol: String,
+                 frac: Double): DataFrame = {
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(mixedHash(col(keyCol)).asc, col(keyCol).asc)
+    val counts = Window.partitionBy(stratumCol)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(counts))
+      .filter(col("__rn") <= ceil(col("__n") * frac))
+      .drop("__rn", "__n")
+  }
+
+  /** Deterministic global shuffle: stable pseudo-random order from the
+    * portable hash of the key — the reproducible train-data shuffle
+    * (same order on every engine and every run). */
+  def deterministicShuffle(df: DataFrame, keyCol: String): DataFrame =
+    df.withColumn("shuffle_pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(mixedHash(col(keyCol)).asc, col(keyCol).asc)))
+
+  /** Vocabulary builder: global token frequencies, rank-ordered — the
+    * seed step of tokenizer/BPE training. Explode → one shuffle with
+    * map-side combine → top-N by the custom TopK operator.
+    */
+  def vocabulary(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val freq = graft.Dist.spread(docs)
+      .select(explode(Embed.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    graft.plans.TopK.perKey(freq, Seq(),
+      Seq(col("freq").desc, col("token").asc), topN, "rank")
+  }
+}

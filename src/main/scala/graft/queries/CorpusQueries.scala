@@ -200,6 +200,52 @@ object CorpusQueries {
        |SELECT doc_id, string_agg(tok, ' ' ORDER BY rnk) AS query
        |FROM ranked WHERE rnk <= 3 GROUP BY doc_id""".stripMargin
 
+  // ---- s1_stratified_sample -------------------------------------------
+
+  val SampleFrac = 0.25
+
+  def s1Stratified(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.stratified(
+      Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+      "lang", "doc_id", SampleFrac)
+
+  /** mixed hash of the doc_id string — see Sampling.mixedHash. */
+  private def mixedHashS(e: String): String =
+    s"(${polyhashS(e)} * ${graft.operators.Sampling.mixedHashSqlConst}) % ${Embed.HashMod}"
+
+  val s1Sql: String =
+    s"""WITH h AS (SELECT doc_id, lang, n_chars,
+       |             ${mixedHashS("CAST(doc_id AS VARCHAR)")} AS hk FROM documents),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn,
+       |             count(*) OVER (PARTITION BY lang) AS n FROM h)
+       |SELECT doc_id, lang, n_chars FROM r WHERE rn <= ceil(n * $SampleFrac)""".stripMargin
+
+  // ---- s2_det_shuffle -------------------------------------------------
+
+  def s2DetShuffle(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.deterministicShuffle(
+      Tables.documents(s, d).select("doc_id"), "doc_id")
+
+  val s2Sql: String =
+    s"""WITH h AS (SELECT doc_id, ${mixedHashS("CAST(doc_id AS VARCHAR)")} AS hk FROM documents)
+       |SELECT doc_id, row_number() OVER (ORDER BY hk, doc_id) AS shuffle_pos FROM h""".stripMargin
+
+  // ---- t5_vocab -------------------------------------------------------
+
+  val VocabTopN = 100
+
+  def t5Vocab(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.vocabulary(Tables.documents(s, d), "text", VocabTopN)
+
+  val t5Sql: String =
+    s"""WITH $toksCte,
+       |f AS (SELECT tok AS token, count(*) AS freq FROM (
+       |        SELECT unnest(tk) AS tok FROM toks) GROUP BY 1)
+       |SELECT token, freq, rank FROM (
+       |  SELECT token, freq,
+       |    row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
+       |  FROM f) WHERE rank <= $VocabTopN""".stripMargin
+
   // ---- u1_upsert ------------------------------------------------------
 
   /** Two synthetic batches over orders: version 0 = the base table,

@@ -77,6 +77,34 @@ class DedupTextSpec extends SparkSpec {
     assert(df.filter(size(split(col("query"), " ")) =!= 3).count() == 0)
   }
 
+  test("s1 stratified sample takes ceil(frac*n) docs from every language") {
+    val docs = Tables.documents(spark, sf)
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = CorpusQueries.s1Stratified(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled.keySet == perLang.keySet)
+    sampled.foreach { case (lang, n) =>
+      assert(n == math.ceil(perLang(lang) * CorpusQueries.SampleFrac).toLong) }
+  }
+
+  test("s2 deterministic shuffle is a stable permutation") {
+    val a = CorpusQueries.s2DetShuffle(spark, sf).orderBy("shuffle_pos").collect()
+    val b = CorpusQueries.s2DetShuffle(spark, sf).orderBy("shuffle_pos").collect()
+    assert(a.sameElements(b))
+    assert(a.map(_.getInt(1)).toSeq == (1 to a.length))
+    // the permutation actually shuffles (not identity order)
+    assert(a.take(20).map(_.getLong(0)).toSeq != a.take(20).map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("t5 vocabulary is frequency-ranked and covers the corpus head") {
+    val v = CorpusQueries.t5Vocab(spark, sf).orderBy("rank").collect()
+    assert(v.nonEmpty)
+    val freqs = v.map(_.getLong(1))
+    assert(freqs.sameElements(freqs.sorted(Ordering[Long].reverse)))
+  }
+
   test("u1 upsert keeps one row per key, newest version wins") {
     val df = CorpusQueries.u1Upsert(spark, sf).cache()
     val orders = Tables.orders(spark, sf)
