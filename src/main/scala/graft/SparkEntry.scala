@@ -25,6 +25,7 @@ object SparkEntry {
     "q6_rollup"         -> (Relational.q6Rollup _),
     "q7_topk_per_group" -> (Relational.q7TopkPerGroup _),
     "q8_topk_native"    -> (Relational.q8TopkNative _),
+    "a1_asof"           -> (Relational.a1Asof _),
     "e1_events_window"  -> (Relational.e1EventsWindow _),
     "e2_sessions"       -> (Relational.e2Sessions _),
     "vf_norm"           -> (VectorQueries.vfNorm _),
@@ -72,6 +73,7 @@ object SparkEntry {
     "q6_rollup"         -> Relational.q6Sql,
     "q7_topk_per_group" -> Relational.q7Sql,
     "q8_topk_native"    -> Relational.q7Sql, // same semantics, custom operator
+    "a1_asof"           -> Relational.a1Sql,
     "e1_events_window"  -> Relational.e1Sql,
     "e2_sessions"       -> Relational.e2Sql,
     "vf_norm"           -> VectorQueries.vfNormSql,

@@ -190,6 +190,31 @@ object Relational {
       Seq(col("total_value").desc, col("user_id").asc), 3)
   }
 
+  /** a1_asof — as-of join: each purchase event matched to the user's
+    * latest click at or before it (graft.operators.AsOfJoin, the linear
+    * union-carry-forward shape). Oracle: DuckDB's native ASOF JOIN.
+    */
+  def a1Asof(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("cts"))
+      .agg(max("event_id").as("click_id"))
+      .select("user_id", "cts", "click_id")
+    graft.operators.AsOfJoin
+      .leftAsOf(purchases, clicks, "user_id", "ts", "cts", Seq("click_id"))
+      .filter(col("click_id").isNotNull)
+      .select("event_id", "user_id", "ts", "click_id")
+  }
+
+  val a1Sql: String =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts AS cts, max(event_id) AS click_id
+      |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, p.ts, c.click_id
+      |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts""".stripMargin
+
   /** e1_events_window — tumbling 1-hour event-time window (batch parity
     * of the streaming path in graft.streaming.EventStream). */
   def e1EventsWindow(spark: SparkSession, sfDir: String): DataFrame =
