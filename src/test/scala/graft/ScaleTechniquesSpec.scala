@@ -25,6 +25,15 @@ class ScaleTechniquesSpec extends SparkSpec {
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
+    // a fresh session's in-memory catalog forgets the tables but their
+    // warehouse directories survive — clear them or CREATE TABLE fails
+    val wh = new java.io.File("spark-warehouse")
+    Seq("li_b", "o_b").foreach { t =>
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
     Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("li_b")
