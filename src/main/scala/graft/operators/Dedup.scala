@@ -77,9 +77,10 @@ object Dedup {
     val counts = sh.select("doc_id", "nsh").distinct()
     val a = sh.select(col("doc_id").as("id_a"), col("h"))
     val b = sh.select(col("doc_id").as("id_b"), col("h"))
-    // shuffled join on h (A/B-tested vs broadcast: no win — the cost is
-    // the pair enumeration + aggregation, which is inherent to exact
-    // jaccard); partial aggregation combines pairs map-side.
+    // shuffled self-join on h with map-side pair combining. A/B-tested
+    // against broadcast-join and per-posting-list combination
+    // enumeration (collect_list + slice/explode): neither beat this —
+    // the cost is the inherent exact-jaccard pair aggregation.
     a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
