@@ -25,6 +25,11 @@ object SparkEntry {
     "q6_rollup"         -> (Relational.q6Rollup _),
     "q7_topk_per_group" -> (Relational.q7TopkPerGroup _),
     "q8_topk_native"    -> (Relational.q8TopkNative _),
+    "q9_running_total"  -> (Relational.q9RunningTotal _),
+    "q10_distinct"      -> (Relational.q10Distinct _),
+    "j1_json_extract"   -> (Relational.j1JsonExtract _),
+    "o1_anti_join"      -> (Relational.o1AntiJoin _),
+    "p1_pivot"          -> (Relational.p1Pivot _),
     "a1_asof"           -> (Relational.a1Asof _),
     "e1_events_window"  -> (Relational.e1EventsWindow _),
     "e2_sessions"       -> (Relational.e2Sessions _),
@@ -73,6 +78,11 @@ object SparkEntry {
     "q6_rollup"         -> Relational.q6Sql,
     "q7_topk_per_group" -> Relational.q7Sql,
     "q8_topk_native"    -> Relational.q7Sql, // same semantics, custom operator
+    "q9_running_total"  -> Relational.q9Sql,
+    "q10_distinct"      -> Relational.q10Sql,
+    "j1_json_extract"   -> Relational.j1Sql,
+    "o1_anti_join"      -> Relational.o1Sql,
+    "p1_pivot"          -> Relational.p1Sql,
     "a1_asof"           -> Relational.a1Sql,
     "e1_events_window"  -> Relational.e1Sql,
     "e2_sessions"       -> Relational.e2Sql,

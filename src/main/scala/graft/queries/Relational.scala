@@ -190,6 +190,87 @@ object Relational {
       Seq(col("total_value").desc, col("user_id").asc), 3)
   }
 
+  /** q9_running_total — cumulative windowed aggregate: running order
+    * spend per customer in date order. */
+  def q9RunningTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum("o_totalprice").over(w), 2).as("running_spend"))
+  }
+
+  val q9Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+      |FROM orders""".stripMargin
+
+  /** j1_json_extract — schema-on-read JSON: pull `k` out of the props
+    * payload and aggregate on it. */
+  def j1JsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+        col("value"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+
+  val j1Sql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
+  /** o1_anti_join — customers who never placed an urgent order
+    * (NOT EXISTS with a pushed-down predicate on the anti side). */
+  def o1AntiJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  val o1Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
+
+  /** q10_distinct — exact distinct aggregation: users and days active
+    * per event type. */
+  def q10Distinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"),
+        countDistinct(to_date(col("ts"))).as("n_days"))
+
+  val q10Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      |  count(DISTINCT CAST(ts AS DATE)) AS n_days
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** p1_pivot — event counts pivoted to one column per type, per user
+    * bucket; oracle uses the equivalent conditional aggregation. */
+  val PivotTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  def p1Pivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("user_bucket", col("user_id") % 10)
+      .groupBy("user_bucket")
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  val p1Sql: String = {
+    val cols = PivotTypes.map(t =>
+      s"""count(*) FILTER (WHERE event_type = '$t') AS "$t"""").mkString(",\n  ")
+    s"""SELECT user_id % 10 AS user_bucket,
+       |  $cols
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
   /** a1_asof — as-of join: each purchase event matched to the user's
     * latest click at or before it (graft.operators.AsOfJoin, the linear
     * union-carry-forward shape). Oracle: DuckDB's native ASOF JOIN.
