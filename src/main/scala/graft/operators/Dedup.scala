@@ -14,23 +14,9 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of a text column; empty array for
-    * texts shorter than n tokens (sequence(1, k) with k<1 would count
-    * DOWN in Spark and fabricate garbage shingles). */
-  def shingles(textCol: Column, n: Int): Column = {
-    val tk = tokens(textCol)
-    when(size(tk) >= n,
-      array_distinct(
-        transform(sequence(lit(1), size(tk) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
-
-  /** Portable hashes of the distinct shingles. */
-  def shingleHashes(textCol: Column, n: Int): Column =
-    transform(shingles(textCol, n), s => tokenHash(s))
-
   /** Shingles rebuilt from an ALREADY-MATERIALIZED token array column —
+    * empty array for texts shorter than n tokens (sequence(1, k) with
+    * k<1 would count DOWN in Spark and fabricate garbage shingles);
     * element_at on a real row field is O(1); the same formula applied to
     * `tokens(text)` re-splits the text on every element_at (interpreted
     * HOFs have no subexpression elimination → minutes per query). */

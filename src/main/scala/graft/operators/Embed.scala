@@ -29,24 +29,11 @@ object Embed {
 
   /** L2-normalized hashing-TF embedding as array<double>, elements
     * rounded to 6 dp (rounding AFTER normalization, both engines).
-    *
-    * Column-level form — convenient but O(dim × tokens) with the token
-    * hashes re-folded per bucket once CollapseProject inlines them; use
-    * `embedDocs` for anything beyond a handful of rows.
-    */
-  def embedding(textCol: Column, dim: Int): Column = {
-    val buckets = transform(tokens(textCol), t => tokenHash(t) % lit(dim.toLong))
-    val counts = transform(
-      sequence(lit(0), lit(dim - 1)),
-      b => size(filter(buckets, x => x === b)).cast("double"))
-    val nrm = sqrt(aggregate(counts, lit(0.0), (acc, x) => acc + x * x))
-    transform(counts, x => round(x / nrm, 6))
-  }
-
-  /** Same embedding, computed the scale-right way: explode tokens, hash
-    * each ONCE, count per (doc, bucket) with map-side combine, then
-    * assemble the dense vector from a per-doc bucket→count map (64 map
-    * lookups instead of 64 re-folds of every token hash).
+    * Computed the scale-right way: explode tokens, hash each ONCE,
+    * count per (doc, bucket) with map-side combine, then assemble the
+    * dense vector from a per-doc bucket→count map (64 map lookups; a
+    * naive per-bucket lambda re-folds every token hash 64× once
+    * CollapseProject inlines it).
     */
   def embedDocs(docs: org.apache.spark.sql.DataFrame, textCol: String,
                 dim: Int): org.apache.spark.sql.DataFrame = {
