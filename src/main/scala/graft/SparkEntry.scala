@@ -30,6 +30,10 @@ object SparkEntry {
     "j1_json_extract"   -> (Relational.j1JsonExtract _),
     "o1_anti_join"      -> (Relational.o1AntiJoin _),
     "p1_pivot"          -> (Relational.p1Pivot _),
+    "c1_cube"           -> (Relational.c1Cube _),
+    "q11_above_avg"     -> (Relational.q11AboveAvg _),
+    "u2_set_ops"        -> (Relational.u2SetOps _),
+    "m4_approx_pcts"    -> (Relational.m4ApproxPcts _),
     "a1_asof"           -> (Relational.a1Asof _),
     "e1_events_window"  -> (Relational.e1EventsWindow _),
     "e2_sessions"       -> (Relational.e2Sessions _),
@@ -83,6 +87,10 @@ object SparkEntry {
     "j1_json_extract"   -> Relational.j1Sql,
     "o1_anti_join"      -> Relational.o1Sql,
     "p1_pivot"          -> Relational.p1Sql,
+    "c1_cube"           -> Relational.c1Sql,
+    "q11_above_avg"     -> Relational.q11Sql,
+    "u2_set_ops"        -> Relational.u2Sql,
+    // m4_approx_pcts: rows-only — sketch percentiles are engine-specific
     "a1_asof"           -> Relational.a1Sql,
     "e1_events_window"  -> Relational.e1Sql,
     "e2_sessions"       -> Relational.e2Sql,

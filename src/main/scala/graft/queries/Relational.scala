@@ -271,6 +271,74 @@ object Relational {
        |FROM events GROUP BY 1""".stripMargin
   }
 
+  /** c1_cube — full grouping-sets cube over two dimensions. */
+  def c1Cube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+
+  val c1Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** q11_above_avg — correlated scalar comparison: orders above their
+    * customer's average order value (decorrelated via a window). The
+    * average stays OUT of the output: avg over a 2-element group
+    * terminates on a half-cent where Spark's and the oracle's rounding
+    * modes legitimately disagree; the >-filter itself is stable (exact
+    * ties only arise from identical-price groups, where both engines
+    * compute the identical average).
+    */
+  def q11AboveAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+    Tables.orders(spark, sfDir)
+      .withColumn("cust_avg", avg("o_totalprice").over(w))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  val q11Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+      |        avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+      |      FROM orders)
+      |WHERE o_totalprice > cust_avg""".stripMargin
+
+  /** u2_set_ops — INTERSECT/EXCEPT: customers active in both halves of
+    * the order horizon, minus any with an open order. */
+  def u2SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val firstHalf = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_custkey")
+    val secondHalf = o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select("o_custkey")
+    val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    firstHalf.intersect(secondHalf).except(open)
+      .select(col("o_custkey").as("custkey"))
+  }
+
+  val u2Sql: String =
+    """SELECT o_custkey AS custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin
+
+  /** m4_approx_pcts — the 100 TB percentile path: approx_percentile
+    * (t-digest-style sketch, mergeable map-side) instead of the exact
+    * sort+interpolate in m1. Rows-only check: sketch implementations
+    * differ across engines by design.
+    */
+  def m4ApproxPcts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(round(expr("approx_percentile(value, 0.5, 10000)"), 6).as("p50"),
+           round(expr("approx_percentile(value, 0.95, 10000)"), 6).as("p95"),
+           round(expr("approx_percentile(value, 0.99, 10000)"), 6).as("p99"))
+
   /** a1_asof — as-of join: each purchase event matched to the user's
     * latest click at or before it (graft.operators.AsOfJoin, the linear
     * union-carry-forward shape). Oracle: DuckDB's native ASOF JOIN.

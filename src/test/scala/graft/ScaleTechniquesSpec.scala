@@ -22,6 +22,30 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("partitioned parquet writes enable partition pruning on read") {
+    val dir = "/tmp/graft_part_events"
+    Tables.events(spark, sf)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.contains("event_type"), s"no partition filter in scan:\n$scan")
+    assert(back.count() ==
+      Tables.events(spark, sf).filter(col("event_type") === "click").count())
+  }
+
+  test("m4 approx percentiles track the exact ones") {
+    val exact = graft.queries.MetricQueries.m1LatencyPcts(spark, sf)
+      .withColumnRenamed("p50", "e50").withColumnRenamed("p95", "e95")
+      .withColumnRenamed("p99", "e99")
+    val approx = graft.queries.Relational.m4ApproxPcts(spark, sf)
+    val joined = exact.join(approx, "event_type").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(math.abs(r.getAs[Double]("p50") - r.getAs[Double]("e50"))
+        <= 0.05 * math.max(1.0, r.getAs[Double]("e50").abs)) }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
