@@ -18,6 +18,14 @@ object EventStream {
 
   val Watermark = "2 hours"
 
+  /** Streaming exact dedup by id: state holds one entry per id inside
+    * the watermark horizon (bounded); late duplicates beyond it are
+    * age-dropped — the streaming arm of the Dedup family (SURVEY §2.4).
+    */
+  def dedupStream(events: DataFrame, idCol: String): DataFrame =
+    events.withWatermark("ts", Watermark)
+      .dropDuplicates(idCol, "ts")
+
   def hourlyAgg(events: DataFrame): DataFrame = {
     val src =
       if (events.isStreaming) events.withWatermark("ts", Watermark) else events

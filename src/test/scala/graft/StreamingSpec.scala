@@ -29,6 +29,28 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops repeated event ids within the watermark") {
+    val session = spark
+    import session.implicits._
+    case class DupEv(event_id: Long, ts: java.sql.Timestamp, value: Double)
+    val t0 = 1700000000000L
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    val df = ms.toDF().toDF("event_id", "ts", "value")
+    val q = EventStream.dedupStream(df, "event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val ts1 = new java.sql.Timestamp(t0)
+      ms.addData((1L, ts1, 1.0), (1L, ts1, 1.0), (2L, ts1, 2.0))
+      q.processAllAvailable()
+      ms.addData((1L, ts1, 1.0)) // duplicate in a later batch
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming agg uses a watermark (bounded state)") {
     val session = spark
     import session.implicits._
