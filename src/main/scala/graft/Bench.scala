@@ -20,6 +20,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM/JIT, codegen compiler, parquet footer caches,
+    // and the noop sink all initialize here instead of inside whichever
+    // query happens to run first (it was absorbing ~5 s of one-time cost)
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
+
     // optional comma-separated filter for profiling single queries
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) =>
