@@ -26,6 +26,28 @@ object EventStream {
     events.withWatermark("ts", Watermark)
       .dropDuplicates(idCol, "ts")
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks in the preceding `windowSeconds`. Both sides carry
+    * watermarks so the join state is bounded — Spark retains only rows
+    * inside the interval+watermark horizon (the canonical streaming
+    * attribution join).
+    */
+  def purchaseAttribution(purchases: DataFrame, clicks: DataFrame,
+                          windowSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val p = purchases.withWatermark("ts", Watermark)
+    val c = clicks
+      .withColumnRenamed("ts", "click_ts")
+      .withColumnRenamed("event_id", "click_id")
+      .withColumnRenamed("user_id", "click_user")
+      .withWatermark("click_ts", Watermark)
+    p.join(c,
+      expr(s"""user_id = click_user AND
+              |click_ts <= ts AND
+              |click_ts >= ts - INTERVAL $windowSeconds SECONDS""".stripMargin))
+      .select("event_id", "user_id", "ts", "click_id", "click_ts")
+  }
+
   def hourlyAgg(events: DataFrame): DataFrame = {
     val src =
       if (events.isStreaming) events.withWatermark("ts", Watermark) else events

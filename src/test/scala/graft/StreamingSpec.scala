@@ -51,6 +51,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    val session = spark
+    import session.implicits._
+    val t0 = 1700000000000L
+    def t(sec: Long) = new java.sql.Timestamp(t0 + sec * 1000)
+    val pms = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val cms = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val purchases = pms.toDF().toDF("event_id", "user_id", "ts")
+    val clicks = cms.toDF().toDF("event_id", "user_id", "ts")
+    val q = EventStream.purchaseAttribution(purchases, clicks, 600)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      cms.addData((100L, 1L, t(0)), (101L, 1L, t(300)), (102L, 2L, t(0)))
+      pms.addData((200L, 1L, t(400)))   // user 1 buys: both clicks in window
+      q.processAllAvailable()
+      // advance both watermarks far past the interval to flush results
+      // (distinct users so the flush rows can't join each other)
+      cms.addData((103L, 8L, t(100000)))
+      pms.addData((201L, 9L, t(100000)))
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("click_id"))).sorted
+      assert(rows.toSeq == Seq((200L, 100L), (200L, 101L)),
+        s"unexpected attribution rows: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming agg uses a watermark (bounded state)") {
     val session = spark
     import session.implicits._
