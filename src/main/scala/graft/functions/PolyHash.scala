@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native polynomial rolling hash: fold h = (h·31 + codepoint) mod
+  * 1e9+7 over the string's code points.
+  *
+  * Identical to the HOF formulation
+  * `aggregate(sequence(1, length(t)), 0L, (h,i) -> (h*31 +
+  * ascii(substr(t,i,1))) % p)` (spec-checked) and to the DuckDB oracle's
+  * list_reduce fold, but executed as one primitive loop instead of a
+  * per-character interpreted lambda frame with a substring allocation —
+  * this hash runs once per token/shingle/gram across the whole dedup,
+  * embed, and fingerprint family.
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_poly_hash expects a string input, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    PolyHash.hash(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_poly_hash"
+}
+
+object PolyHash {
+  val Mod = 1000000007L
+
+  /** Shared by interpreted eval and generated code. */
+  def hash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  def apply(c: Column): Column =
+    GraftBridge.column(PolyHash(GraftBridge.expression(c)))
+}

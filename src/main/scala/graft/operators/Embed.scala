@@ -16,8 +16,13 @@ object Embed {
 
   val HashMod = 1000000007L
 
-  /** Polynomial rolling hash of a token: fold h = (h*31 + codepoint) mod p. */
-  def tokenHash(t: Column): Column =
+  /** Polynomial rolling hash of a token: fold h = (h*31 + codepoint)
+    * mod p — the native codegen'd expression (graft.functions.PolyHash). */
+  def tokenHash(t: Column): Column = graft.functions.PolyHash(t)
+
+  /** The original HOF formulation, kept as the reference semantics for
+    * PolyHash (spec-checked equal). */
+  def tokenHashHof(t: Column): Column =
     aggregate(
       sequence(lit(1), length(t)),
       lit(0L),

@@ -28,6 +28,22 @@ class DotProductSpec extends SparkSpec {
     assert(out(1).isNullAt(0))
   }
 
+  test("native polyhash is identical to the HOF fold over real corpus tokens") {
+    val session = spark
+    import session.implicits._
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+    val both = toks.select(
+      graft.functions.PolyHash(col("t")).as("native"),
+      graft.operators.Embed.tokenHashHof(col("t")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // empty string and null behavior
+    val edge = Seq(Some(""), None).toDF("t")
+      .select(graft.functions.PolyHash(col("t")).as("h")).collect()
+    assert(edge(0).getLong(0) == 0L && edge(1).isNullAt(0))
+  }
+
   test("native dot product participates in codegen plans") {
     val e = Tables.embeddings(spark, sf).limit(10)
     val plan = e.select(Vec.dot(col("embedding"), col("embedding")).as("d"))
