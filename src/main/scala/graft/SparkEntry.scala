@@ -30,6 +30,7 @@ object SparkEntry {
     "j1_json_extract"   -> (Relational.j1JsonExtract _),
     "o1_anti_join"      -> (Relational.o1AntiJoin _),
     "p1_pivot"          -> (Relational.p1Pivot _),
+    "b1_range_join"     -> (Relational.b1RangeJoin _),
     "c1_cube"           -> (Relational.c1Cube _),
     "q11_above_avg"     -> (Relational.q11AboveAvg _),
     "u2_set_ops"        -> (Relational.u2SetOps _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "j1_json_extract"   -> Relational.j1Sql,
     "o1_anti_join"      -> Relational.o1Sql,
     "p1_pivot"          -> Relational.p1Sql,
+    "b1_range_join"     -> Relational.b1Sql,
     "c1_cube"           -> Relational.c1Sql,
     "q11_above_avg"     -> Relational.q11Sql,
     "u2_set_ops"        -> Relational.u2Sql,

@@ -271,6 +271,35 @@ object Relational {
        |FROM events GROUP BY 1""".stripMargin
   }
 
+  /** b1_range_join — interval (theta) join turned into an equi-join:
+    * each size band is exploded to its discrete member keys, so parts
+    * hash-join on p_size instead of nested-looping over BETWEEN
+    * predicates. Works whenever the banded domain is small-discrete;
+    * the oracle states the same semantics as a BETWEEN join.
+    */
+  val SizeBands: Seq[(String, Int, Int)] = Seq(
+    ("tiny", 1, 10), ("small", 11, 25), ("medium", 26, 40), ("large", 41, 50))
+
+  def b1RangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = SizeBands.toDF("band", "lo", "hi")
+      .withColumn("p_size", explode(sequence(col("lo"), col("hi"))))
+      .select("band", "p_size")
+    Tables.part(spark, sfDir)
+      .join(broadcast(bands), "p_size")
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum("p_retailprice"), 2).as("sum_price"))
+  }
+
+  val b1Sql: String = {
+    val bandRows = SizeBands.map { case (b, lo, hi) => s"('$b', $lo, $hi)" }.mkString(", ")
+    s"""WITH bands(band, lo, hi) AS (VALUES $bandRows)
+       |SELECT band, count(*) AS n_parts, round(sum(p_retailprice), 2) AS sum_price
+       |FROM part JOIN bands ON p_size BETWEEN lo AND hi
+       |GROUP BY band""".stripMargin
+  }
+
   /** c1_cube — full grouping-sets cube over two dimensions. */
   def c1Cube(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
