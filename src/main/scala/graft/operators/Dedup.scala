@@ -41,10 +41,15 @@ object Dedup {
       .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("s"))
       .select(col("doc_id"), col("nsh"), tokenHash(col("s")).as("h"))
 
-  /** Exact dedup: group by full text, keep the smallest id.
-    * Input (id, text); output one row per distinct text. */
+  /** Exact dedup: group by (length, content hash), keep the smallest
+    * id. Grouping on the 12-byte digest instead of the full text keeps
+    * the shuffle narrow at scale — a 400-char key would move the whole
+    * corpus through the exchange. The oracle groups on the identical
+    * portable digest, so even a (negligible-probability) hash collision
+    * agrees across engines; production would widen to a 128-bit digest.
+    */
   def exact(docs: DataFrame): DataFrame =
-    docs.groupBy("text")
+    docs.groupBy(length(col("text")).as("__len"), tokenHash(col("text")).as("__h"))
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 

@@ -39,12 +39,30 @@ object Sampling {
   }
 
   /** Deterministic global shuffle: stable pseudo-random order from the
-    * portable hash of the key — the reproducible train-data shuffle
-    * (same order on every engine and every run). */
-  def deterministicShuffle(df: DataFrame, keyCol: String): DataFrame =
-    df.withColumn("shuffle_pos",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(mixedHash(col(keyCol)).asc, col(keyCol).asc)))
+    * mixed hash of the key — the reproducible train-data shuffle (same
+    * order on every engine and every run).
+    *
+    * Global positions come from range-partition + in-partition sort +
+    * zipWithIndex, NOT a partitionless window (which would drag the
+    * whole dataset through one task). The sort order is total (hash,
+    * key), so positions are engine-independent regardless of how the
+    * range boundaries fall.
+    */
+  def deterministicShuffle(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .withColumn("__hk", mixedHash(col(keyCol)))
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("__hk").asc, col(keyCol).asc)
+      .sortWithinPartitions(col("__hk").asc, col(keyCol).asc)
+      .drop("__hk")
+    val schema = sorted.schema
+      .add(org.apache.spark.sql.types.StructField("shuffle_pos",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1)) }
+    spark.createDataFrame(rows, schema)
+  }
 
   /** Vocabulary builder: global token frequencies, rank-ordered — the
     * seed step of tokenizer/BPE training. Explode → one shuffle with

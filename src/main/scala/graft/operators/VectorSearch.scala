@@ -116,6 +116,28 @@ object VectorSearch {
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
   }
 
+  /** LSH-bucketed near-dup: candidate pairs only form inside a shared
+    * sign bucket (equi-join on bucket id), then exact cosine rescoring
+    * at the threshold — the 100 TB shape of nearDupPairs: shuffle and
+    * pair volume bounded by bucket populations instead of N². Recall is
+    * bounded by the bucketing (a near-dup pair straddling a sign
+    * boundary is missed) — deterministic, and the oracle states the
+    * identical bucketed semantics.
+    */
+  def nearDupPairsLsh(vectors: DataFrame, minCosine: Double, bits: Int): DataFrame = {
+    val v = spread(vectors.select(col("vec_id"), col("v")))
+      .withColumn("bucket", signBucket(col("v"), bits))
+      .withColumn("vn", Vec.norm(col("v")))
+    val a = v.select(col("bucket"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("vn").as("na"))
+    val b = v.select(col("bucket"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("vn").as("nb"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("score", Vec.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("score") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+  }
+
   /** Deterministic cell assignment: nearest of the broadcast `centroids`
     * (cell_id, cv) by L2; ties on cell_id. One corpus scan, no shuffle.
     */

@@ -45,12 +45,12 @@ object CorpusQueries {
     Dedup.exact(docsWithDups(s, d))
 
   val d1Sql: String =
-    """WITH dup AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50)
-      |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
-      |FROM dup GROUP BY text""".stripMargin
+    s"""WITH dup AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50)
+       |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+       |FROM dup GROUP BY length(text), ${polyhashS("text")}""".stripMargin
 
   // ---- d2_ngram_jaccard -----------------------------------------------
 

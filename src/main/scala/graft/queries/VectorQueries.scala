@@ -215,6 +215,25 @@ object VectorQueries {
        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
        |WHERE score >= $NearDupMinCos""".stripMargin
 
+  // ---- d6: LSH-bucketed near-dup (the 100 TB path for d5) -------------
+
+  def d6NearDupLsh(s: SparkSession, d: String): DataFrame =
+    VectorSearch.nearDupPairsLsh(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v")),
+      NearDupMinCos, LshBits)
+
+  val d6Sql: String = {
+    def bucketS(v: String) = (0 until LshBits)
+      .map(i => s"(CASE WHEN $v[${i + 1}] >= 0.0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${bucketS("v")} AS bucket FROM e)
+       |SELECT id_a, id_b, round(score, 6) AS score FROM (
+       |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b, ${cosS("a.v", "b2.v")} AS score
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |WHERE score >= $NearDupMinCos""".stripMargin
+  }
+
   // ---- v0: deterministic hashing-TF embedder over documents -----------
 
   val EmbedDim = 64

@@ -93,7 +93,7 @@ class DedupTextSpec extends SparkSpec {
     val a = CorpusQueries.s2DetShuffle(spark, sf).orderBy("shuffle_pos").collect()
     val b = CorpusQueries.s2DetShuffle(spark, sf).orderBy("shuffle_pos").collect()
     assert(a.sameElements(b))
-    assert(a.map(_.getInt(1)).toSeq == (1 to a.length))
+    assert(a.map(_.getLong(1)).toSeq == (1L to a.length.toLong))
     // the permutation actually shuffles (not identity order)
     assert(a.take(20).map(_.getLong(0)).toSeq != a.take(20).map(_.getLong(0)).sorted.toSeq)
   }
