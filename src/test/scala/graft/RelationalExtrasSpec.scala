@@ -1,0 +1,80 @@
+package graft
+
+import graft.queries.Relational
+import org.apache.spark.sql.functions._
+
+class RelationalExtrasSpec extends SparkSpec {
+
+  test("q9 running total ends at each customer's total spend") {
+    val last = Relational.q9RunningTotal(spark, sf)
+      .groupBy("o_custkey").agg(max("running_spend").as("final_spend"))
+    val direct = Tables.orders(spark, sf)
+      .groupBy("o_custkey").agg(round(sum("o_totalprice"), 2).as("total"))
+    val joined = last.join(direct, "o_custkey")
+      .filter(abs(col("final_spend") - col("total")) > 0.02)
+    assert(joined.count() == 0)
+  }
+
+  test("q10 distinct counts are bounded by table cardinalities") {
+    val rows = Relational.q10Distinct(spark, sf).collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.forall(r => r.getAs[Long]("n_users") <= users && r.getAs[Long]("n_days") <= 31))
+  }
+
+  test("j1 json extraction buckets all events") {
+    val df = Relational.j1JsonExtract(spark, sf)
+    assert(df.agg(sum("n")).head.getLong(0) == Tables.events(spark, sf).count())
+    assert(df.count() == 10)
+  }
+
+  test("o1 anti join and its complement partition the customers") {
+    val anti = Relational.o1AntiJoin(spark, sf).count()
+    val semi = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(anti + semi == Tables.customer(spark, sf).count())
+  }
+
+  test("p1 pivot cells sum to the event count") {
+    val df = Relational.p1Pivot(spark, sf)
+    val total = Relational.PivotTypes
+      .map(t => df.agg(sum(col(t))).head.getLong(0)).sum
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("q11 selects only orders strictly above their customer's average") {
+    val out = Relational.q11AboveAvg(spark, sf)
+    val avgs = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(avg("o_totalprice").as("cavg"))
+    assert(out.join(avgs, "o_custkey")
+      .filter(col("o_totalprice") <= col("cavg")).count() == 0)
+  }
+
+  test("u2 set ops exclude every open-order customer") {
+    val open = Tables.orders(spark, sf).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey")).distinct()
+    assert(Relational.u2SetOps(spark, sf).join(open, "custkey").count() == 0)
+  }
+
+  test("b1 range join covers every part exactly once") {
+    val df = Relational.b1RangeJoin(spark, sf)
+    assert(df.agg(sum("n_parts")).head.getLong(0) == Tables.part(spark, sf).count())
+    assert(df.count() == Relational.SizeBands.length)
+  }
+
+  test("c1 cube grand total equals the filtered line count") {
+    val grand = Relational.c1Cube(spark, sf)
+      .filter(col("l_returnflag").isNull && col("l_linestatus").isNull)
+      .head.getAs[Long]("n")
+    assert(grand == Tables.lineitem(spark, sf).count())
+  }
+
+  test("a1 asof output references real purchase and click events") {
+    val ev = Tables.events(spark, sf).select("event_id", "event_type")
+    val out = Relational.a1Asof(spark, sf)
+    assert(out.join(ev.withColumnRenamed("event_id", "click_id"), "click_id")
+      .filter(col("event_type") =!= "click").count() == 0)
+    assert(out.join(ev, "event_id")
+      .filter(col("event_type") =!= "purchase").count() == 0)
+  }
+}
