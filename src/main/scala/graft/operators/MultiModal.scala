@@ -50,6 +50,36 @@ object MultiModal {
     }
   }
 
+  case class ResizedMedia(id: Long, n_bytes_out: Int, out_hash: Long)
+
+  /** STUB resize: stands in for an image downscale. Deterministic
+    * subsample — every `factor`-th byte — plus the portable polynomial
+    * checksum of the result. A real deployment swaps only the byte
+    * transform; the per-partition batching is the production shape. */
+  def resizeStub(bytes: Array[Byte], factor: Int): (Int, Long) = {
+    var h = 0L
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31 + (bytes(i) & 0xff)) % Embed.HashMod
+      n += 1
+      i += factor
+    }
+    (n, h)
+  }
+
+  /** Batched media resize over a binary column. */
+  def resize(media: Dataset[MediaRow], factor: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder/scaler init would live here
+      rows.map { r =>
+        val (n, h) = resizeStub(r.media, factor)
+        ResizedMedia(r.id, n, h)
+      }
+    }
+  }
+
   /** Documents re-cast as a media table: payload = utf-8 bytes of the
     * text (deterministic fake "image"), typed metadata columns kept.
     */

@@ -61,6 +61,27 @@ object IngestQueries {
     MultiModal.frameSample(MultiModal.mediaTable(Tables.documents(s, d)), 64, 16)
       .select("id", "n_bytes", "n_frames", "first_frame")
 
+  /** Media resize stub (every-2nd-byte subsample + portable checksum)
+    * through the batched mapPartitions path; the oracle rebuilds the
+    * subsampled string and folds the same hash. */
+  def mm3Resize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    MultiModal.resize(
+      MultiModal.mediaTable(Tables.documents(s, d))
+        .select("id", "media", "mime").as[MultiModal.MediaRow],
+      2).toDF()
+  }
+
+  val mm3Sql: String =
+    s"""WITH sub AS (
+       |  SELECT doc_id AS id,
+       |    array_to_string(list_transform(range(1, (length(text) + 1) // 2 + 1),
+       |      __si -> substring(text, 2 * __si - 1, 1)), '') AS st
+       |  FROM documents)
+       |SELECT id, CAST(length(st) AS INT) AS n_bytes_out,
+       |  ${CorpusQueries.polyhashS("st")} AS out_hash
+       |FROM sub""".stripMargin
+
   val mm2Sql: String =
     """SELECT doc_id AS id,
       |  octet_length(encode(text)) AS n_bytes,
