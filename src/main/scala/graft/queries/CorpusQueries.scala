@@ -159,8 +159,8 @@ object CorpusQueries {
     s"""WITH markers(cand_lang, marker) AS (VALUES $markerRows),
        |scored AS (
        |  SELECT d.doc_id, m.cand_lang,
-       |    sum(CASE WHEN instr(' ' || d.text || ' ', ' ' || m.marker || ' ') > 0
-       |             THEN 1 ELSE 0 END) AS lang_score
+       |    CAST(sum(CASE WHEN instr(' ' || d.text || ' ', ' ' || m.marker || ' ') > 0
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS lang_score
        |  FROM documents d, markers m
        |  GROUP BY 1, 2)
        |SELECT doc_id, cand_lang AS predicted_lang, lang_score FROM (

@@ -72,9 +72,12 @@ object MetricQueries {
   def m2Recall(s: SparkSession, d: String): DataFrame =
     IrMetrics.recallPerQuery(labeledKnn(s, d))
 
+  // NB: DuckDB sum(INTEGER) yields HUGEINT (int128); Spark emits int64.
+  // The driver's typed hash distinguishes them, so every integer sum in
+  // an oracle MUST be cast to BIGINT (round-1 hash failures m2/t3).
   val m2Sql: String =
     s"""WITH $relCtes
-       |SELECT query_id, sum(rel) AS n_relevant,
+       |SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_relevant,
        |  round(sum(rel)::DOUBLE / count(*), 6) AS recall
        |FROM rel GROUP BY query_id""".stripMargin
 
@@ -109,7 +112,7 @@ object MetricQueries {
   val m0Sql: String =
     s"""WITH $relCtes,
        |recall AS (
-       |  SELECT query_id, sum(rel) AS n_relevant,
+       |  SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_relevant,
        |    round(sum(rel)::DOUBLE / count(*), 6) AS recall
        |  FROM rel GROUP BY query_id),
        |ideal AS (

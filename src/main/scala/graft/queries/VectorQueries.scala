@@ -238,8 +238,15 @@ object VectorQueries {
 
   val EmbedDim = 64
 
+  /** Driver-facing shape is exploded (doc_id, dim_idx, value): the
+    * checker sorts+hashes columns and cannot hash an array cell (round-1
+    * `v0_embed` erred with pandas "unhashable type: numpy.ndarray").
+    * Library users call Embed.embedDocs directly for the array column.
+    */
   def v0Embed(s: SparkSession, d: String): DataFrame =
     Embed.embedDocs(Tables.documents(s, d), "text", EmbedDim)
+      .select(col("doc_id"), posexplode(col("embedding")))
+      .select(col("doc_id"), col("pos").as("dim_idx"), col("col").as("value"))
 
   val v0Sql: String =
     s"""WITH toks AS (
@@ -257,5 +264,6 @@ object VectorQueries {
        |    list_transform(range(0, $EmbedDim), bb -> CAST(len(list_filter(buckets, x -> x = bb)) AS DOUBLE)) AS counts
        |  FROM b),
        |n AS (SELECT doc_id, counts, sqrt(list_dot_product(counts, counts)) AS nrm FROM cnts)
-       |SELECT doc_id, list_transform(counts, x -> round(x / nrm, 6)) AS embedding FROM n""".stripMargin
+       |SELECT doc_id, r.range AS dim_idx, round(counts[r.range + 1] / nrm, 6) AS value
+       |FROM n, range(0, $EmbedDim) r""".stripMargin
 }

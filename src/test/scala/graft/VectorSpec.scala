@@ -79,13 +79,23 @@ class VectorSpec extends SparkSpec {
   }
 
   test("embedding is deterministic, unit-norm, fixed-dim") {
-    val e1 = VectorQueries.v0Embed(spark, sf).orderBy("doc_id").limit(5).collect()
-    val e2 = VectorQueries.v0Embed(spark, sf).orderBy("doc_id").limit(5).collect()
+    def embed() = Embed.embedDocs(
+      graft.Tables.documents(spark, sf), "text", VectorQueries.EmbedDim)
+    val e1 = embed().orderBy("doc_id").limit(5).collect()
+    val e2 = embed().orderBy("doc_id").limit(5).collect()
     assert(e1.sameElements(e2))
     val v = e1.head.getSeq[Double](1)
     assert(v.length == VectorQueries.EmbedDim)
     val n = math.sqrt(v.map(x => x * x).sum)
     assert(math.abs(n - 1.0) < 1e-3) // elements rounded to 6dp post-normalize
+  }
+
+  test("v0 driver shape is exploded to dim rows per doc, hashable scalars") {
+    val df = VectorQueries.v0Embed(spark, sf)
+    assert(df.columns.toSeq == Seq("doc_id", "dim_idx", "value"))
+    val perDoc = df.groupBy("doc_id").count().agg(min("count"), max("count")).head
+    assert(perDoc.getLong(0) == VectorQueries.EmbedDim &&
+      perDoc.getLong(1) == VectorQueries.EmbedDim)
   }
 
   test("token hash matches the documented polynomial scheme") {
