@@ -7,18 +7,26 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native polynomial rolling hash: fold h = (h·31 + codepoint) mod
-  * 1e9+7 over the string's code points.
+/** Native polynomial rolling hash: fold h = (h·base + codepoint) mod p
+  * over the string's code points.
   *
   * Identical to the HOF formulation
-  * `aggregate(sequence(1, length(t)), 0L, (h,i) -> (h*31 +
+  * `aggregate(sequence(1, length(t)), 0L, (h,i) -> (h*base +
   * ascii(substr(t,i,1))) % p)` (spec-checked) and to the DuckDB oracle's
   * list_reduce fold, but executed as one primitive loop instead of a
   * per-character interpreted lambda frame with a substring allocation —
   * this hash runs once per token/shingle/gram across the whole dedup,
   * embed, and fingerprint family.
+  *
+  * (base, mod) are parameters so independent hash functions can be
+  * combined into a wide digest: one ~30-bit hash over a 100 TB corpus
+  * is past its birthday bound (≈2⁴⁰ docs pairs collide), so exact dedup
+  * groups on TWO independent (base, mod) hashes — ~60 digest bits, with
+  * further (base, mod) pairs available if a deployment wants the full
+  * 128. Both moduli stay < 2³⁰ so h·base + cp never overflows a long.
   */
-case class PolyHash(child: Expression) extends UnaryExpression {
+case class PolyHash(child: Expression, base: Long, mod: Long)
+  extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -30,10 +38,11 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     }
 
   override def nullSafeEval(v: Any): Any =
-    PolyHash.hash(v.asInstanceOf[UTF8String].toString)
+    PolyHash.hash(v.asInstanceOf[UTF8String].toString, base, mod)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hash($c.toString())")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PolyHash.hash($c.toString(), ${base}L, ${mod}L)")
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
     copy(child = newChild)
@@ -43,20 +52,30 @@ case class PolyHash(child: Expression) extends UnaryExpression {
 
 object PolyHash {
   val Mod = 1000000007L
+  val Base = 31L
+
+  /** Second independent (base, mod) pair for the wide exact-dedup
+    * digest; a distinct prime modulus so collisions are independent. */
+  val Base2 = 131L
+  val Mod2 = 998244353L
 
   /** Shared by interpreted eval and generated code. */
-  def hash(s: String): Long = {
+  def hash(s: String, base: Long, mod: Long): Long = {
     var h = 0L
     var i = 0
     val n = s.length
     while (i < n) {
       val cp = s.codePointAt(i)
-      h = (h * 31 + cp) % Mod
+      h = (h * base + cp) % mod
       i += Character.charCount(cp)
     }
     h
   }
 
   def apply(c: Column): Column =
-    GraftBridge.column(PolyHash(GraftBridge.expression(c)))
+    GraftBridge.column(PolyHash(GraftBridge.expression(c), Base, Mod))
+
+  /** The independent second hash (see scaladoc above). */
+  def second(c: Column): Column =
+    GraftBridge.column(PolyHash(GraftBridge.expression(c), Base2, Mod2))
 }

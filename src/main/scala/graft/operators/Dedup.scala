@@ -41,31 +41,64 @@ object Dedup {
       .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("s"))
       .select(col("doc_id"), col("nsh"), tokenHash(col("s")).as("h"))
 
-  /** Exact dedup: group by (length, content hash), keep the smallest
-    * id. Grouping on the 12-byte digest instead of the full text keeps
-    * the shuffle narrow at scale — a 400-char key would move the whole
-    * corpus through the exchange. The oracle groups on the identical
-    * portable digest, so even a (negligible-probability) hash collision
-    * agrees across engines; production would widen to a 128-bit digest.
+  /** Exact dedup: group by (length, two independent content hashes),
+    * keep the smallest id. Grouping on the ~20-byte digest instead of
+    * the full text keeps the shuffle narrow at scale — a 400-char key
+    * would move the whole corpus through the exchange. ONE ~30-bit
+    * polyhash is past its birthday bound at 100 TB doc counts (false
+    * merges guaranteed), so the digest is two independent (base, mod)
+    * polyhashes (~60 bits; add pairs for 128 — see PolyHash scaladoc).
+    * The oracle groups on the identical portable digest, so even a
+    * residual collision agrees across engines.
     */
   def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(length(col("text")).as("__len"), tokenHash(col("text")).as("__h"))
+    docs.groupBy(length(col("text")).as("__len"),
+        tokenHash(col("text")).as("__h"),
+        graft.functions.PolyHash.second(col("text")).as("__h2"))
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
+
+  /** Posting lists / buckets larger than this many documents are
+    * removed before any self-join. A key shared by f docs contributes
+    * f² candidate pairs to ONE reducer: a single stop-shingle across
+    * 10⁶ docs is 10¹² pairs — the classic dedup scale-killer. A shingle
+    * in >500 docs carries no near-dup signal anyway (it's a stop
+    * phrase), so this is also standard IR practice, not just a guard. */
+  val DefaultDfCap = 500
+
+  /** Shingle hashes whose document frequency exceeds the cap — exposed
+    * so pipelines can AUDIT what the cap dropped (no silent caps:
+    * `hotShingleHashes(docs, 3, cap).count()` is the dropped-key count,
+    * and the cap itself is part of the operator's declared semantics,
+    * mirrored in the DuckDB oracle). */
+  def hotShingleHashes(docs: DataFrame, n: Int, dfCap: Int): DataFrame =
+    shingleHashRows(docs, n).groupBy("h")
+      .agg(count(lit(1)).as("df")).filter(col("df") > dfCap)
 
   /** Candidate near-dup pairs by word n-gram Jaccard ≥ minJaccard.
     * Shuffle is on the shingle key (inverted-index join), then on the
     * (id_a, id_b) pair for the intersection count — never all-pairs.
+    * Shingles with document frequency > dfCap are dropped from the
+    * shingle SETS (stop-shingle removal) before the join, so both the
+    * intersection and the per-doc set sizes see the pruned sets.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
+                        dfCap: Int = DefaultDfCap): DataFrame = {
     // the inverted-index join is on the 8-byte shingle HASH, not the
     // shingle string — same pairs on both engines (the oracle joins on
     // the same portable hash), far narrower shuffle rows. The shingle
-    // pipeline is cached so the self-join doesn't tokenize+hash the
-    // corpus twice, and the join rows carry only (doc_id, h): per-doc
-    // shingle counts rejoin AFTER pair aggregation (docs ≪ pairs).
-    val sh = shingleHashRows(docs, n).cache()
-    val counts = sh.select("doc_id", "nsh").distinct()
+    // pipeline is cached so the df-cap aggregation and the self-join
+    // don't tokenize+hash the corpus twice, and the join rows carry
+    // only (doc_id, h): per-doc shingle counts (recomputed post-prune)
+    // rejoin AFTER pair aggregation (docs ≪ pairs).
+    val sh0 = shingleHashRows(docs, n).select("doc_id", "h").cache()
+    // hot keys are ≤ |posting rows|/dfCap and zipfian-few in practice;
+    // left_anti against them is broadcast-sized (AQE picks BHJ), and
+    // the aggregation shuffles on h — the same key the join shuffles on
+    val hot = sh0.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("h")
+    val sh = sh0.join(hot, Seq("h"), "left_anti").cache()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val a = sh.select(col("doc_id").as("id_a"), col("h"))
     val b = sh.select(col("doc_id").as("id_b"), col("h"))
     // shuffled self-join on h with map-side pair combining. A/B-tested
@@ -111,13 +144,23 @@ object Dedup {
 
   /** LSH candidate pairs: docs sharing ≥1 identical band. The join is an
     * equi-join on (band_idx, band_key) — the classic MinHash-LSH
-    * bucket-join, linear in bucket populations. */
-  def minhashCandidates(docs: DataFrame, n: Int): DataFrame = {
-    // cached: the banded self-join would otherwise run the whole
-    // tokenize→shingle→hash→16-perm-groupBy pipeline twice
-    val banded = minhashSignatures(shingleHashRows(docs, n))
+    * bucket-join, linear in bucket populations. Buckets holding more
+    * than dfCap docs are dropped before the self-join (a giant bucket
+    * is quadratic in ONE reducer; a bucket that common is a degenerate
+    * band — e.g. the all-identical-signature of boilerplate docs — and
+    * its members are found by the remaining bands or exact dedup). */
+  def minhashCandidates(docs: DataFrame, n: Int,
+                        dfCap: Int = DefaultDfCap): DataFrame = {
+    // cached: the bucket-size aggregation and banded self-join would
+    // otherwise run the tokenize→shingle→hash→16-perm-groupBy pipeline
+    // three times
+    val banded0 = minhashSignatures(shingleHashRows(docs, n))
       .select(col("doc_id"), posexplode(bandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
       .cache()
+    val hot = banded0.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("df")).filter(col("df") > dfCap)
+      .select("band_idx", "band_key")
+    val banded = banded0.join(hot, Seq("band_idx", "band_key"), "left_anti").cache()
     val a = banded.select(col("doc_id").as("id_a"), col("band_idx"), col("band_key"))
     val b = banded.select(col("doc_id").as("id_b"), col("band_idx"), col("band_key"))
     a.join(b, Seq("band_idx", "band_key")).filter(col("id_a") < col("id_b"))

@@ -23,6 +23,12 @@ object CorpusQueries {
       s"list_transform(range(1, length($e) + 1), __pi -> CAST(ascii(substring($e, __pi, 1)) AS BIGINT))), " +
       s"(__ph, __pc) -> (__ph * 31 + __pc) % ${Embed.HashMod})"
 
+  /** The independent second polyhash (matches PolyHash.second). */
+  def polyhash2S(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($e) + 1), __pi -> CAST(ascii(substring($e, __pi, 1)) AS BIGINT))), " +
+      s"(__ph, __pc) -> (__ph * ${graft.functions.PolyHash.Base2} + __pc) % ${graft.functions.PolyHash.Mod2})"
+
   val toksCte: String =
     "toks AS (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk FROM documents)"
 
@@ -50,7 +56,7 @@ object CorpusQueries {
        |  UNION ALL
        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50)
        |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
-       |FROM dup GROUP BY length(text), ${polyhashS("text")}""".stripMargin
+       |FROM dup GROUP BY length(text), ${polyhashS("text")}, ${polyhash2S("text")}""".stripMargin
 
   // ---- d2_ngram_jaccard -----------------------------------------------
 
@@ -59,10 +65,16 @@ object CorpusQueries {
   def d2NgramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, JaccardMin)
 
+  // mirrors Dedup.ngramJaccardPairs incl. the document-frequency cap:
+  // shingle hashes in > DefaultDfCap docs are pruned from the shingle
+  // sets (both intersection AND per-doc sizes) before the self-join
   val d2Sql: String =
     s"""WITH $toksCte, $shingleCte,
-       |exs AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS nsh FROM sh WHERE len(sh) > 0),
-       |ex AS (SELECT doc_id, nsh, ${polyhashS("s")} AS h FROM exs)
+       |exs AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
+       |ex0 AS (SELECT doc_id, ${polyhashS("s")} AS h FROM exs),
+       |hot AS (SELECT h FROM ex0 GROUP BY h HAVING count(*) > ${Dedup.DefaultDfCap}),
+       |exk AS (SELECT doc_id, h FROM ex0 WHERE h NOT IN (SELECT h FROM hot)),
+       |ex AS (SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS nsh FROM exk)
        |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
        |  SELECT id_a, id_b, inter::DOUBLE / (na + nb - inter) AS jaccard FROM (
        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
@@ -84,11 +96,16 @@ object CorpusQueries {
        |sig AS (SELECT doc_id, list_transform(range(0, ${Dedup.NumPerms}), j ->
        |          list_min(list_transform(hs, h -> ((j*2+3)*h + (j*1234567+89)) % $p))) AS sig
        |        FROM hs),
-       |bands AS (SELECT doc_id, r.range AS band_idx,
+       |bands0 AS (SELECT doc_id, r.range AS band_idx,
        |            array_to_string(list_transform(
        |              array_slice(sig, r.range*${Dedup.RowsPerBand}+1, r.range*${Dedup.RowsPerBand}+${Dedup.RowsPerBand}),
        |              x -> CAST(x AS VARCHAR)), '_') AS band_key
-       |          FROM sig, range(0, ${Dedup.NumBands}) r)
+       |          FROM sig, range(0, ${Dedup.NumBands}) r),
+       |hotb AS (SELECT band_idx, band_key FROM bands0
+       |         GROUP BY 1, 2 HAVING count(*) > ${Dedup.DefaultDfCap}),
+       |bands AS (SELECT b.* FROM bands0 b WHERE NOT EXISTS (
+       |            SELECT 1 FROM hotb h
+       |            WHERE h.band_idx = b.band_idx AND h.band_key = b.band_key))
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(DISTINCT a.band_idx) AS n_shared_bands
        |FROM bands a JOIN bands b
        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id

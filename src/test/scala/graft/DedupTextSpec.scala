@@ -30,6 +30,23 @@ class DedupTextSpec extends SparkSpec {
       "a >0.8-jaccard pair escaped every LSH band")
   }
 
+  test("d2/d3 document-frequency cap drops giant posting lists") {
+    import spark.implicits._
+    // 1000 docs all sharing ONE hot shingle ("the quick fox") plus
+    // unique-per-doc shingles: uncapped, the hot posting list alone
+    // yields 1000·999/2 = 499,500 candidate pairs in one reducer
+    val docs = (0 until 1000)
+      .map(i => (i.toLong, s"the quick fox u${i}a u${i}b u${i}c"))
+      .toDF("doc_id", "text")
+    val hot = graft.operators.Dedup.hotShingleHashes(docs, 3, 50)
+    assert(hot.count() == 1, "exactly the planted stop-shingle is hot")
+    // with the cap, the hot shingle leaves every doc's set; remaining
+    // shingles are unique per doc -> zero candidate pairs
+    assert(graft.operators.Dedup.ngramJaccardPairs(docs, 3, 0.05, 50).count() == 0)
+    // minhash band buckets dominated by the hot shingle are dropped too
+    assert(graft.operators.Dedup.minhashCandidates(docs, 3, 50).count() < 50000)
+  }
+
   test("d4 simhash stays in 30 bits and near-identical docs collide closely") {
     val df = CorpusQueries.d4Simhash(spark, sf).cache()
     val mx = df.agg(max("simhash")).head.getLong(0)
