@@ -139,18 +139,29 @@ object VectorSearch {
   }
 
   /** Deterministic cell assignment: nearest of the broadcast `centroids`
-    * (cell_id, cv) by L2; ties on cell_id. One corpus scan, no shuffle.
+    * (cell_id, cv) by L2; ties on cell_id. One corpus scan; the
+    * nearest-centroid pick is a `min_by` aggregation so partial (map-
+    * side) aggregation collapses the |centroids|× expansion back to one
+    * row per vector BEFORE the exchange — the previous row_number()
+    * window shuffled and sorted |centroids|×N rows just to take a min.
     */
   def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids.withColumn("csq", Vec.normSq(col("cv")))
-    val w = Window.partitionBy("vec_id").orderBy(col("cdist").asc, col("cell_id").asc)
+    // carry every vector column through the aggregation (constant per
+    // vec_id); min_by on (cdist, cell_id) reproduces the window's
+    // deterministic tie-break exactly
+    val carry = vectors.columns.filter(_ != "vec_id")
+      .map(c => first(col(c)).as(c)).toSeq
+    val aggs = carry :+
+      min_by(col("cell_id"), struct(col("cdist"), col("cell_id"))).as("cell_id")
     spread(vectors).withColumn("vsq", Vec.normSq(col("v")))
       .crossJoin(broadcast(cents))
       .withColumn("cdist", sqrt(greatest(
         col("vsq") - lit(2.0) * Vec.dot(col("v"), col("cv")) + col("csq"), lit(0.0))))
-      .withColumn("crnk", row_number().over(w))
-      .filter(col("crnk") === 1)
-      .drop("cdist", "crnk", "cv", "vsq", "csq")
+      .groupBy("vec_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select((col("vec_id") +: vectors.columns.filter(_ != "vec_id")
+        .map(col).toSeq) :+ col("cell_id"): _*)
   }
 
   /** IVF kNN: probe the `nprobe` nearest cells per query, brute-force

@@ -210,9 +210,13 @@ object Relational {
       |FROM orders""".stripMargin
 
   /** j1_json_extract — schema-on-read JSON: pull `k` out of the props
-    * payload and aggregate on it. */
+    * payload and aggregate on it. The scan is spread BEFORE the parse:
+    * the sf tables are single-file/single-split, so without it every
+    * get_json_object call serializes onto one task (17 s at sf0.1 in
+    * round 1); a real deployment's multi-split scans parallelize this
+    * for free, and `Dist.spread` is the local stand-in (SURVEY §5). */
   def j1JsonExtract(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+    graft.Dist.spread(Tables.events(spark, sfDir).select("props", "value"))
       .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"),
         col("value"))
       .groupBy((col("k") % 10).as("k_bucket"))
