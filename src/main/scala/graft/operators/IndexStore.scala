@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF index with incremental maintenance (SURVEY §2.3
+  * v9/u3) — the reference's core workflow is a PERSISTENT collection
+  * you upsert into and query later (`chromadb.PersistentClient`,
+  * /root/reference/src/chroma.py:70-78; `collection.upsert`,
+  * /root/reference/src/db.py:82). The Spark-native equivalent is two
+  * parquet tables:
+  *
+  *   path/centroids/    (cell_id, cv)
+  *   path/assignments/  (vec_id, v, version, cell_id)  partitioned by cell_id
+  *
+  * Maintenance is MERGE-ON-READ: `upsert` assigns cells for the NEW
+  * batch only (one broadcast pass over the delta — never re-touching
+  * the existing corpus) and appends it with a higher version;
+  * `currentAssignments` resolves last-write-wins per vec_id at read
+  * (one shuffle on vec_id); `compact` folds the deltas back into a
+  * single epoch when they accumulate. This is the standard LSM-ish
+  * shape for a 100 TB index: writes are O(batch), never O(corpus).
+  *
+  * The assignment table is partitioned by cell_id, so a query probing
+  * nprobe cells prunes every other cell at the parquet scan (static
+  * pruning for literal probes, dynamic partition pruning against the
+  * broadcast probe set in knnIvfAssigned).
+  */
+object IndexStore {
+
+  private def centroidsPath(path: String) = s"$path/centroids"
+  private def assignmentsPath(path: String) = s"$path/assignments"
+
+  /** Build the index: persist centroids and the cell-assigned corpus
+    * (version 0). corpus: (vec_id, v); centroids: (cell_id, cv). */
+  def build(corpus: DataFrame, centroids: DataFrame, path: String): Unit = {
+    centroids.write.mode(SaveMode.Overwrite).parquet(centroidsPath(path))
+    VectorSearch.assignCells(corpus.withColumn("version", lit(0)), centroids)
+      .write.mode(SaveMode.Overwrite).partitionBy("cell_id")
+      .parquet(assignmentsPath(path))
+  }
+
+  def loadCentroids(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(centroidsPath(path))
+
+  /** Raw assignment deltas (all versions, merge NOT applied). */
+  def loadAssignments(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(assignmentsPath(path))
+
+  /** Incremental upsert: assign cells for `batch` (vec_id, v, version)
+    * against the PERSISTED centroids — one broadcast pass over the
+    * delta only — and append. Existing rows for the same vec_id are
+    * superseded at read time (merge-on-read), not rewritten here. */
+  def upsert(spark: SparkSession, path: String, batch: DataFrame): Unit =
+    VectorSearch.assignCells(batch, loadCentroids(spark, path))
+      .write.mode(SaveMode.Append).partitionBy("cell_id")
+      .parquet(assignmentsPath(path))
+
+  /** The live view: last write (highest version) wins per vec_id. */
+  def currentAssignments(spark: SparkSession, path: String): DataFrame =
+    Upsert.lastWriteWins(loadAssignments(spark, path), "vec_id", "version")
+
+  /** Fold accumulated deltas into a single epoch: rewrite the merged
+    * view. Writes to a scratch dir first (Spark cannot overwrite a
+    * path it is reading), then swaps directories. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val tmp = s"$path/assignments_compacting"
+    currentAssignments(spark, path)
+      .write.mode(SaveMode.Overwrite).partitionBy("cell_id").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(assignmentsPath(path))
+    fs.delete(live, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+  }
+
+  /** Serve top-k cosine kNN from the persisted index. */
+  def query(spark: SparkSession, path: String, queries: DataFrame,
+            k: Int, nprobe: Int): DataFrame =
+    VectorSearch.knnIvfAssigned(queries, currentAssignments(spark, path),
+      loadCentroids(spark, path), k, nprobe)
+}

@@ -164,29 +164,45 @@ object VectorSearch {
         .map(col).toSeq) :+ col("cell_id"): _*)
   }
 
-  /** IVF kNN: probe the `nprobe` nearest cells per query, brute-force
-    * only inside those cells. Candidate join is an equi-join on cell_id:
-    * work per query is bounded by probed-cell population, not corpus
-    * size — the 100 TB scale path for kNN.
-    */
-  def knnIvf(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-             k: Int, nprobe: Int): DataFrame = {
-    val assigned = assignCells(corpus, centroids)
-      .withColumn("vn", Vec.norm(col("v")))
+  /** The `nprobe` nearest cells per query: (query_id, qv, qn, cell_id).
+    * Queries are tiny relative to the corpus, so the window formulation
+    * is fine here (it's the corpus-side assignment that must not
+    * window — see assignCells). */
+  def probeCells(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
     val cents = centroids.withColumn("csq", Vec.normSq(col("cv")))
     val wq = Window.partitionBy("query_id").orderBy(col("cdist").asc, col("cell_id").asc)
-    val probed = queries.withColumn("qsq", Vec.normSq(col("qv")))
+    queries.withColumn("qsq", Vec.normSq(col("qv")))
       .crossJoin(broadcast(cents))
       .withColumn("cdist", sqrt(greatest(
         col("qsq") - lit(2.0) * Vec.dot(col("qv"), col("cv")) + col("csq"), lit(0.0))))
       .withColumn("crnk", row_number().over(wq))
       .filter(col("crnk") <= nprobe)
       .select(col("query_id"), col("qv"), Vec.norm(col("qv")).as("qn"), col("cell_id"))
-    val scored = assigned.join(broadcast(probed), "cell_id")
+  }
+
+  /** Serve IVF kNN from an ALREADY-ASSIGNED corpus (vec_id, v, cell_id)
+    * — e.g. one loaded from a persisted IndexStore. The candidate join
+    * is an equi-join on cell_id against the broadcast probe set: work
+    * per query is bounded by probed-cell population, not corpus size,
+    * and a cell_id-partitioned assignment table prunes unprobed cells
+    * at the scan (dynamic partition pruning against the broadcast).
+    */
+  def knnIvfAssigned(queries: DataFrame, assigned: DataFrame,
+                     centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val probed = probeCells(queries, centroids, nprobe)
+    val scored = assigned.withColumn("vn", Vec.norm(col("v")))
+      .join(broadcast(probed), "cell_id")
       .withColumn("score", Vec.dot(col("qv"), col("v")) / (col("qn") * col("vn")))
       .select("query_id", "vec_id", "score")
     topK(scored, k, ascending = false)
   }
+
+  /** IVF kNN: probe the `nprobe` nearest cells per query, brute-force
+    * only inside those cells — the 100 TB scale path for kNN.
+    */
+  def knnIvf(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+             k: Int, nprobe: Int): DataFrame =
+    knnIvfAssigned(queries, assignCells(corpus, centroids), centroids, k, nprobe)
 
   /** Sign-bit bucket id from the first `bits` dimensions — the simplest
     * deterministic random-hyperplane LSH (axis-aligned hyperplanes).

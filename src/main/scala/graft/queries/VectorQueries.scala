@@ -168,6 +168,60 @@ object VectorQueries {
        |${topkSql(s"SELECT p.query_id, a.vec_id, ${cosS("p.qv", "a.v")} AS score FROM assigned a JOIN probed p USING (cell_id)", desc = true)}""".stripMargin
   }
 
+  // ---- v9 / u3: persistent index + incremental upsert ------------------
+
+  /** Deterministic scratch location for the persisted index (driver
+    * runs are sequential; each entry overwrites its own suffix). */
+  private def indexPath(d: String, suffix: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_index_" +
+      s"${java.lang.Integer.toHexString(d.hashCode)}_$suffix"
+
+  /** Build the persistent IVF index (centroids + cell-partitioned
+    * assignments as parquet), then serve the kNN from what was LOADED
+    * back — exercising the reference's persistent-collection workflow.
+    * Results are identical to v6 (same fixed centroids), so the oracle
+    * is v6's SQL. */
+  def v9IvfPersisted(s: SparkSession, d: String): DataFrame = {
+    val path = indexPath(d, "v9")
+    graft.operators.IndexStore.build(ivfCorpus(s, d), centroids(s, d), path)
+    graft.operators.IndexStore.query(s, path, queryVecs(s, d), K, NProbe)
+  }
+
+  val v9Sql: String = v6Sql
+
+  /** Incremental index maintenance: every 10th corpus vector is
+    * re-submitted negated as version 1; the upsert assigns cells for
+    * the delta only and appends; the merge-on-read view must show the
+    * new assignment winning per vec_id. */
+  def u3IndexUpsert(s: SparkSession, d: String): DataFrame = {
+    val path = indexPath(d, "u3")
+    graft.operators.IndexStore.build(ivfCorpus(s, d), centroids(s, d), path)
+    val batch = ivfCorpus(s, d).filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), transform(col("v"), x => -x).as("v"),
+        lit(1).as("version"))
+    graft.operators.IndexStore.upsert(s, path, batch)
+    graft.operators.IndexStore.currentAssignments(s, path)
+      .select("vec_id", "cell_id", "version")
+  }
+
+  val u3Sql: String = {
+    val centCte =
+      s"cent AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < $CN)"
+    val corpCte =
+      s"corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= $CN)"
+    s"""WITH $centCte, $corpCte,
+       |merged AS (
+       |  SELECT vec_id, v, 0 AS version FROM corp WHERE vec_id % 10 != 0
+       |  UNION ALL
+       |  SELECT vec_id, list_transform(v, x -> -x) AS v, 1 AS version
+       |  FROM corp WHERE vec_id % 10 = 0)
+       |SELECT vec_id, cell_id, version FROM (
+       |  SELECT m.vec_id, c.cell_id, m.version,
+       |    row_number() OVER (PARTITION BY m.vec_id
+       |      ORDER BY ${l2S("m.v", "c.cv")} ASC, c.cell_id ASC) AS rnk
+       |  FROM merged m, cent c) WHERE rnk = 1""".stripMargin
+  }
+
   // ---- v8: IVF kNN with MLlib-KMeans-learned centroids ----------------
   // rows-only driver check (a k-means fit is not SQL-expressible);
   // the spec asserts recall against brute force instead.

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.IndexStore
+import graft.queries.VectorQueries
+import org.apache.spark.sql.functions._
+
+/** Persistent-index invariants (SURVEY §2.3 v9/u3): serving from the
+  * persisted tables equals the in-memory IVF path, upserts supersede
+  * without rewriting the corpus, compaction preserves the live view,
+  * and the cell_id layout prunes unprobed cells at the scan.
+  */
+class IndexStoreSpec extends SparkSpec {
+
+  private val path = "/tmp/graft_index_spec"
+
+  private def build(): Unit = IndexStore.build(
+    VectorQueries.ivfCorpus(spark, sf), VectorQueries.centroids(spark, sf), path)
+
+  test("persisted index serves exactly the in-memory IVF result") {
+    build()
+    val persisted = IndexStore.query(spark, path,
+      VectorQueries.queryVecs(spark, sf), VectorQueries.K, VectorQueries.NProbe)
+      .orderBy("query_id", "rnk").collect()
+    val direct = VectorQueries.v6KnnIvf(spark, sf)
+      .orderBy("query_id", "rnk").collect()
+    assert(persisted.sameElements(direct))
+  }
+
+  test("upsert supersedes by version and only appends the delta") {
+    build()
+    val before = IndexStore.loadAssignments(spark, path).count()
+    val batch = VectorQueries.ivfCorpus(spark, sf)
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), transform(col("v"), x => -x).as("v"),
+        lit(1).as("version"))
+    val nBatch = batch.count()
+    IndexStore.upsert(spark, path, batch)
+    // merge-on-read: the file set grew by the delta only
+    assert(IndexStore.loadAssignments(spark, path).count() == before + nBatch)
+    val live = IndexStore.currentAssignments(spark, path).cache()
+    assert(live.count() == before) // one live row per vec_id
+    assert(live.filter(col("version") === 1).count() == nBatch)
+    // updated vectors are re-assigned against the PERSISTED centroids:
+    // same answer as assigning the negated batch directly
+    val expected = graft.operators.VectorSearch.assignCells(
+        batch, VectorQueries.centroids(spark, sf))
+      .select(col("vec_id"), col("cell_id").as("exp_cell"))
+    assert(live.filter(col("version") === 1)
+      .join(expected, "vec_id")
+      .filter(col("cell_id") =!= col("exp_cell")).count() == 0)
+  }
+
+  test("compact folds deltas and preserves the live view") {
+    build()
+    val batch = VectorQueries.ivfCorpus(spark, sf)
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), transform(col("v"), x => -x).as("v"),
+        lit(1).as("version"))
+    IndexStore.upsert(spark, path, batch)
+    val liveBefore = IndexStore.currentAssignments(spark, path)
+      .select("vec_id", "cell_id", "version").orderBy("vec_id").collect()
+    IndexStore.compact(spark, path)
+    val after = IndexStore.loadAssignments(spark, path)
+    assert(after.count() == liveBefore.length) // deltas folded away
+    assert(after.select("vec_id", "cell_id", "version").orderBy("vec_id")
+      .collect().sameElements(liveBefore))
+  }
+
+  test("cell_id partitioning prunes unprobed cells at the scan") {
+    build()
+    val probe = IndexStore.loadAssignments(spark, path)
+      .filter(col("cell_id") === 3)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell_id"),
+      s"no partition filter in scan:\n$plan")
+  }
+}
