@@ -204,27 +204,65 @@ object VectorSearch {
              k: Int, nprobe: Int): DataFrame =
     knnIvfAssigned(queries, assignCells(corpus, centroids), centroids, k, nprobe)
 
-  /** Sign-bit bucket id from the first `bits` dimensions — the simplest
-    * deterministic random-hyperplane LSH (axis-aligned hyperplanes).
+  /** Sign-bit bucket id from `bits` dimensions starting at `offset` —
+    * deterministic random-hyperplane LSH with axis-aligned hyperplanes.
     */
-  def signBucket(v: Column, bits: Int): Column =
+  def signBucketAt(v: Column, offset: Int, bits: Int): Column =
     (0 until bits).map { i =>
-      when(element_at(v, i + 1).cast("double") >= 0.0, lit(1L << i)).otherwise(lit(0L))
+      when(element_at(v, offset + i + 1).cast("double") >= 0.0, lit(1L << i))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** LSH kNN: queries only meet corpus vectors in the same sign bucket —
-    * an equi-join on bucket id. Approximate (a true neighbor in another
-    * bucket is missed) but per-bucket work replaces the full cross
-    * product.
+  def signBucket(v: Column, bits: Int): Column = signBucketAt(v, 0, bits)
+
+  /** One (table_idx, bucket) per hash table: table t reads `bits` sign
+    * bits from dimensions [t·bits, (t+1)·bits). Tables are disjoint
+    * dimension sets, so their miss events are independent: a neighbor
+    * pair straddling a hyperplane of one table is still caught by any
+    * other table it agrees on — recall 1-(1-p^bits)^tables vs p^bits
+    * for a single table. */
+  def multiTableBuckets(v: Column, bits: Int, tables: Int): Column =
+    array((0 until tables).map(t => signBucketAt(v, t * bits, bits)): _*)
+
+  /** Multi-table LSH kNN: queries meet corpus vectors that share table
+    * t's bucket for ANY t — an equi-join on (table_idx, bucket). The
+    * per-(query, vec) duplicate matches from multiple tables collapse
+    * in a map-side-combined aggregation (the score is bit-identical
+    * across tables, so max() is pure dedup), then per-query top-k.
+    * Shuffle volume: `tables`× the single-table candidate set — still
+    * bucket-bounded, never the cross product.
     */
-  def knnLsh(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int): DataFrame = {
-    val cb = spread(corpus).withColumn("bucket", signBucket(col("v"), bits))
-      .withColumn("vn", Vec.norm(col("v")))
-    val qb = queries.withColumn("bucket", signBucket(col("qv"), bits))
-      .withColumn("qn", Vec.norm(col("qv")))
-    val scored = cb.join(broadcast(qb), "bucket")
+  def knnLsh(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int,
+             tables: Int = 1): DataFrame = {
+    val cb = spread(corpus).withColumn("vn", Vec.norm(col("v")))
+      .select(col("vec_id"), col("v"), col("vn"),
+        posexplode(multiTableBuckets(col("v"), bits, tables)).as(Seq("tbl", "bucket")))
+    val qb = queries.withColumn("qn", Vec.norm(col("qv")))
+      .select(col("query_id"), col("qv"), col("qn"),
+        posexplode(multiTableBuckets(col("qv"), bits, tables)).as(Seq("tbl", "bucket")))
+    val scored = cb.join(broadcast(qb), Seq("tbl", "bucket"))
       .withColumn("score", Vec.dot(col("qv"), col("v")) / (col("qn") * col("vn")))
-      .select("query_id", "vec_id", "score")
+      .groupBy("query_id", "vec_id").agg(max("score").as("score"))
     topK(scored, k, ascending = false)
+  }
+
+  /** Multi-table variant of nearDupPairsLsh: candidate pairs form
+    * inside ANY shared (table, bucket); duplicates collapse in the
+    * same max()-as-dedup aggregation before thresholding. */
+  def nearDupPairsLshMulti(vectors: DataFrame, minCosine: Double, bits: Int,
+                           tables: Int): DataFrame = {
+    val v = spread(vectors.select(col("vec_id"), col("v")))
+      .withColumn("vn", Vec.norm(col("v")))
+      .select(col("vec_id"), col("v"), col("vn"),
+        posexplode(multiTableBuckets(col("v"), bits, tables)).as(Seq("tbl", "bucket")))
+    val a = v.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("vn").as("na"))
+    val b = v.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("vn").as("nb"))
+    a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("score", Vec.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .groupBy("id_a", "id_b").agg(max("score").as("score"))
+      .filter(col("score") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
   }
 }

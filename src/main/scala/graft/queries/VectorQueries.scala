@@ -236,19 +236,27 @@ object VectorQueries {
   // ---- v7: sign-bit LSH kNN -------------------------------------------
 
   val LshBits = 8
+  val LshTables = 4 // disjoint 8-dim tables over dims 0..31
+
+  /** Multi-table bucket of list `v` for the table index held in SQL
+    * variable `t` (0-based): bits from dims [t·bits, (t+1)·bits). */
+  private def bucketAtS(v: String, t: String) = (0 until LshBits)
+    .map(i => s"(CASE WHEN $v[$t*$LshBits + ${i + 1}] >= 0.0 THEN ${1L << i} ELSE 0 END)")
+    .mkString(" + ")
 
   def v7KnnLsh(s: SparkSession, d: String): DataFrame =
-    VectorSearch.knnLsh(queryVecs(s, d), corpusVecs(s, d), K, LshBits)
+    VectorSearch.knnLsh(queryVecs(s, d), corpusVecs(s, d), K, LshBits, LshTables)
 
-  val v7Sql: String = {
-    def bucketS(v: String) = (0 until LshBits)
-      .map(i => s"(CASE WHEN $v[${i + 1}] >= 0.0 THEN ${1L << i} ELSE 0 END)")
-      .mkString(" + ")
+  val v7Sql: String =
     s"""WITH $qCte, $cCte,
-       |qb AS (SELECT query_id, qv, ${bucketS("qv")} AS bucket FROM q),
-       |cb AS (SELECT vec_id, v, ${bucketS("v")} AS bucket FROM c)
-       |${topkSql(s"SELECT query_id, vec_id, ${cosS("qv", "v")} AS score FROM cb JOIN qb USING (bucket)", desc = true)}""".stripMargin
-  }
+       |qb AS (SELECT query_id, qv, tr.range AS tbl, ${bucketAtS("qv", "tr.range")} AS bucket
+       |       FROM q, range(0, $LshTables) tr),
+       |cb AS (SELECT vec_id, v, tr.range AS tbl, ${bucketAtS("v", "tr.range")} AS bucket
+       |       FROM c, range(0, $LshTables) tr),
+       |cand AS (SELECT query_id, vec_id, max(score) AS score FROM (
+       |    SELECT query_id, vec_id, ${cosS("qv", "v")} AS score
+       |    FROM cb JOIN qb USING (tbl, bucket)) GROUP BY 1, 2)
+       |${topkSql(s"SELECT query_id, vec_id, score FROM cand", desc = true)}""".stripMargin
 
   // ---- d5: embedding-cosine near-duplicate pairs ----------------------
 
@@ -272,21 +280,21 @@ object VectorQueries {
   // ---- d6: LSH-bucketed near-dup (the 100 TB path for d5) -------------
 
   def d6NearDupLsh(s: SparkSession, d: String): DataFrame =
-    VectorSearch.nearDupPairsLsh(
+    VectorSearch.nearDupPairsLshMulti(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v")),
-      NearDupMinCos, LshBits)
+      NearDupMinCos, LshBits, LshTables)
 
-  val d6Sql: String = {
-    def bucketS(v: String) = (0 until LshBits)
-      .map(i => s"(CASE WHEN $v[${i + 1}] >= 0.0 THEN ${1L << i} ELSE 0 END)")
-      .mkString(" + ")
+  val d6Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |b AS (SELECT vec_id, v, ${bucketS("v")} AS bucket FROM e)
+       |b AS (SELECT vec_id, v, tr.range AS tbl, ${bucketAtS("v", "tr.range")} AS bucket
+       |      FROM e, range(0, $LshTables) tr)
        |SELECT id_a, id_b, round(score, 6) AS score FROM (
-       |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b, ${cosS("a.v", "b2.v")} AS score
-       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |  SELECT id_a, id_b, max(score) AS score FROM (
+       |    SELECT a.vec_id AS id_a, b2.vec_id AS id_b, ${cosS("a.v", "b2.v")} AS score
+       |    FROM b a JOIN b b2
+       |      ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |  GROUP BY 1, 2)
        |WHERE score >= $NearDupMinCos""".stripMargin
-  }
 
   // ---- v0: deterministic hashing-TF embedder over documents -----------
 

@@ -78,6 +78,42 @@ class VectorSpec extends SparkSpec {
     assert(df.agg(max("rnk")).head.getInt(0) <= VectorQueries.K)
   }
 
+  test("multi-table LSH recalls planted neighbors; beats one table; recall >= 0.9") {
+    import spark.implicits._
+    import graft.operators.VectorSearch
+    // deterministic ±1-ish base vectors; query i = base i with TWO
+    // sign flips inside the covered dims [0, 32). Each 8-dim table can
+    // be disturbed by at most 2 flips, so >= 2 of the 4 tables stay
+    // intact -> the multi-table join always surfaces the true neighbor.
+    // A single table (dims 0..7) provably misses every query whose
+    // flip lands in dims 0..7.
+    def gen(id: Int): Array[Double] = Array.tabulate(64) { j =>
+      if (((id * 31 + j * 17 + 7) % 97) % 2 == 0) 1.0 + 0.01 * j
+      else -1.0 - 0.01 * j
+    }
+    val nQ = 40
+    val corpus = (0 until nQ).map(i => (i.toLong + 100, gen(i))).toDF("vec_id", "v")
+    val queries = (0 until nQ).map { i =>
+      val v = gen(i)
+      val f1 = i % 32
+      val f2 = (i * 7 + 5) % 32
+      v(f1) = -v(f1)
+      if (f2 != f1) v(f2) = -v(f2)
+      (i.toLong, v)
+    }.toDF("query_id", "qv")
+    def top1Hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("rnk") === 1)
+        .filter(col("vec_id") === col("query_id") + 100).count()
+    val brute = top1Hits(VectorSearch.knnCosine(queries, corpus, 1))
+    assert(brute == nQ, "fixture: brute-force top-1 must be the planted base")
+    val multi = top1Hits(VectorSearch.knnLsh(queries, corpus, 1,
+      VectorQueries.LshBits, VectorQueries.LshTables))
+    val single = top1Hits(VectorSearch.knnLsh(queries, corpus, 1,
+      VectorQueries.LshBits, 1))
+    assert(multi.toDouble / nQ >= 0.9, s"multi-table recall ${multi.toDouble / nQ}")
+    assert(multi > single, s"multi ($multi) should beat single-table ($single)")
+  }
+
   test("embedding is deterministic, unit-norm, fixed-dim") {
     def embed() = Embed.embedDocs(
       graft.Tables.documents(spark, sf), "text", VectorQueries.EmbedDim)
