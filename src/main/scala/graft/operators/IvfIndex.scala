@@ -18,11 +18,28 @@ object IvfIndex {
 
   /** Learn `k` centroids from (vec_id, v: array<float>) with MLlib
     * KMeans; returns (cell_id, cv: array<double>) ready for
-    * VectorSearch.knnIvf / assignCells. */
+    * VectorSearch.knnIvf / assignCells.
+    *
+    * The fit runs on a DETERMINISTIC hash sample of ~fitSampleRows
+    * vectors (xxhash64(vec_id) threshold — stable across runs and
+    * partitionings), never the full corpus: k-means centroid quality
+    * converges long before 10⁹ points, and at 100 TB a full-corpus fit
+    * would iterate maxIter times over the whole table. The full corpus
+    * is then assigned in the single broadcast pass of assignCells.
+    */
   def kmeansCentroids(corpus: DataFrame, k: Int, seed: Long = 42L,
-                      maxIter: Int = 10): DataFrame = {
+                      maxIter: Int = 10, fitSampleRows: Long = 65536): DataFrame = {
     val spark = corpus.sparkSession
-    val feats = corpus.select(array_to_vector(col("v")).as("features"))
+    val target = math.max(fitSampleRows, 20L * k)
+    val n = corpus.count()
+    val sample =
+      if (n <= target) corpus
+      else {
+        val mod = 1000000L
+        val thresh = math.max(1L, mod * target / n)
+        corpus.filter(pmod(xxhash64(col("vec_id")), lit(mod)) < thresh)
+      }
+    val feats = sample.select(array_to_vector(col("v")).as("features"))
     val model = new KMeans()
       .setK(k).setSeed(seed).setMaxIter(maxIter)
       .fit(feats)

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+
+/** Batched model-inference operator for TEXT embeddings (SURVEY §2.2).
+  *
+  * The reference embeds with a real model in batches
+  * (`SentenceTransformer.encode(texts, batch_size=...)`,
+  * /root/reference/src/db.py:127-130). Model weights can't ship here,
+  * so the model is a STUB — but the operator shape is the production
+  * one, mirroring MultiModal: `mapPartitions` with the model
+  * initialized ONCE per partition (that's the expensive weight load)
+  * and rows encoded in size-`batchSize` groups (that's the GPU/BLAS
+  * batch). Swapping in a real encoder changes only `StubModel.encode`.
+  *
+  * The stub reproduces Embed.embedDocs' hashing-TF arithmetic
+  * bit-for-bit (same polynomial hash, same fold order, same HALF_UP
+  * 6-dp rounding on the shortest decimal representation — Spark's own
+  * `round` semantics), so the imperative inference path is verified
+  * against both the declarative Catalyst path and the DuckDB oracle.
+  */
+object TextInference {
+
+  case class DocRow(doc_id: Long, text: String)
+  case class EmbRow(doc_id: Long, embedding: Array[Double])
+
+  /** Per-partition "model". A real deployment holds weights/sessions
+    * here; construction cost is amortized over the partition. */
+  final class StubModel(dim: Int) {
+    def encode(batch: Seq[String]): Seq[Array[Double]] = batch.map { text =>
+      val counts = new Array[Double](dim)
+      text.split(" ").iterator.filter(_.nonEmpty).foreach { t =>
+        val b = (graft.functions.PolyHash.hash(t,
+          graft.functions.PolyHash.Base, graft.functions.PolyHash.Mod) % dim).toInt
+        counts(b) += 1.0
+      }
+      // same sequential fold order as the Catalyst aggregate()
+      var sq = 0.0
+      var i = 0
+      while (i < dim) { sq += counts(i) * counts(i); i += 1 }
+      val nrm = math.sqrt(sq)
+      Array.tabulate(dim) { j =>
+        // Spark round(): HALF_UP on BigDecimal.valueOf (shortest repr)
+        java.math.BigDecimal.valueOf(counts(j) / nrm)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+    }
+  }
+
+  /** Batched embedding inference: model init once per partition,
+    * encode in `batchSize` groups. */
+  def embedText(docs: Dataset[DocRow], dim: Int,
+                batchSize: Int = 64): Dataset[EmbRow] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { rows =>
+      val model = new StubModel(dim) // per-partition weight load
+      rows.grouped(batchSize).flatMap { batch =>
+        val vecs = model.encode(batch.map(_.text))
+        batch.lazyZip(vecs).map((r, v) => EmbRow(r.doc_id, v))
+      }
+    }
+  }
+}

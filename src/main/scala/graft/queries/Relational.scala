@@ -397,6 +397,48 @@ object Relational {
       |SELECT p.event_id, p.user_id, p.ts, c.click_id
       |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts""".stripMargin
 
+  /** e3_attribution — the stream-stream interval join
+    * (EventStream.purchaseAttribution) run in BATCH mode: purchases
+    * joined to the same user's clicks in the preceding 30 minutes.
+    * Identical transform object as the streaming path, so the driver's
+    * oracle now covers the join semantics the streaming spec exercises. */
+  val AttributionWindowSec = 1800L
+
+  def e3Attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    graft.streaming.EventStream.purchaseAttribution(
+      ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts"),
+      ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts"),
+      AttributionWindowSec)
+  }
+
+  val e3Sql: String =
+    s"""SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_id, c.ts AS click_ts
+       |FROM events p JOIN events c ON p.user_id = c.user_id
+       |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+       |  AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND ${AttributionWindowSec}000000""".stripMargin
+
+  /** pw1_partitioned_write — partitionBy parquet sink + partition-pruned
+    * read-back, surfaced as a driver-checkable aggregate: the round trip
+    * must reproduce the direct aggregation exactly. */
+  def pw1PartitionedWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pw1_" +
+      java.lang.Integer.toHexString(sfDir.hashCode)
+    Tables.events(spark, sfDir).select("event_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    spark.read.parquet(dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+  }
+
+  val pw1Sql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events WHERE event_type IN ('click', 'purchase')
+      |GROUP BY 1""".stripMargin
+
   /** e1_events_window — tumbling 1-hour event-time window (batch parity
     * of the streaming path in graft.streaming.EventStream). */
   def e1EventsWindow(spark: SparkSession, sfDir: String): DataFrame =

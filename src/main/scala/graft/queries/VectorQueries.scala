@@ -168,6 +168,24 @@ object VectorQueries {
        |${topkSql(s"SELECT p.query_id, a.vec_id, ${cosS("p.qv", "a.v")} AS score FROM assigned a JOIN probed p USING (cell_id)", desc = true)}""".stripMargin
   }
 
+  // ---- ti1: batched text-embedding inference ---------------------------
+
+  /** Batched mapPartitions inference (per-partition model init) whose
+    * stub model reproduces the hashing-TF embed exactly — so the
+    * imperative inference path shares v0's oracle. */
+  def ti1TextInference(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Dist.spread(Tables.documents(s, d).select("doc_id", "text"))
+      .as[graft.operators.TextInference.DocRow]
+    graft.operators.TextInference.embedText(docs, EmbedDim).toDF()
+      .select(col("doc_id"), posexplode(col("embedding")))
+      .select(col("doc_id"), col("pos").as("dim_idx"), col("col").as("value"))
+  }
+
+  // def, not val: v0Sql is declared later in this object and would be
+  // null at val-initialization time
+  def ti1Sql: String = v0Sql
+
   // ---- v9 / u3: persistent index + incremental upsert ------------------
 
   /** Deterministic scratch location for the persisted index (driver
@@ -187,7 +205,7 @@ object VectorQueries {
     graft.operators.IndexStore.query(s, path, queryVecs(s, d), K, NProbe)
   }
 
-  val v9Sql: String = v6Sql
+  def v9Sql: String = v6Sql
 
   /** Incremental index maintenance: every 10th corpus vector is
     * re-submitted negated as version 1; the upsert assigns cells for

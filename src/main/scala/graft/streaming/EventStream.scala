@@ -35,12 +35,15 @@ object EventStream {
   def purchaseAttribution(purchases: DataFrame, clicks: DataFrame,
                           windowSeconds: Long): DataFrame = {
     import org.apache.spark.sql.functions.expr
-    val p = purchases.withWatermark("ts", Watermark)
-    val c = clicks
+    // watermarks only on streaming inputs — the same transform is the
+    // batch parity (driver entry e3_attribution) with no-op bounds
+    val p0 = purchases
+    val p = if (p0.isStreaming) p0.withWatermark("ts", Watermark) else p0
+    val c0 = clicks
       .withColumnRenamed("ts", "click_ts")
       .withColumnRenamed("event_id", "click_id")
       .withColumnRenamed("user_id", "click_user")
-      .withWatermark("click_ts", Watermark)
+    val c = if (c0.isStreaming) c0.withWatermark("click_ts", Watermark) else c0
     p.join(c,
       expr(s"""user_id = click_user AND
               |click_ts <= ts AND

@@ -126,6 +126,25 @@ class VectorSpec extends SparkSpec {
     assert(math.abs(n - 1.0) < 1e-3) // elements rounded to 6dp post-normalize
   }
 
+  test("batched mapPartitions inference equals the declarative embed exactly") {
+    val declarative = VectorQueries.v0Embed(spark, sf)
+    val inferred = VectorQueries.ti1TextInference(spark, sf)
+    assert(declarative.count() > 0)
+    assert(declarative.exceptAll(inferred).count() == 0 &&
+      inferred.exceptAll(declarative).count() == 0)
+  }
+
+  test("sample-fit kmeans centroids are deterministic with k cells") {
+    val corpus = VectorQueries.ivfCorpus(spark, sf)
+    def fit() = graft.operators.IvfIndex
+      .kmeansCentroids(corpus, 8, fitSampleRows = 64)
+      .orderBy("cell_id").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val a = fit()
+    assert(a.length == 8)
+    assert(a.sameElements(fit()))
+  }
+
   test("v0 driver shape is exploded to dim rows per doc, hashable scalars") {
     val df = VectorQueries.v0Embed(spark, sf)
     assert(df.columns.toSeq == Seq("doc_id", "dim_idx", "value"))
