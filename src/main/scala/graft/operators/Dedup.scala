@@ -27,19 +27,24 @@ object Dedup {
           i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*))))
       .otherwise(array().cast("array<string>"))
 
-  /** One row per (doc, distinct shingle hash) + the doc's shingle count.
+  /** One row per (doc, distinct shingle hash).
     * Pipeline: tokenize → Exchange (materializes the token array AND
-    * spreads the single-file scan across the cluster) → shingle →
-    * explode → hash once per shingle. The char-level hash fold runs
-    * exactly ONCE per shingle — computing hashes inside nested lambdas
-    * let CollapseProject inline the fold into every consumer (16×
-    * recompute in the minhash permutations, 300 s/query at sf0.1).
+    * spreads the single-file scan across the cluster) → explode the
+    * shingle expression IN THE SAME select that builds it → hash once
+    * per shingle. Two interpreted-HOF lessons are load-bearing here:
+    * (1) hashes are computed on exploded rows, never inside nested
+    * lambdas — CollapseProject would inline the char fold into every
+    * consumer (16× recompute in the minhash permutations, 300 s/query
+    * at sf0.1); (2) `explode(expr)` must wrap the array construction
+    * DIRECTLY — projecting the array first and exploding the column in
+    * a separate select re-evaluates the interpreted HOF chain per
+    * OUTPUT row (measured 14.5 s vs 0.5 s at sf0.1; an Exchange
+    * between the selects does not stop the inlining).
     */
   def shingleHashRows(docs: DataFrame, n: Int): DataFrame =
     graft.Dist.spread(docs.select(col("doc_id"), tokens(col("text")).as("tk")))
-      .select(col("doc_id"), shinglesFromTokens(col("tk"), n).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), col("nsh"), tokenHash(col("s")).as("h"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("tk"), n)).as("s"))
+      .select(col("doc_id"), tokenHash(col("s")).as("h"))
 
   /** Exact dedup: group by (length, two independent content hashes),
     * keep the smallest id. Grouping on the ~20-byte digest instead of
@@ -91,13 +96,16 @@ object Dedup {
     // don't tokenize+hash the corpus twice, and the join rows carry
     // only (doc_id, h): per-doc shingle counts (recomputed post-prune)
     // rejoin AFTER pair aggregation (docs ≪ pairs).
-    val sh0 = shingleHashRows(docs, n).select("doc_id", "h").cache()
-    // hot keys are ≤ |posting rows|/dfCap and zipfian-few in practice;
-    // left_anti against them is broadcast-sized (AQE picks BHJ), and
-    // the aggregation shuffles on h — the same key the join shuffles on
-    val hot = sh0.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("h")
-    val sh = sh0.join(hot, Seq("h"), "left_anti").cache()
+    // the df cap is a window count over h — ONE pass in the same
+    // shuffle key as the self-join, streaming/spill-safe even on a
+    // million-doc bucket (collect_list would OOM; a separate
+    // aggregate+anti-join branch raced the other cache consumers into
+    // materializing this pipeline twice)
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val sh = shingleHashRows(docs, n).select("doc_id", "h")
+      .withColumn("__df", count(lit(1)).over(wh))
+      .filter(col("__df") <= dfCap).drop("__df")
+      .cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val a = sh.select(col("doc_id").as("id_a"), col("h"))
     val b = sh.select(col("doc_id").as("id_b"), col("h"))
@@ -151,16 +159,17 @@ object Dedup {
     * its members are found by the remaining bands or exact dedup). */
   def minhashCandidates(docs: DataFrame, n: Int,
                         dfCap: Int = DefaultDfCap): DataFrame = {
-    // cached: the bucket-size aggregation and banded self-join would
-    // otherwise run the tokenize→shingle→hash→16-perm-groupBy pipeline
-    // three times
-    val banded0 = minhashSignatures(shingleHashRows(docs, n))
+    // bucket-size cap as a window count over the band key — one pass,
+    // same shuffle key as the self-join (see ngramJaccardPairs); the
+    // result is cached so the banded self-join doesn't run the
+    // tokenize→shingle→hash→16-perm-groupBy pipeline twice
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "band_key")
+    val banded = minhashSignatures(shingleHashRows(docs, n))
       .select(col("doc_id"), posexplode(bandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
+      .withColumn("__df", count(lit(1)).over(wb))
+      .filter(col("__df") <= dfCap).drop("__df")
       .cache()
-    val hot = banded0.groupBy("band_idx", "band_key")
-      .agg(count(lit(1)).as("df")).filter(col("df") > dfCap)
-      .select("band_idx", "band_key")
-    val banded = banded0.join(hot, Seq("band_idx", "band_key"), "left_anti").cache()
     val a = banded.select(col("doc_id").as("id_a"), col("band_idx"), col("band_key"))
     val b = banded.select(col("doc_id").as("id_b"), col("band_idx"), col("band_key"))
     a.join(b, Seq("band_idx", "band_key")).filter(col("id_a") < col("id_b"))

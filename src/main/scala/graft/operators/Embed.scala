@@ -40,8 +40,8 @@ object Embed {
     * naive per-bucket lambda re-folds every token hash 64× once
     * CollapseProject inlines it).
     */
-  def embedDocs(docs: org.apache.spark.sql.DataFrame, textCol: String,
-                dim: Int): org.apache.spark.sql.DataFrame = {
+  private def withNorm(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                       dim: Int): org.apache.spark.sql.DataFrame = {
     val buckets = graft.Dist.spread(docs)
       .select(col("doc_id"), explode(tokens(col(textCol))).as("t"))
       .select(col("doc_id"), (tokenHash(col("t")) % dim).cast("int").as("bucket"))
@@ -52,7 +52,24 @@ object Embed {
       b => coalesce(element_at(col("m"), b), lit(0L)).cast("double"))
     maps.withColumn("counts", counts)
       .withColumn("nrm", sqrt(aggregate(col("counts"), lit(0.0), (acc, x) => acc + x * x)))
-      .select(col("doc_id"),
-        transform(col("counts"), x => round(x / col("nrm"), 6)).as("embedding"))
   }
+
+  private def embeddingExpr: Column =
+    transform(col("counts"), x => round(x / col("nrm"), 6))
+
+  def embedDocs(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                dim: Int): org.apache.spark.sql.DataFrame =
+    withNorm(docs, textCol, dim)
+      .select(col("doc_id"), embeddingExpr.as("embedding"))
+
+  /** Exploded (doc_id, dim_idx, value) form. posexplode wraps the
+    * embedding expression IN the constructing select: exploding a
+    * previously-projected interpreted-HOF column re-evaluates the
+    * whole chain per OUTPUT row (dim× per doc — see the
+    * Dedup.shingleHashRows scaladoc for the measured effect). */
+  def embedDocsExploded(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                        dim: Int): org.apache.spark.sql.DataFrame =
+    withNorm(docs, textCol, dim)
+      .select(col("doc_id"), posexplode(embeddingExpr))
+      .select(col("doc_id"), col("pos").as("dim_idx"), col("col").as("value"))
 }

@@ -324,9 +324,7 @@ object VectorQueries {
     * Library users call Embed.embedDocs directly for the array column.
     */
   def v0Embed(s: SparkSession, d: String): DataFrame =
-    Embed.embedDocs(Tables.documents(s, d), "text", EmbedDim)
-      .select(col("doc_id"), posexplode(col("embedding")))
-      .select(col("doc_id"), col("pos").as("dim_idx"), col("col").as("value"))
+    Embed.embedDocsExploded(Tables.documents(s, d), "text", EmbedDim)
 
   val v0Sql: String =
     s"""WITH toks AS (
