@@ -1,0 +1,77 @@
+package graft
+
+import graft.queries.VectorQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins the scale-critical PLAN SHAPES, not just results: these are
+  * the properties that decide whether an operator survives a 100×
+  * scale-up, and they regress silently if a refactor changes the plan
+  * (correctness gates stay green while the shuffle explodes).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("v6 centroid assignment aggregates map-side, no window sort") {
+    val p = plan(graft.operators.VectorSearch.assignCells(
+      VectorQueries.ivfCorpus(spark, sf), VectorQueries.centroids(spark, sf)))
+    assert(!p.contains("Window"),
+      s"assignment fell back to a window (shuffles |centroids|x rows):\n$p")
+    assert(p.contains("min_by") || p.contains("minby"),
+      s"expected min_by aggregation in:\n$p")
+    // partial aggregation before the exchange: HashAggregate appears
+    // below the shuffle, not only above it
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(vec_id")
+    assert(exchangeIdx > 0, s"no vec_id exchange found:\n$p")
+    assert(p.indexOf("Aggregate", exchangeIdx) >= 0 &&
+      p.substring(exchangeIdx).contains("Aggregate"),
+      s"no partial aggregate under the exchange:\n$p")
+  }
+
+  test("brute kNN broadcasts queries; corpus is never shuffled for the join") {
+    val p = plan(VectorQueries.v1KnnCos(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"queries not broadcast:\n$p")
+  }
+
+  test("IVF serve path joins candidates on cell_id with broadcast probes") {
+    val p = plan(VectorQueries.v6KnnIvf(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("cell_id"),
+      s"cell-probe join is not a broadcast equi-join on cell_id:\n$p")
+  }
+
+  test("q2 filter and projection reach the parquet scan") {
+    val p = plan(graft.queries.Relational.q2FilterAgg(spark, sf))
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    assert(!p.contains("PushedFilters: []"), s"empty pushed filters:\n$p")
+  }
+
+  test("q3 star join broadcasts every dimension (single fact shuffle)") {
+    val p = plan(graft.queries.Relational.q3Join5(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 4, s"expected >=4 broadcast dim joins, got $broadcasts:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"star join shuffles too much ($shuffles exchanges):\n$p")
+  }
+
+  test("multi-table LSH dedups candidates with a partial aggregation") {
+    val p = plan(VectorQueries.v7KnnLsh(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket join should broadcast the query side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"LSH must never cross-join:\n$p")
+  }
+
+  test("dedup pair generation never plans a cartesian product") {
+    Seq(
+      graft.queries.CorpusQueries.d2NgramJaccard(spark, sf),
+      graft.queries.CorpusQueries.d3Minhash(spark, sf),
+      VectorQueries.d6NearDupLsh(spark, sf)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"),
+        s"dedup candidate join degenerated to all-pairs:\n$p")
+    }
+  }
+}
