@@ -90,6 +90,33 @@ object TextAnalysis {
       .withColumn("min_gram_hash", array_min(grams))
   }
 
+  /** Bigram language-model statistics (t6): per-document count of
+    * distinct bigrams, the average corpus-wide document frequency of
+    * its bigrams (high = boilerplate-like, low = novel text), and the
+    * fraction of corpus-unique bigrams. The standard LM-ish quality
+    * signals WITHOUT transcendentals — log-probability scores would
+    * hinge on libm ulp parity across engines, while these are exact
+    * integer ratios the oracle reproduces bit-for-bit.
+    *
+    * Shape: explode distinct bigrams (inline, see shingleHashRows),
+    * one groupBy(h) for global document frequency, equi-join back on
+    * the hash, one groupBy(doc). All shuffles on narrow keys.
+    */
+  def bigramStats(docs: DataFrame, textCol: String): DataFrame = {
+    val bg = graft.Dist.spread(
+        docs.select(col("doc_id"), tokens(col(textCol)).as("tk")))
+      .select(col("doc_id"),
+        explode(Dedup.shinglesFromTokens(col("tk"), 2)).as("s"))
+      .select(col("doc_id"), tokenHash(col("s")).as("h"))
+    val df = bg.groupBy("h").agg(count(lit(1)).as("df"))
+    bg.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg("df"), 4).as("avg_bigram_df"),
+        round(sum(when(col("df") === 1, 1).otherwise(0)).cast("double")
+          / count(lit(1)), 4).as("rare_ratio"))
+  }
+
   /** Deterministic query generation (reference samples ~10% of the
     * corpus and LLM-generates one query per doc): sample doc_id % 10 = 0,
     * query = the doc's 3 most frequent tokens, frequency-desc then

@@ -200,6 +200,50 @@ object CorpusQueries {
        |    i -> ${polyhashS("substring(text, i, 8)")})) AS min_gram_hash
        |FROM documents""".stripMargin
 
+  // ---- cf1_contamination ----------------------------------------------
+
+  val ContaminationMinShared = 3
+
+  /** Pseudo-benchmark = every 97th doc; the rest is the training
+    * corpus. Flags training docs sharing ≥3 distinct 3-gram shingles
+    * with a benchmark doc. */
+  def cf1Contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    graft.operators.Contamination.check(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      3, ContaminationMinShared)
+  }
+
+  val cf1Sql: String =
+    s"""WITH $toksCte, $shingleCte,
+       |exs AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
+       |ex AS (SELECT doc_id, ${polyhashS("s")} AS h FROM exs),
+       |c AS (SELECT doc_id, h FROM ex WHERE doc_id % 97 != 0),
+       |b AS (SELECT doc_id AS benchmark_id, h FROM ex WHERE doc_id % 97 = 0)
+       |SELECT c.doc_id, b.benchmark_id, count(*) AS n_shared
+       |FROM c JOIN b USING (h)
+       |GROUP BY 1, 2 HAVING count(*) >= $ContaminationMinShared""".stripMargin
+
+  // ---- t6_bigram_stats ------------------------------------------------
+
+  def t6BigramStats(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bigramStats(Tables.documents(s, d).select("doc_id", "text"), "text")
+
+  val t6Sql: String =
+    s"""WITH $toksCte,
+       |bg0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
+       |          i -> tk[i] || ' ' || tk[i+1])) AS bgs
+       |        FROM toks WHERE len(tk) >= 2),
+       |exs AS (SELECT doc_id, unnest(bgs) AS s FROM bg0 WHERE len(bgs) > 0),
+       |ex AS (SELECT doc_id, ${polyhashS("s")} AS h FROM exs),
+       |df AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
+       |j AS (SELECT doc_id, df FROM ex JOIN df USING (h))
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  round(avg(df), 4) AS avg_bigram_df,
+       |  round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS rare_ratio
+       |FROM j GROUP BY doc_id""".stripMargin
+
   // ---- q0_querygen ----------------------------------------------------
 
   def q0QueryGen(s: SparkSession, d: String): DataFrame =

@@ -439,6 +439,17 @@ object Relational {
       |FROM events WHERE event_type IN ('click', 'purchase')
       |GROUP BY 1""".stripMargin
 
+  /** q12_approx_distinct — HyperLogLog++ distinct counts per group (the
+    * 100 TB path for q10's exact multi-distinct: one pass, fixed-size
+    * sketch state, no distinct shuffle). Rows-only driver check —
+    * sketch estimates are engine-specific — with the spec bounding the
+    * error against the exact counts. */
+  def q12ApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+
   /** e1_events_window — tumbling 1-hour event-time window (batch parity
     * of the streaming path in graft.streaming.EventStream). */
   def e1EventsWindow(spark: SparkSession, sfDir: String): DataFrame =

@@ -122,6 +122,44 @@ class DedupTextSpec extends SparkSpec {
     assert(freqs.sameElements(freqs.sorted(Ordering[Long].reverse)))
   }
 
+  test("cf1 contamination flags a planted benchmark copy, nothing self-paired") {
+    import spark.implicits._
+    val clean = (0 until 200)
+      .map(i => (i.toLong, s"unique${i}a text unique${i}b body unique${i}c tail unique${i}d"))
+    // doc 97 is "benchmark" (97 % 97 == 0); doc 150 copies its text
+    val leaked = clean.map { case (id, t) =>
+      if (id == 150) (id, clean(97)._2) else (id, t)
+    }
+    val docs = leaked.toDF("doc_id", "text")
+    val hits = graft.operators.Contamination.check(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      3, CorpusQueries.ContaminationMinShared).collect()
+    assert(hits.length == 1)
+    assert(hits.head.getLong(0) == 150 && hits.head.getLong(1) == 97)
+  }
+
+  test("t6 bigram stats: boilerplate-heavy docs show higher avg df") {
+    val df = CorpusQueries.t6BigramStats(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("rare_ratio") < 0 || col("rare_ratio") > 1).count() == 0)
+    assert(df.filter(col("avg_bigram_df") < 1.0).count() == 0) // df >= 1 by def
+  }
+
+  test("q12 approx distinct tracks exact multi-distinct within 5%") {
+    val approx = graft.queries.Relational.q12ApproxDistinct(spark, sf)
+    val exact = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("eo"), countDistinct("l_partkey").as("ep"))
+    val joined = approx.join(exact, "l_returnflag").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(math.abs(r.getAs[Long]("approx_orders") - r.getAs[Long]("eo")).toDouble
+        <= 0.05 * r.getAs[Long]("eo"))
+      assert(math.abs(r.getAs[Long]("approx_parts") - r.getAs[Long]("ep")).toDouble
+        <= 0.05 * r.getAs[Long]("ep"))
+    }
+  }
+
   test("u1 upsert keeps one row per key, newest version wins") {
     val df = CorpusQueries.u1Upsert(spark, sf).cache()
     val orders = Tables.orders(spark, sf)
