@@ -74,6 +74,20 @@ object IndexStore {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
   }
 
+  /** Maintain the persisted index from a STREAM of vector batches
+    * (vec_id, v, version): every micro-batch runs the same delta-only
+    * upsert via foreachBatch — the canonical sink for transactional
+    * side-effecting writes. State stays in the parquet tables, not the
+    * stream: a restart resumes from the checkpoint and re-appends only
+    * unprocessed micro-batches. */
+  def maintainFromStream(spark: SparkSession, path: String,
+                         batches: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    batches.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        upsert(spark, path, batch.toDF())
+      }
+      .start()
+
   /** Serve top-k cosine kNN from the persisted index. */
   def query(spark: SparkSession, path: String, queries: DataFrame,
             k: Int, nprobe: Int): DataFrame =

@@ -58,22 +58,39 @@ object TextAnalysis {
     "zh" -> "de", "zh" -> "shi", "zh" -> "bu")
 
   /** Predicted language: argmax marker-hit count, ties to the
-    * alphabetically first language (deterministic). */
+    * alphabetically first language (deterministic). The argmax is a
+    * max_by aggregation, not a row_number window: partial aggregation
+    * collapses the |languages|× expansion map-side (the same
+    * window→min_by lesson as VectorSearch.assignCells), and both
+    * groupBys shuffle once on doc_id. max_by on struct(score desc ≡
+    * max of (score, reversed-lang)) needs care for the tie-break, so
+    * the struct orders by (lang_score, neg-rank of lang) — expressed
+    * as max_by(struct) over (score, rev) where rev sorts languages
+    * DESCENDING alphabetically reversed into ascending preference. */
   def langId(docs: DataFrame, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // rev: alphabetically-first language must win ties under MAX, so
+    // pair each language with a rank that DEcreases alphabetically
+    val langs = LangMarkers.map(_._1).distinct.sorted
+    val langRank = langs.zipWithIndex.map { case (l, i) => l -> (langs.size - i) }
     val markers = broadcast(LangMarkers.toDF("cand_lang", "marker"))
+    val rankExpr = langRank.tail.foldLeft(
+      when(col("cand_lang") === langRank.head._1, langRank.head._2)) {
+      case (acc, (l, r)) => acc.when(col("cand_lang") === l, r)
+    }
     val scored = docs.crossJoin(markers)
       .withColumn("hit",
         when(instr(concat(lit(" "), col(textCol), lit(" ")),
           concat(lit(" "), col("marker"), lit(" "))) > 0, 1).otherwise(0))
       .groupBy(col("doc_id"), col("cand_lang"))
       .agg(sum("hit").as("lang_score"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("lang_score").desc, col("cand_lang").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("doc_id"), col("cand_lang").as("predicted_lang"), col("lang_score"))
+      .withColumn("pref", rankExpr)
+    scored.groupBy("doc_id")
+      .agg(max_by(struct(col("cand_lang"), col("lang_score")),
+        struct(col("lang_score"), col("pref"))).as("best"))
+      .select(col("doc_id"), col("best.cand_lang").as("predicted_lang"),
+        col("best.lang_score"))
   }
 
   /** Rolling-hash fingerprint: full-text polyhash plus the minimum
@@ -126,9 +143,11 @@ object TextAnalysis {
     val sampled = graft.Dist.spread(docs.filter(col("doc_id") % 10 === 0))
       .select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("freq"))
-    val w = Window.partitionBy("doc_id").orderBy(col("freq").desc, col("tok").asc)
-    sampled.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+    // top-3 via the custom TopKPerKey physical operator: per-partition
+    // bounded heaps cap the shuffle at 3 rows per doc per partition,
+    // where the row_number window would shuffle + sort every token
+    graft.plans.TopK.perKey(sampled, Seq("doc_id"),
+        Seq(col("freq").desc, col("tok").asc), 3)
       .groupBy("doc_id")
       .agg(array_join(transform(array_sort(collect_list(struct(col("rnk"), col("tok")))),
         x => x.getField("tok")), " ").as("query"))

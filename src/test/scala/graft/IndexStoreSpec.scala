@@ -66,6 +66,35 @@ class IndexStoreSpec extends SparkSpec {
       .collect().sameElements(liveBefore))
   }
 
+  test("streaming upserts maintain the index; latest version wins") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    build()
+    val target = VectorQueries.ivfCorpus(spark, sf)
+      .filter(col("vec_id") % 25 === 0)
+      .select("vec_id", "v").as[(Long, Array[Float])].collect().toSeq
+    val ms = MemoryStream[(Long, Array[Float], Int)](spark)
+    val q = IndexStore.maintainFromStream(spark, path,
+      ms.toDF().toDF("vec_id", "v", "version"))
+    try {
+      ms.addData(target.map { case (id, v) => (id, v.map(x => -x), 1) })
+      q.processAllAvailable()
+      ms.addData(target.map { case (id, v) => (id, v, 2) }) // revert at v2
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = IndexStore.currentAssignments(spark, path).cache()
+    assert(live.filter(col("version") === 2).count() == target.size)
+    assert(live.filter(col("version") === 1).count() == 0)
+    // v2 restored the original vectors, so serving equals the fresh index
+    val served = IndexStore.query(spark, path,
+      VectorQueries.queryVecs(spark, sf), VectorQueries.K, VectorQueries.NProbe)
+      .orderBy("query_id", "rnk").collect()
+    val direct = VectorQueries.v6KnnIvf(spark, sf)
+      .orderBy("query_id", "rnk").collect()
+    assert(served.sameElements(direct))
+  }
+
   test("cell_id partitioning prunes unprobed cells at the scan") {
     build()
     val probe = IndexStore.loadAssignments(spark, path)
