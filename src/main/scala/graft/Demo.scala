@@ -60,6 +60,23 @@ object Demo {
     val ms = (System.nanoTime() - t0) / 1e6
     println(f"retrieval: $nHits rows (top-5 × ${nHits / 5} queries) in $ms%.0f ms")
 
+    // 5b. persistent-index retrieval (reference: chromadb.PersistentClient
+    //     + hnsw index, chroma.py:70-80): k-means centroids on a sample,
+    //     build the parquet-backed IVF index, serve the same queries from
+    //     the LOADED index, compare against brute force
+    val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_demo_index"
+    val vecCorpus = corpus.select(col("vec_id"), col("v"))
+    val cents = operators.IvfIndex.kmeansCentroids(vecCorpus, 16)
+    operators.IndexStore.build(vecCorpus, cents, idxPath)
+    val t1 = System.nanoTime()
+    val ivfHits = operators.IndexStore.query(spark, idxPath, qVecs, 5, 4).cache()
+    val nIvf = ivfHits.count()
+    val ivfMs = (System.nanoTime() - t1) / 1e6
+    val overlap = ivfHits.select("query_id", "vec_id")
+      .intersect(hits.select("query_id", "vec_id")).count()
+    println(f"persistent IVF: $nIvf rows in $ivfMs%.0f ms; " +
+      f"top-5 overlap with brute force ${overlap.toDouble / nHits}%.2f")
+
     // 6. relevancy: a result is relevant iff it retrieves the query's
     //    own source doc or scores ≥ 0.8 cosine (stand-in for LLM ≥ 4/5)
     val judged = hits.withColumn("rel",
