@@ -450,6 +450,43 @@ object Relational {
       .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
 
+  /** pw2_temporal_write — DATE-partitioned parquet layout + range-pruned
+    * read-back: the standard 100 TB event-table layout (partition by
+    * day; time-range queries read only matching partitions). The
+    * round trip must reproduce the direct aggregation exactly. */
+  def pw2TemporalWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pw2_" +
+      java.lang.Integer.toHexString(sfDir.hashCode)
+    Tables.events(spark, sfDir).select(col("ts"), col("event_type"), col("value"))
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    spark.read.parquet(dir)
+      .filter(col("day").between(lit("2024-01-10"), lit("2024-01-12")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+  }
+
+  val pw2Sql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+      |GROUP BY 1""".stripMargin
+
+  /** m5_histogram — fixed-width value histogram per group: exact
+    * integer bucketing (floor(value/width)), the building block for
+    * distribution dashboards at scale (one map-side-combined shuffle,
+    * versus percentile sketches when quantiles are needed — m4). */
+  def m5Histogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        floor(col("value") / 10.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  val m5Sql: String =
+    """SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+      |  count(*) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   /** e1_events_window — tumbling 1-hour event-time window (batch parity
     * of the streaming path in graft.streaming.EventStream). */
   def e1EventsWindow(spark: SparkSession, sfDir: String): DataFrame =

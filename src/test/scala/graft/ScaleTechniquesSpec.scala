@@ -34,6 +34,36 @@ class ScaleTechniquesSpec extends SparkSpec {
       Tables.events(spark, sf).filter(col("event_type") === "click").count())
   }
 
+  test("pw2 temporal layout prunes day partitions on a range filter") {
+    val df = graft.queries.Relational.pw2TemporalWrite(spark, sf)
+    // the pruned read-back equals the direct filter+aggregate
+    val direct = Tables.events(spark, sf)
+      .filter(to_date(col("ts")).between(lit("2024-01-10"), lit("2024-01-12")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("dn"), round(sum("value"), 2).as("dsum"))
+    val joined = df.join(direct, "event_type").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n") == r.getAs[Long]("dn"))
+      assert(math.abs(r.getAs[Double]("sum_value") - r.getAs[Double]("dsum")) < 1e-6)
+    }
+    // and the scan actually prunes on the day partition column
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pw2_" +
+      java.lang.Integer.toHexString(sf.hashCode)
+    val p = spark.read.parquet(dir)
+      .filter(col("day").between(lit("2024-01-10"), lit("2024-01-12")))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("day"),
+      s"no day partition filter:\n$p")
+  }
+
+  test("m5 histogram buckets partition the table exactly") {
+    val h = graft.queries.Relational.m5Histogram(spark, sf)
+    assert(h.agg(sum("n")).head.getLong(0) == Tables.events(spark, sf).count())
+    assert(h.groupBy("event_type", "bucket").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("m4 approx percentiles track the exact ones") {
     val exact = graft.queries.MetricQueries.m1LatencyPcts(spark, sf)
       .withColumnRenamed("p50", "e50").withColumnRenamed("p95", "e95")
