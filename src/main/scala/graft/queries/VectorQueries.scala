@@ -254,23 +254,49 @@ object VectorQueries {
   // ---- v7: sign-bit LSH kNN -------------------------------------------
 
   val LshBits = 8
-  val LshTables = 4 // disjoint 8-dim tables over dims 0..31
+  val LshTables = 4 // disjoint 8-dim tables over dims 0..31 (axis variant)
 
-  /** Multi-table bucket of list `v` for the table index held in SQL
-    * variable `t` (0-based): bits from dims [t·bits, (t+1)·bits). */
-  private def bucketAtS(v: String, t: String) = (0 until LshBits)
-    .map(i => s"(CASE WHEN $v[$t*$LshBits + ${i + 1}] >= 0.0 THEN ${1L << i} ELSE 0 END)")
-    .mkString(" + ")
+  // random-hyperplane LSH parameters (the production bucketing for
+  // v7/d6): bits/table trades recall vs candidate volume. Measured on
+  // this fixture vs brute force top-5: (8,4)=0.05, (6,8)=0.30,
+  // (4,8)=0.675 — weakly-similar neighbors (cos~0.3-0.5) sit near 60-70°,
+  // so per-bit agreement p=1-θ/π ≈ 0.6 and few bits per table is the
+  // only way up; true near-dups (cos≥0.9, p≈0.9) bucket far better.
+  val RpBits = 4
+  val RpTables = 8
+  val RpSeed = 42L
+  lazy val rpWeights: Array[Array[Array[Double]]] =
+    VectorSearch.hyperplaneWeights(RpBits, RpTables, 64, RpSeed)
+
+  /** The ±1 weight rows as a DuckDB VALUES list: (tbl, bit, wv). */
+  private lazy val rpWeightRowsS: String =
+    rpWeights.zipWithIndex.flatMap { case (tbl, t) =>
+      tbl.zipWithIndex.map { case (plane, b) =>
+        s"($t, $b, [${plane.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
+      }
+    }.mkString(",\n|    ")
+
+  /** Bucket CTE: one (id, payload, tbl, bucket) row per table, buckets
+    * from the same ±1 hyperplane dot products the Spark side computes
+    * (identical literals, identical sequential fold → identical signs). */
+  private def rpBucketCteS(out: String, src: String, idCol: String,
+                           vCol: String): String =
+    s"""$out AS (
+       |  SELECT s.$idCol, any_value(s.$vCol) AS $vCol, w.tbl,
+       |    CAST(sum(CASE WHEN list_dot_product(s.$vCol, w.wv) >= 0
+       |             THEN (1::BIGINT << w.bit) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM $src s, w
+       |  GROUP BY s.$idCol, w.tbl)""".stripMargin
 
   def v7KnnLsh(s: SparkSession, d: String): DataFrame =
-    VectorSearch.knnLsh(queryVecs(s, d), corpusVecs(s, d), K, LshBits, LshTables)
+    VectorSearch.knnLshRp(queryVecs(s, d), corpusVecs(s, d), K, rpWeights)
 
   val v7Sql: String =
     s"""WITH $qCte, $cCte,
-       |qb AS (SELECT query_id, qv, tr.range AS tbl, ${bucketAtS("qv", "tr.range")} AS bucket
-       |       FROM q, range(0, $LshTables) tr),
-       |cb AS (SELECT vec_id, v, tr.range AS tbl, ${bucketAtS("v", "tr.range")} AS bucket
-       |       FROM c, range(0, $LshTables) tr),
+       |w(tbl, bit, wv) AS (VALUES
+       |    $rpWeightRowsS),
+       |${rpBucketCteS("qb", "q", "query_id", "qv")},
+       |${rpBucketCteS("cb", "c", "vec_id", "v")},
        |cand AS (SELECT query_id, vec_id, max(score) AS score FROM (
        |    SELECT query_id, vec_id, ${cosS("qv", "v")} AS score
        |    FROM cb JOIN qb USING (tbl, bucket)) GROUP BY 1, 2)
@@ -298,14 +324,15 @@ object VectorQueries {
   // ---- d6: LSH-bucketed near-dup (the 100 TB path for d5) -------------
 
   def d6NearDupLsh(s: SparkSession, d: String): DataFrame =
-    VectorSearch.nearDupPairsLshMulti(
+    VectorSearch.nearDupPairsLshRp(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v")),
-      NearDupMinCos, LshBits, LshTables)
+      NearDupMinCos, rpWeights)
 
   val d6Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |b AS (SELECT vec_id, v, tr.range AS tbl, ${bucketAtS("v", "tr.range")} AS bucket
-       |      FROM e, range(0, $LshTables) tr)
+       |w(tbl, bit, wv) AS (VALUES
+       |    $rpWeightRowsS),
+       |${rpBucketCteS("b", "e", "vec_id", "v")}
        |SELECT id_a, id_b, round(score, 6) AS score FROM (
        |  SELECT id_a, id_b, max(score) AS score FROM (
        |    SELECT a.vec_id AS id_a, b2.vec_id AS id_b, ${cosS("a.v", "b2.v")} AS score
