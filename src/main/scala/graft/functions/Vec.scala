@@ -52,4 +52,24 @@ object Vec {
     val n = norm(a)
     transform(a, x => x.cast("double") / n)
   }
+
+  /** Per-vector int8 scalar quantization: qᵢ = floor(xᵢ·127/max|x| + 0.5)
+    * in [-127, 127] — the standard memory-4×-reduction trick for
+    * embedding storage. floor(p + 0.5) instead of round(): floor is
+    * bit-exact on identical double products in every engine, while
+    * round() differs between shortest-decimal (Spark) and binary
+    * (DuckDB) semantics at .5 boundaries. */
+  def quantizeI8(a: Column): Column = {
+    // greatest(.., 1e-30) guards the all-zero vector (0·inf = NaN,
+    // which DuckDB refuses to cast to INT while Spark nulls it)
+    val maxAbs = greatest(
+      array_max(transform(a, x => abs(x.cast("double")))), lit(1e-30))
+    transform(a, x =>
+      floor(x.cast("double") * (lit(127.0) / maxAbs) + lit(0.5)).cast("int"))
+  }
+
+  /** Dequantized copy (qᵢ·max|x|/127) for distance computation on
+    * quantized storage. */
+  def dequantizeI8(q: Column, maxAbs: Column): Column =
+    transform(q, x => x.cast("double") * (maxAbs / lit(127.0)))
 }

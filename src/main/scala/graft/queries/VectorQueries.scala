@@ -168,6 +168,24 @@ object VectorQueries {
        |${topkSql(s"SELECT p.query_id, a.vec_id, ${cosS("p.qv", "a.v")} AS score FROM assigned a JOIN probed p USING (cell_id)", desc = true)}""".stripMargin
   }
 
+  // ---- vq1: int8 scalar quantization -----------------------------------
+
+  /** Exploded (vec_id, dim_idx, qval) int8 codes — all-integer output,
+    * hash-exact across engines (see Vec.quantizeI8 for the floor(p+.5)
+    * parity argument). */
+  def vq1Quantize(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(Vec.quantizeI8(col("embedding"))))
+      .select(col("vec_id"), col("pos").as("dim_idx"), col("col").as("qval"))
+
+  val vq1Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |m AS (SELECT vec_id, v,
+       |        greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS ma FROM e)
+       |SELECT vec_id, r.range AS dim_idx,
+       |  CAST(floor(v[r.range + 1] * (127.0 / ma) + 0.5) AS INT) AS qval
+       |FROM m, range(0, 64) r""".stripMargin
+
   // ---- ti1: batched text-embedding inference ---------------------------
 
   /** Batched mapPartitions inference (per-partition model init) whose
@@ -185,6 +203,18 @@ object VectorQueries {
   // def, not val: v0Sql is declared later in this object and would be
   // null at val-initialization time
   def ti1Sql: String = v0Sql
+
+  // ---- v10: MMR diversified retrieval ----------------------------------
+
+  val MmrLambda = 0.7
+
+  /** Diversified top-5 from top-20 brute-force candidates. Rows-only
+    * driver check (greedy sequential dependence isn't SQL-expressible);
+    * MmrSpec pins first-pick, dedup, and diversity semantics. */
+  def v10Mmr(s: SparkSession, d: String): DataFrame =
+    graft.operators.Mmr.diversifiedKnn(
+      queryVecs(s, d), corpusVecs(s, d).select("vec_id", "v"),
+      K, 20, MmrLambda)
 
   // ---- v9 / u3: persistent index + incremental upsert ------------------
 
