@@ -297,20 +297,28 @@ object VectorSearch {
     nearDupPairsLshBuckets(vectors, minCosine, multiTableBuckets(_, bits, tables))
 
   /** Shared multi-table near-dup skeleton over any per-table bucket
-    * expression. */
+    * expression. The bucket self-join carries ONLY (tbl, bucket, id)
+    * rows — never the vectors: shipping payloads through an L×-exploded
+    * join multiplies shuffle bytes by L, and cross-table duplicate
+    * pairs would each be scored. Instead: narrow join → distinct pair
+    * ids → rejoin vectors once → one exact rescore per unique pair. */
   def nearDupPairsLshBuckets(vectors: DataFrame, minCosine: Double,
                              buckets: Column => Column): DataFrame = {
-    val v = spread(vectors.select(col("vec_id"), col("v")))
+    val base = spread(vectors.select(col("vec_id"), col("v")))
       .withColumn("vn", Vec.norm(col("v")))
-      .select(col("vec_id"), col("v"), col("vn"),
-        posexplode(buckets(col("v"))).as(Seq("tbl", "bucket")))
-    val a = v.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"),
-      col("v").as("va"), col("vn").as("na"))
-    val b = v.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"),
-      col("v").as("vb"), col("vn").as("nb"))
-    a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
+    val bk = base.select(col("vec_id"),
+      posexplode(buckets(col("v"))).as(Seq("tbl", "bucket")))
+    val cand = bk.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
+      .join(bk.select(col("tbl"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(base.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("vn").as("na")), "id_a")
+      .join(base.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("vn").as("nb")), "id_b")
       .withColumn("score", Vec.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .groupBy("id_a", "id_b").agg(max("score").as("score"))
       .filter(col("score") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
   }

