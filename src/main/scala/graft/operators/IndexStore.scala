@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   * single epoch when they accumulate. This is the standard LSM-ish
   * shape for a 100 TB index: writes are O(batch), never O(corpus).
   *
-  * The assignment table is partitioned by cell_id, so a query probing
-  * nprobe cells prunes every other cell at the parquet scan (static
-  * pruning for literal probes, dynamic partition pruning against the
-  * broadcast probe set in knnIvfAssigned).
+  * The assignment table is partitioned by cell_id; after compaction,
+  * a literal probe set prunes every other cell at the parquet scan
+  * (queryCompacted). While deltas exist, serving reads all cells —
+  * see query() for why that is a correctness requirement, not a
+  * missed optimization.
   */
 object IndexStore {
 
@@ -88,9 +89,29 @@ object IndexStore {
       }
       .start()
 
-  /** Serve top-k cosine kNN from the persisted index. */
+  /** Serve top-k cosine kNN from the persisted index.
+    *
+    * NOTE on pruning: this path reads ALL cells whenever deltas exist,
+    * by design — an upsert can move a vector to a different cell, so a
+    * probed-cell-only read before the merge could let a stale row in a
+    * probed cell shadow its newer version sitting in an UNPROBED cell.
+    * The last-write-wins window therefore runs over the full table
+    * (and blocks partition-filter pushdown). For scan pruning, compact
+    * first and use queryCompacted. */
   def query(spark: SparkSession, path: String, queries: DataFrame,
             k: Int, nprobe: Int): DataFrame =
     VectorSearch.knnIvfAssigned(queries, currentAssignments(spark, path),
+      loadCentroids(spark, path), k, nprobe)
+
+  /** Serve from a COMPACTED index with the probe cells as literals:
+    * the isin filter reaches the parquet scan as a PartitionFilter, so
+    * only probed cell directories are read — the interactive-query
+    * fast path. The caller supplies the literal cell set (e.g. from
+    * probing the broadcast-small centroid table); correctness requires
+    * all deltas compacted (see query()). */
+  def queryCompacted(spark: SparkSession, path: String, queries: DataFrame,
+                     k: Int, nprobe: Int, cells: Seq[Long]): DataFrame =
+    VectorSearch.knnIvfAssigned(queries,
+      loadAssignments(spark, path).filter(col("cell_id").isin(cells: _*)),
       loadCentroids(spark, path), k, nprobe)
 }

@@ -183,9 +183,10 @@ object VectorSearch {
   /** Serve IVF kNN from an ALREADY-ASSIGNED corpus (vec_id, v, cell_id)
     * — e.g. one loaded from a persisted IndexStore. The candidate join
     * is an equi-join on cell_id against the broadcast probe set: work
-    * per query is bounded by probed-cell population, not corpus size,
-    * and a cell_id-partitioned assignment table prunes unprobed cells
-    * at the scan (dynamic partition pruning against the broadcast).
+    * per query is bounded by probed-cell population, not corpus size.
+    * (Scan-level partition pruning additionally applies when the
+    * caller pre-filters a cell_id-partitioned assignment table with
+    * literal cells — IndexStore.queryCompacted.)
     */
   def knnIvfAssigned(queries: DataFrame, assigned: DataFrame,
                      centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {

@@ -95,6 +95,27 @@ class IndexStoreSpec extends SparkSpec {
     assert(served.sameElements(direct))
   }
 
+  test("queryCompacted prunes unprobed cells and matches the full-read serve") {
+    build()
+    IndexStore.compact(spark, path)
+    // probed cells for this fixture's queries: derive once via the probe
+    val cells = graft.operators.VectorSearch.probeCells(
+        VectorQueries.queryVecs(spark, sf),
+        IndexStore.loadCentroids(spark, path), VectorQueries.NProbe)
+      .select("cell_id").distinct().collect().map(_.getLong(0)).toSeq
+    val pruned = IndexStore.queryCompacted(spark, path,
+      VectorQueries.queryVecs(spark, sf), VectorQueries.K, VectorQueries.NProbe, cells)
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters: ["))
+      .mkString("\n")
+    assert(pf.contains("cell_id") && pf.contains("INSET"),
+      s"no cell_id partition pruning; PartitionFilters lines:\n$pf")
+    val full = IndexStore.query(spark, path,
+      VectorQueries.queryVecs(spark, sf), VectorQueries.K, VectorQueries.NProbe)
+    assert(pruned.orderBy("query_id", "rnk").collect()
+      .sameElements(full.orderBy("query_id", "rnk").collect()))
+  }
+
   test("cell_id partitioning prunes unprobed cells at the scan") {
     build()
     val probe = IndexStore.loadAssignments(spark, path)
