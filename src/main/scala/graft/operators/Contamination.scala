@@ -18,11 +18,22 @@ import org.apache.spark.sql.functions._
 object Contamination {
 
   /** Corpus docs sharing ≥ minShared distinct n-gram shingles with a
-    * benchmark doc: (doc_id, benchmark_id, n_shared). */
+    * benchmark doc: (doc_id, benchmark_id, n_shared).
+    *
+    * Shingles present in more than `dfCap` BENCHMARK docs are dropped
+    * before the join — the same stop-shingle guard as the Dedup
+    * family: a common 3-gram shared by most benchmark docs multiplies
+    * every matching corpus row by the benchmark df (join blow-up) and
+    * its matches carry no contamination signal anyway. The benchmark
+    * side is the multiplier, so the cap is computed there (one window
+    * pass over the small side). */
   def check(corpus: DataFrame, benchmark: DataFrame, n: Int,
-            minShared: Int): DataFrame = {
+            minShared: Int, dfCap: Int = Dedup.DefaultDfCap): DataFrame = {
     val c = Dedup.shingleHashRows(corpus, n)
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy("h")
     val b = Dedup.shingleHashRows(benchmark, n)
+      .withColumn("__df", count(lit(1)).over(wb))
+      .filter(col("__df") <= dfCap).drop("__df")
       .select(col("doc_id").as("benchmark_id"), col("h"))
     c.join(broadcast(b), Seq("h"))
       .groupBy("doc_id", "benchmark_id")

@@ -63,31 +63,49 @@ object IndexStore {
 
   /** Fold accumulated deltas into a single epoch: rewrite the merged
     * view. Writes to a scratch dir first (Spark cannot overwrite a
-    * path it is reading), then swaps directories. */
+    * path it is reading), then swaps: the OLD table is renamed aside
+    * before the new one moves in, every rename result is checked, and
+    * the old data is deleted only after the new table is live — a
+    * crash mid-swap leaves either the old or the new table findable
+    * (assignments_old), never neither. True atomicity needs a table
+    * format with a commit log (Delta/Iceberg); this is the best a raw
+    * parquet directory can do. */
   def compact(spark: SparkSession, path: String): Unit = {
+    val hp = (s: String) => new org.apache.hadoop.fs.Path(s)
     val tmp = s"$path/assignments_compacting"
+    val old = s"$path/assignments_old"
     currentAssignments(spark, path)
       .write.mode(SaveMode.Overwrite).partitionBy("cell_id").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(assignmentsPath(path))
-    fs.delete(live, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+    val live = hp(assignmentsPath(path))
+    fs.delete(hp(old), true)
+    if (!fs.rename(live, hp(old)))
+      throw new java.io.IOException(s"compact: cannot move $live aside")
+    if (!fs.rename(hp(tmp), live)) {
+      fs.rename(hp(old), live) // roll back
+      throw new java.io.IOException(s"compact: cannot promote $tmp")
+    }
+    fs.delete(hp(old), true)
   }
 
   /** Maintain the persisted index from a STREAM of vector batches
     * (vec_id, v, version): every micro-batch runs the same delta-only
-    * upsert via foreachBatch — the canonical sink for transactional
-    * side-effecting writes. State stays in the parquet tables, not the
-    * stream: a restart resumes from the checkpoint and re-appends only
-    * unprocessed micro-batches. */
+    * upsert via foreachBatch — the canonical sink for side-effecting
+    * writes. Pass `checkpointLocation` in production: with it, a
+    * restart resumes from the checkpoint and re-appends only
+    * unprocessed micro-batches; without it (tests/ephemeral use) Spark
+    * uses a temp checkpoint and a restart REPLAYS retained input,
+    * appending duplicate (vec_id, version) rows. */
   def maintainFromStream(spark: SparkSession, path: String,
-                         batches: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
-    batches.writeStream
+                         batches: DataFrame,
+                         checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = batches.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         upsert(spark, path, batch.toDF())
       }
-      .start()
+    checkpointLocation.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 
   /** Serve top-k cosine kNN from the persisted index.
     *

@@ -24,8 +24,11 @@ object IvfIndex {
     * vectors (xxhash64(vec_id) threshold — stable across runs and
     * partitionings), never the full corpus: k-means centroid quality
     * converges long before 10⁹ points, and at 100 TB a full-corpus fit
-    * would iterate maxIter times over the whole table. The full corpus
-    * is then assigned in the single broadcast pass of assignCells.
+    * would iterate maxIter times over the whole table. Sizing the
+    * threshold costs one count() pass — cheap next to the maxIter
+    * full-table iterations it avoids (swap in countApprox if even that
+    * pass matters). The full corpus is then assigned in the single
+    * broadcast pass of assignCells.
     */
   def kmeansCentroids(corpus: DataFrame, k: Int, seed: Long = 42L,
                       maxIter: Int = 10, fitSampleRows: Long = 65536): DataFrame = {

@@ -39,7 +39,8 @@ object Mmr {
       }
       val selected = scala.collection.mutable.ArrayBuffer.empty[Cand]
       val out = scala.collection.mutable.ArrayBuffer.empty[Picked]
-      while (selected.length < k && selected.length < cands.length) {
+      var exhausted = false
+      while (!exhausted && selected.length < k && selected.length < cands.length) {
         var best: Cand = null
         var bestScore = Double.NegativeInfinity
         cands.iterator.filterNot(c => selected.exists(_.vec_id == c.vec_id)).foreach { c =>
@@ -51,8 +52,13 @@ object Mmr {
             best = c; bestScore = m
           }
         }
-        selected += best
-        out += Picked(qid, best.vec_id, best.score, bestScore, selected.length)
+        // every remaining candidate can score NaN (e.g. a zero query
+        // vector makes cosine 0/0): stop instead of selecting null
+        if (best == null) exhausted = true
+        else {
+          selected += best
+          out += Picked(qid, best.vec_id, best.score, bestScore, selected.length)
+        }
       }
       out.iterator
     }

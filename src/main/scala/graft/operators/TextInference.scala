@@ -25,30 +25,39 @@ object TextInference {
   case class EmbRow(doc_id: Long, embedding: Array[Double])
 
   /** Per-partition "model". A real deployment holds weights/sessions
-    * here; construction cost is amortized over the partition. */
+    * here; construction cost is amortized over the partition.
+    * Token-less (or null) texts encode to None — the declarative path
+    * drops them too (explode of an empty token array emits no rows),
+    * and BigDecimal.valueOf(0/0 = NaN) would otherwise throw. */
   final class StubModel(dim: Int) {
-    def encode(batch: Seq[String]): Seq[Array[Double]] = batch.map { text =>
+    def encode(batch: Seq[String]): Seq[Option[Array[Double]]] = batch.map { text =>
       val counts = new Array[Double](dim)
-      text.split(" ").iterator.filter(_.nonEmpty).foreach { t =>
+      var nTokens = 0
+      Option(text).getOrElse("").split(" ").iterator.filter(_.nonEmpty).foreach { t =>
         val b = (graft.functions.PolyHash.hash(t,
           graft.functions.PolyHash.Base, graft.functions.PolyHash.Mod) % dim).toInt
         counts(b) += 1.0
+        nTokens += 1
       }
-      // same sequential fold order as the Catalyst aggregate()
-      var sq = 0.0
-      var i = 0
-      while (i < dim) { sq += counts(i) * counts(i); i += 1 }
-      val nrm = math.sqrt(sq)
-      Array.tabulate(dim) { j =>
-        // Spark round(): HALF_UP on BigDecimal.valueOf (shortest repr)
-        java.math.BigDecimal.valueOf(counts(j) / nrm)
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (nTokens == 0) None
+      else {
+        // same sequential fold order as the Catalyst aggregate()
+        var sq = 0.0
+        var i = 0
+        while (i < dim) { sq += counts(i) * counts(i); i += 1 }
+        val nrm = math.sqrt(sq)
+        Some(Array.tabulate(dim) { j =>
+          // Spark round(): HALF_UP on BigDecimal.valueOf (shortest repr)
+          java.math.BigDecimal.valueOf(counts(j) / nrm)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        })
       }
     }
   }
 
   /** Batched embedding inference: model init once per partition,
-    * encode in `batchSize` groups. */
+    * encode in `batchSize` groups. Docs with no tokens are dropped
+    * (parity with Embed.embedDocs). */
   def embedText(docs: Dataset[DocRow], dim: Int,
                 batchSize: Int = 64): Dataset[EmbRow] = {
     import docs.sparkSession.implicits._
@@ -56,7 +65,7 @@ object TextInference {
       val model = new StubModel(dim) // per-partition weight load
       rows.grouped(batchSize).flatMap { batch =>
         val vecs = model.encode(batch.map(_.text))
-        batch.lazyZip(vecs).map((r, v) => EmbRow(r.doc_id, v))
+        batch.lazyZip(vecs).flatMap((r, v) => v.map(EmbRow(r.doc_id, _)))
       }
     }
   }

@@ -207,6 +207,10 @@ object VectorSearch {
 
   /** Sign-bit bucket id from `bits` dimensions starting at `offset` —
     * deterministic random-hyperplane LSH with axis-aligned hyperplanes.
+    * CALLER must keep offset + bits within the vector dimension:
+    * element_at past the end is null, the when() falls to 0, and every
+    * vector silently lands in bucket 0 for the out-of-range bits
+    * (degrading the bucket join toward all-pairs instead of failing).
     */
   def signBucketAt(v: Column, offset: Int, bits: Int): Column =
     (0 until bits).map { i =>

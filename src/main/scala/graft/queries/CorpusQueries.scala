@@ -215,12 +215,16 @@ object CorpusQueries {
       3, ContaminationMinShared)
   }
 
+  // mirrors Contamination.check incl. the benchmark-side df cap
   val cf1Sql: String =
     s"""WITH $toksCte, $shingleCte,
        |exs AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
        |ex AS (SELECT doc_id, ${polyhashS("s")} AS h FROM exs),
        |c AS (SELECT doc_id, h FROM ex WHERE doc_id % 97 != 0),
-       |b AS (SELECT doc_id AS benchmark_id, h FROM ex WHERE doc_id % 97 = 0)
+       |b0 AS (SELECT doc_id AS benchmark_id, h,
+       |         count(*) OVER (PARTITION BY h) AS bdf
+       |       FROM ex WHERE doc_id % 97 = 0),
+       |b AS (SELECT benchmark_id, h FROM b0 WHERE bdf <= ${Dedup.DefaultDfCap})
        |SELECT c.doc_id, b.benchmark_id, count(*) AS n_shared
        |FROM c JOIN b USING (h)
        |GROUP BY 1, 2 HAVING count(*) >= $ContaminationMinShared""".stripMargin

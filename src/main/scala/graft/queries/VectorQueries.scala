@@ -16,6 +16,8 @@ import graft.functions.Vec
   */
 object VectorQueries {
 
+  val EmbedDim = 64    // embedding dimension (declared first: several oracle
+                       // val strings below interpolate it at init time)
   private val QN = 8   // query vectors
   private val CN = 16  // IVF centroids
   val K = 5            // top-k, reference n_results=5 (chroma.py:103)
@@ -184,7 +186,7 @@ object VectorQueries {
        |        greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS ma FROM e)
        |SELECT vec_id, r.range AS dim_idx,
        |  CAST(floor(v[r.range + 1] * (127.0 / ma) + 0.5) AS INT) AS qval
-       |FROM m, range(0, 64) r""".stripMargin
+       |FROM m, range(0, $EmbedDim) r""".stripMargin
 
   // ---- ti1: batched text-embedding inference ---------------------------
 
@@ -387,7 +389,6 @@ object VectorQueries {
 
   // ---- v0: deterministic hashing-TF embedder over documents -----------
 
-  val EmbedDim = 64
 
   /** Driver-facing shape is exploded (doc_id, dim_idx, value): the
     * checker sorts+hashes columns and cannot hash an array cell (round-1

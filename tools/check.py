@@ -88,12 +88,12 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> bool:
             exact = (sv == ov) | both_nan
             if not exact.all():
                 close = np.isclose(sv, ov, rtol=1e-9, atol=0, equal_nan=True)
-                i = int(np.argmax(~exact))
                 if close.all():
                     fuzzy += int((~exact).sum())
                 else:
+                    i = int(np.argmax(~close))
                     print(f"[FAIL] {name}: value mismatch col '{c}' sorted row "
-                          f"{int(np.argmax(~close))}: spark={sv[i]} oracle={ov[i]}")
+                          f"{i}: spark={sv[i]} oracle={ov[i]}")
                     return False
         else:
             neq = ~((sv == ov) | (pd.isna(sv) & pd.isna(ov)))
