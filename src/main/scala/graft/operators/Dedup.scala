@@ -178,6 +178,35 @@ object Dedup {
   }
 
   val SimhashBits = 30
+  val SimhashBands = 3
+  val SimhashBandBits = 10 // bands cover bits [10b, 10b+10) of the 30-bit fingerprint
+
+  /** Near-duplicate pairs under a Hamming-distance bound on SimHash
+    * fingerprints — an EXACT algorithm with a bucket-bounded join: by
+    * pigeonhole, two 30-bit fingerprints differing in ≤ maxHamming <
+    * SimhashBands bits agree on at least one of the 3 disjoint 10-bit
+    * bands, so candidates are the per-band equi-join (never all-pairs)
+    * and the bit_count(xor) rescore filters exactly. Rows through the
+    * join are (band, id, simhash) — 24 bytes, no payload problem. */
+  def simhashPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming < SimhashBands,
+      s"pigeonhole guarantee needs maxHamming < $SimhashBands bands")
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimhashBands).map(b =>
+        shiftright(col("simhash"), b * SimhashBandBits) % lit(1 << SimhashBandBits)): _*))
+        .as(Seq("band_idx", "band_val")))
+    val a = banded.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band_idx", "band_val")).filter(col("id_a") < col("id_b"))
+      // filter BEFORE the pair-dedup groupBy: only matching pairs
+      // shuffle; cross-band duplicates of the same pair collapse after
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b")
+      .agg(min("hamming").as("hamming"))
+  }
 
   /** Per-document SimHash fingerprints: bit i set iff the majority of
     * token hashes have bit i set (tokens weighted by occurrence). 30

@@ -107,6 +107,48 @@ object TextAnalysis {
       .withColumn("min_gram_hash", array_min(grams))
   }
 
+  /** Token-window document chunking (ch1) — the RAG/training prep step
+    * that splits long documents into overlapping windows of
+    * `chunkTokens` whitespace tokens with `overlap` tokens shared
+    * between consecutive chunks. The window arithmetic is pure
+    * Catalyst and the chunks explode INLINE in the constructing select
+    * (see Dedup.shingleHashRows on why that placement is mandatory).
+    */
+  def chunk(docs: DataFrame, textCol: String,
+            chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val step = chunkTokens - overlap
+    val tk = col("tk")
+    val nChunks = greatest(
+      ceil((size(tk) - overlap).cast("double") / step).cast("int"), lit(1))
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(tk, i * step + 1, lit(chunkTokens)), " "))
+    graft.Dist.spread(docs.select(col("doc_id"), tokens(col(textCol)).as("tk")))
+      .filter(size(tk) > 0)
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_chunk_tokens",
+        size(filter(split(col("chunk_text"), " "), t => length(t) > lit(0))))
+  }
+
+  /** PII-style redaction (t7): masks email-shaped tokens and long
+    * digit runs — the scrubbing pass every training pipeline runs
+    * before text ships. Patterns stay in the regex subset (character
+    * classes, +, {n,}) whose semantics agree between Java regex and
+    * the oracle's RE2-style engine. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+  val LongDigitPattern = "[0-9]{6,}"
+
+  def redact(docs: DataFrame, textCol: String): DataFrame =
+    graft.Dist.spread(docs)
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          LongDigitPattern, "<NUM>"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))))
+      .withColumn("n_long_nums",
+        size(regexp_extract_all(col(textCol), lit(LongDigitPattern), lit(0))))
+
   /** Bigram language-model statistics (t6): per-document count of
     * distinct bigrams, the average corpus-wide document frequency of
     * its bigrams (high = boilerplate-like, low = novel text), and the

@@ -248,6 +248,81 @@ object CorpusQueries {
        |  round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS rare_ratio
        |FROM j GROUP BY doc_id""".stripMargin
 
+  // ---- d7_simhash_pairs -----------------------------------------------
+
+  val SimhashMaxHamming = 2
+
+  /** Exact Hamming-≤3 pairs over simhashes, band-join bounded. Runs on
+    * the dup-planted corpus so the planted exact duplicates (hamming 0)
+    * guarantee pairs exist. */
+  def d7SimhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(
+      Dedup.simhashes(docsWithDups(s, d), "text"), SimhashMaxHamming)
+
+  val d7Sql: String =
+    s"""WITH dup AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50),
+       |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk FROM dup),
+       |th AS (SELECT doc_id, list_transform(tk, t -> ${polyhashS("t")}) AS hs FROM toks),
+       |sh AS (SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(0, ${Dedup.SimhashBits}), i ->
+       |      CASE WHEN len(list_filter(hs, h -> (h // (1::BIGINT << i)) % 2 = 1)) * 2 >= len(hs)
+       |           THEN (1::BIGINT << i) ELSE 0 END)),
+       |    (a, b) -> a + b) AS simhash
+       |  FROM th),
+       |banded AS (SELECT doc_id, simhash, r.range AS band_idx,
+       |    (simhash // (1::BIGINT << (r.range * ${Dedup.SimhashBandBits}))) % ${1 << Dedup.SimhashBandBits} AS band_val
+       |  FROM sh, range(0, ${Dedup.SimhashBands}) r)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    any_value(bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)))::INT AS hamming
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |WHERE hamming <= $SimhashMaxHamming""".stripMargin
+
+  // ---- ch1_chunk ------------------------------------------------------
+
+  val ChunkTokens = 40
+  val ChunkOverlap = 8
+
+  def ch1Chunk(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunk(Tables.documents(s, d).select("doc_id", "text"),
+      "text", ChunkTokens, ChunkOverlap)
+
+  val ch1Sql: String = {
+    val step = ChunkTokens - ChunkOverlap
+    s"""WITH $toksCte,
+       |n AS (SELECT doc_id, tk,
+       |        greatest(CAST(ceil((len(tk) - $ChunkOverlap)::DOUBLE / $step) AS INT), 1) AS nc
+       |      FROM toks WHERE len(tk) > 0),
+       |ix AS (SELECT doc_id, tk, unnest(range(0, nc)) AS chunk_idx FROM n),
+       |ch AS (SELECT doc_id, chunk_idx,
+       |         array_to_string(array_slice(tk, chunk_idx * $step + 1,
+       |           chunk_idx * $step + $ChunkTokens), ' ') AS chunk_text
+       |       FROM ix)
+       |SELECT doc_id, chunk_idx, chunk_text,
+       |  len(list_filter(string_split(chunk_text, ' '), t -> length(t) > 0)) AS n_chunk_tokens
+       |FROM ch""".stripMargin
+  }
+
+  // ---- t7_redact ------------------------------------------------------
+
+  def t7Redact(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.redact(Tables.documents(s, d).select("doc_id", "text"), "text")
+      .select("doc_id", "redacted", "n_emails", "n_long_nums")
+
+  val t7Sql: String =
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(text, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+       |    '${TextAnalysis.LongDigitPattern}', '<NUM>', 'g') AS redacted,
+       |  len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) AS n_emails,
+       |  len(regexp_extract_all(text, '${TextAnalysis.LongDigitPattern}')) AS n_long_nums
+       |FROM documents""".stripMargin
+
   // ---- q0_querygen ----------------------------------------------------
 
   def q0QueryGen(s: SparkSession, d: String): DataFrame =

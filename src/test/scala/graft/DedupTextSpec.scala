@@ -122,6 +122,58 @@ class DedupTextSpec extends SparkSpec {
     assert(freqs.sameElements(freqs.sorted(Ordering[Long].reverse)))
   }
 
+  test("d7 simhash pairs: planted exact dups appear at hamming 0; bound respected") {
+    val pairs = CorpusQueries.d7SimhashPairs(spark, sf).cache()
+    assert(pairs.filter(col("hamming") > CorpusQueries.SimhashMaxHamming).count() == 0)
+    // the 50 planted exact duplicates (doc_id -> doc_id+1000000) must
+    // all surface with hamming 0 — the algorithm is exact by pigeonhole
+    val planted = pairs.filter(col("id_b") === col("id_a") + 1000000)
+      .filter(col("id_a") < 50)
+    assert(planted.count() == 50)
+    assert(planted.filter(col("hamming") =!= 0).count() == 0)
+  }
+
+  test("ch1 chunking: windows cover every token with the declared overlap") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val chunks = CorpusQueries.ch1Chunk(spark, sf).cache()
+    assert(chunks.select("doc_id").distinct().count() == docs.count())
+    // chunk_idx is dense from 0 per doc; no chunk exceeds the window
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("chunk_idx").as("mx"), min("chunk_idx").as("mn"))
+    assert(perDoc.filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1).count() == 0)
+    assert(chunks.filter(col("n_chunk_tokens") > CorpusQueries.ChunkTokens).count() == 0)
+    // exact reconstruction: step-prefix of every chunk except the last,
+    // plus the whole last chunk, re-joins to the doc's full token stream
+    val step = CorpusQueries.ChunkTokens - CorpusQueries.ChunkOverlap
+    val rebuilt = chunks.join(perDoc.select("doc_id", "mx"), "doc_id")
+      .withColumn("piece",
+        when(col("chunk_idx") < col("mx"),
+          expr(s"array_join(slice(split(chunk_text, ' '), 1, $step), ' ')"))
+          .otherwise(col("chunk_text")))
+      .groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(chunk_idx, piece))), x -> x.piece), ' ')")
+        .as("rebuilt"))
+    val full = docs.select(col("doc_id"),
+      expr("array_join(filter(split(text, ' '), t -> length(t) > 0), ' ')").as("full"))
+    assert(rebuilt.join(full, "doc_id")
+      .filter(col("rebuilt") =!= col("full")).count() == 0)
+  }
+
+  test("t7 redaction masks planted emails and long digit runs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact me at alice@example.com or call 1234567 now"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.co c@d.org and 999999999")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.redact(docs, "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("redacted") == "contact me at <EMAIL> or call <NUM> now")
+    assert(out(0).getAs[Int]("n_emails") == 1 && out(0).getAs[Int]("n_long_nums") == 1)
+    assert(out(1).getAs[String]("redacted") == "no pii here at all")
+    assert(out(2).getAs[Int]("n_emails") == 2 && out(2).getAs[Int]("n_long_nums") == 1)
+  }
+
   test("cf1 contamination flags a planted benchmark copy, nothing self-paired") {
     import spark.implicits._
     val clean = (0 until 200)
