@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through verbatim: the default
+// LoggedOutput wraps every line as "[info] ...", which breaks the
+// driver's JSON parse of Bench's one-line result (BENCH_r0{1,2}.json
+// both show "parsed": null with the line visible under an [info]
+// prefix in the captured tail).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

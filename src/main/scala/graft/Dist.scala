@@ -20,6 +20,12 @@ object Dist {
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Collision-free tag for scratch directories derived from a path:
+    * the full path with non-filename characters replaced, NOT a 32-bit
+    * hashCode — hashCode collisions between two different sf dirs would
+    * silently share (and clobber) one scratch dir. */
+  def pathTag(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
+
   /** Two-phase salted aggregation for skewed keys: aggregate on
     * (key, salt) first — spreading one hot key over `salts` reducers —
     * then combine the partials on the bare key. `aggs` must be

@@ -51,9 +51,16 @@ object IndexStore {
   /** Incremental upsert: assign cells for `batch` (vec_id, v, version)
     * against the PERSISTED centroids — one broadcast pass over the
     * delta only — and append. Existing rows for the same vec_id are
-    * superseded at read time (merge-on-read), not rewritten here. */
+    * superseded at read time (merge-on-read), not rewritten here.
+    * The batch itself is deduped to its newest version per vec_id
+    * first: a micro-batch can legitimately carry two versions of one
+    * vector (e.g. via maintainFromStream), and assignCells collapses
+    * to one row per vec_id — without the dedup, which version survived
+    * would depend on centroid distance, not recency. */
   def upsert(spark: SparkSession, path: String, batch: DataFrame): Unit =
-    VectorSearch.assignCells(batch, loadCentroids(spark, path))
+    VectorSearch.assignCells(
+      Upsert.lastWriteWins(batch, "vec_id", "version"),
+      loadCentroids(spark, path))
       .write.mode(SaveMode.Append).partitionBy("cell_id")
       .parquet(assignmentsPath(path))
 
@@ -76,9 +83,11 @@ object IndexStore {
     val old = s"$path/assignments_old"
     currentAssignments(spark, path)
       .write.mode(SaveMode.Overwrite).partitionBy("cell_id").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // bind to the filesystem OF THE PATH, not the cluster defaultFS —
+    // FileSystem.get(conf) would target the wrong FS for an index on
+    // file:// when defaultFS is hdfs:// (or vice versa)
     val live = hp(assignmentsPath(path))
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(hp(old), true)
     if (!fs.rename(live, hp(old)))
       throw new java.io.IOException(s"compact: cannot move $live aside")

@@ -147,21 +147,25 @@ object VectorSearch {
     */
   def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids.withColumn("csq", Vec.normSq(col("cv")))
-    // carry every vector column through the aggregation (constant per
-    // vec_id); min_by on (cdist, cell_id) reproduces the window's
-    // deterministic tie-break exactly
-    val carry = vectors.columns.filter(_ != "vec_id")
-      .map(c => first(col(c)).as(c)).toSeq
-    val aggs = carry :+
-      min_by(col("cell_id"), struct(col("cdist"), col("cell_id"))).as("cell_id")
+    // ONE min_by over a struct carrying the whole input row: the winning
+    // (cdist, cell_id) row's columns stay together, so even a batch with
+    // duplicate vec_id rows (e.g. two versions in one upsert micro-batch)
+    // yields an internally consistent output row — a first()-per-column
+    // formulation could pair one version's payload with the other's
+    // cell_id. min_by on (cdist, cell_id) keeps the deterministic
+    // tie-break of the original window formulation.
+    val others = vectors.columns.filter(_ != "vec_id").toSeq
+    val winner = min_by(
+      struct((others.map(col) :+ col("cell_id")): _*),
+      struct(col("cdist"), col("cell_id"))).as("w")
     spread(vectors).withColumn("vsq", Vec.normSq(col("v")))
       .crossJoin(broadcast(cents))
       .withColumn("cdist", sqrt(greatest(
         col("vsq") - lit(2.0) * Vec.dot(col("v"), col("cv")) + col("csq"), lit(0.0))))
       .groupBy("vec_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select((col("vec_id") +: vectors.columns.filter(_ != "vec_id")
-        .map(col).toSeq) :+ col("cell_id"): _*)
+      .agg(winner)
+      .select(col("vec_id") +:
+        (others :+ "cell_id").map(c => col(s"w.$c").as(c)): _*)
   }
 
   /** The `nprobe` nearest cells per query: (query_id, qv, qn, cell_id).
@@ -207,15 +211,18 @@ object VectorSearch {
 
   /** Sign-bit bucket id from `bits` dimensions starting at `offset` —
     * deterministic random-hyperplane LSH with axis-aligned hyperplanes.
-    * CALLER must keep offset + bits within the vector dimension:
-    * element_at past the end is null, the when() falls to 0, and every
-    * vector silently lands in bucket 0 for the out-of-range bits
-    * (degrading the bucket join toward all-pairs instead of failing).
+    * offset + bits must stay within the vector dimension: an
+    * out-of-range (or NaN) element raises at execution instead of
+    * silently sending every vector to bit 0, which would degrade the
+    * bucket join toward all-pairs with no visible error.
     */
   def signBucketAt(v: Column, offset: Int, bits: Int): Column =
     (0 until bits).map { i =>
-      when(element_at(v, offset + i + 1).cast("double") >= 0.0, lit(1L << i))
-        .otherwise(lit(0L))
+      val x = element_at(v, offset + i + 1).cast("double")
+      when(x >= 0.0, lit(1L << i)).when(x < 0.0, lit(0L))
+        .otherwise(raise_error(lit(
+          s"signBucketAt: dimension ${offset + i} out of range (or NaN) " +
+            "— tables*bits must be <= vector dim")).cast("long"))
     }.reduce(_ + _)
 
   def signBucket(v: Column, bits: Int): Column = signBucketAt(v, 0, bits)

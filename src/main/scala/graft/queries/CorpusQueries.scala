@@ -252,8 +252,10 @@ object CorpusQueries {
 
   val SimhashMaxHamming = 2
 
-  /** Exact Hamming-≤3 pairs over simhashes, band-join bounded. Runs on
-    * the dup-planted corpus so the planted exact duplicates (hamming 0)
+  /** Exact Hamming-≤`SimhashMaxHamming` (=2) pairs over simhashes,
+    * band-join bounded (the 3-band pigeonhole guarantee only covers
+    * differences strictly below the band count). Runs on the
+    * dup-planted corpus so the planted exact duplicates (hamming 0)
     * guarantee pairs exist. */
   def d7SimhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(

@@ -425,7 +425,7 @@ object Relational {
     * must reproduce the direct aggregation exactly. */
   def pw1PartitionedWrite(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pw1_" +
-      java.lang.Integer.toHexString(sfDir.hashCode)
+      graft.Dist.pathTag(sfDir)
     Tables.events(spark, sfDir).select("event_id", "event_type", "value")
       .write.mode("overwrite").partitionBy("event_type").parquet(dir)
     spark.read.parquet(dir)
@@ -456,7 +456,7 @@ object Relational {
     * round trip must reproduce the direct aggregation exactly. */
   def pw2TemporalWrite(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pw2_" +
-      java.lang.Integer.toHexString(sfDir.hashCode)
+      graft.Dist.pathTag(sfDir)
     Tables.events(spark, sfDir).select(col("ts"), col("event_type"), col("value"))
       .withColumn("day", to_date(col("ts")))
       .write.mode("overwrite").partitionBy("day").parquet(dir)

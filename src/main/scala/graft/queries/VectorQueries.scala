@@ -224,7 +224,7 @@ object VectorQueries {
     * runs are sequential; each entry overwrites its own suffix). */
   private def indexPath(d: String, suffix: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_index_" +
-      s"${java.lang.Integer.toHexString(d.hashCode)}_$suffix"
+      s"${graft.Dist.pathTag(d)}_$suffix"
 
   /** Build the persistent IVF index (centroids + cell-partitioned
     * assignments as parquet), then serve the kNN from what was LOADED
