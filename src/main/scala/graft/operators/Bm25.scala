@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.operators.Embed.tokens
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval (SURVEY §2.6 r2) — the lexical complement to
+  * the vector kNN family: the reference retrieves by embedding
+  * similarity only (chroma.py:96-106); production retrieval stacks pair
+  * that with a BM25 arm (hybrid search) because rare exact terms beat
+  * approximate semantics on keyword-ish queries.
+  *
+  * Shape (all inverted-index equi-joins, never query×corpus):
+  * term frequencies from one exploded-token aggregation; document
+  * frequencies from one more; query terms join DF (broadcast — queries
+  * are tiny), then hit the TF table on the term key, so per-query work
+  * is bounded by posting-list sizes. Scoring joins are followed by one
+  * (query, doc) aggregation and the custom TopKPerKey ranking.
+  *
+  * Ranking uses the 4-dp ROUNDED score (ties broken by doc_id): ln()
+  * is the one non-portable primitive here (last-ulp divergence between
+  * libm builds), and ranking on rounded values keeps the top-k set
+  * identical across engines — the same policy as the m3 NDCG oracle.
+  */
+object Bm25 {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** docs: (doc_id, textCol); queries: (query_id, queryCol).
+    * Emits (query_id, doc_id, score, rnk), top `k` docs per query by
+    * BM25 with Lucene's +1 idf floor: idf = ln(1 + (N-df+0.5)/(df+0.5)).
+    */
+  def search(docs: DataFrame, textCol: String, queries: DataFrame,
+             queryCol: String, k: Int): DataFrame = {
+    val toks = graft.Dist.spread(
+      docs.select(col("doc_id"), tokens(col(textCol)).as("tk")))
+      .filter(size(col("tk")) > 0)
+    // (doc_id, term, tf, dl): one shuffle with map-side combine
+    val tf = toks
+      .select(col("doc_id"), size(col("tk")).as("dl"), explode(col("tk")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    // corpus constants: N docs + average doc length (sum/count of
+    // BIGINTs — exact, so the double division is bit-identical in the
+    // oracle)
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("tk"))).as("avgdl"))
+    // distinct query terms with global df + idf — tiny, broadcast into
+    // the posting join
+    val qterms = queries.select(col("query_id"),
+      explode(array_distinct(tokens(col(queryCol)))).as("term"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qdf = qterms.join(df, "term").crossJoin(stats)
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+    val scored = tf.join(broadcast(qdf), "term")
+      .withColumn("part",
+        col("idf") * (col("tf") * (K1 + 1.0))
+          / (col("tf") + K1 * (1.0 - B + B * col("dl") / col("avgdl"))))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("part"), 4).as("score"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(col("score").desc, col("doc_id").asc), k)
+  }
+}

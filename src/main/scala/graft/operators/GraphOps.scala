@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators for dedup pipelines (SURVEY §2.4 d8).
+  *
+  * Near-dup detection emits PAIRS; acting on them (keep one doc per
+  * duplicate group) needs the transitive closure — connected
+  * components. The reference never gets this far (it stops at per-query
+  * results), but every production dedup pipeline runs exactly this step
+  * between pair generation and survivor selection.
+  */
+object GraphOps {
+
+  /** Connected components by iterative min-label propagation: each
+    * round every node takes the minimum component id among itself and
+    * its neighbors (one equi-join + one map-side-combined min
+    * aggregation per round — shuffles only on node ids, never
+    * materializing anything larger than |V| + |E|). Converges in
+    * `diameter` rounds; near-dup graphs are unions of quasi-cliques
+    * (diameter ≲ 3), so this beats the O(log n)-round star-contraction
+    * algorithms that pay 2-3 shuffles per round for graphs this
+    * shallow. Lineage is cut with localCheckpoint each round (an
+    * iterative plan otherwise grows exponentially); a real cluster
+    * deployment with preemptible executors would use reliable
+    * checkpoint(dir) instead.
+    *
+    * edges: undirected pairs (idA, idB). Returns (id, component) for
+    * every endpoint, component = smallest reachable id.
+    */
+  def connectedComponents(edges: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionAll(edges.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min("comp").as("ncomp"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (coalesce(col("ncomp"), col("comp")) < col("comp"))
+            .cast("long").as("__chg"))
+        .localCheckpoint()
+      changed = next.agg(coalesce(sum("__chg"), lit(0L))).head().getLong(0)
+      labels = next.select("id", "comp")
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents: not converged after $maxIter rounds " +
+        "(graph diameter exceeds maxIter)")
+    labels
+  }
+
+  /** Dedup-group view: component id + member count per doc — the
+    * survivor-selection input (keep id == component, drop the rest).
+    * Group size is a window count over the component key: one shuffle,
+    * no component-count table to broadcast (components can number in
+    * the millions at corpus scale). */
+  def dedupGroups(edges: DataFrame): DataFrame = {
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("comp")
+    connectedComponents(edges)
+      .withColumn("group_size", count(lit(1)).over(wc))
+      .select(col("id").as("doc_id"), col("comp").as("component"),
+        col("group_size"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Product quantization ANN (SURVEY §2.3 vq2) — the memory-bound scale
+  * path beyond int8 (vq1): a D-dim float vector compresses to
+  * `NumSubspaces` one-byte codes (64 dims × 8 bytes → 8 bytes, 64×),
+  * and query scoring becomes `NumSubspaces` table lookups instead of a
+  * D-element dot product (ADC — asymmetric distance computation). At
+  * 100 TB this is what lets a candidate set live in executor memory:
+  * the full-precision vectors are only touched to rescore the final
+  * top candidates.
+  *
+  * Codebooks here are `Codes` deterministically hash-sampled corpus
+  * vectors per subspace (seeds); production would Lloyd-refine them
+  * exactly like IvfIndex sample-fits its centroids — the operator
+  * shape (tiny broadcast codebook, one imperative encode pass, LUT
+  * scoring) is identical either way. Encoding runs as a per-partition
+  * imperative kernel (argmin over 16 centroids × 8 subspaces — the
+  * same batched-inference shape as TextInference/MultiModal, with the
+  * codebook as the "model"): a 16-way argmin in interpreted Catalyst
+  * HOFs would re-evaluate the distance fold per comparison.
+  */
+object Pq {
+
+  val NumSubspaces = 8
+  val Codes = 16
+
+  /** Deterministic seed codebook: the `Codes` corpus vectors with the
+    * smallest mixed-hash of vec_id, sliced per subspace.
+    * codebook(s)(c) = seed c's subvector in subspace s. */
+  def codebook(corpus: DataFrame): Array[Array[Array[Double]]] = {
+    val seeds = corpus
+      .select(col("vec_id"), col("v"))
+      .orderBy(Sampling.mixedHash(col("vec_id")).asc, col("vec_id").asc)
+      .limit(Codes)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(seeds.length == Codes, s"corpus smaller than $Codes vectors")
+    val dim = seeds.head.length
+    require(dim % NumSubspaces == 0, s"dim $dim not divisible by $NumSubspaces")
+    val sub = dim / NumSubspaces
+    Array.tabulate(NumSubspaces, Codes) { (s, c) =>
+      seeds(c).slice(s * sub, (s + 1) * sub)
+    }
+  }
+
+  /** Encode every corpus vector to its per-subspace nearest-seed codes:
+    * (vec_id, codes array<int>). One imperative pass per partition with
+    * the broadcast codebook; ties on the lower code id. */
+  def encode(corpus: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(cb)
+    val sub = cb(0)(0).length
+    val outSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("codes", ArrayType(IntegerType, containsNull = false),
+        nullable = false)))
+    val encoded = corpus.select(col("vec_id"), col("v")).rdd.mapPartitions { it =>
+      val book = bc.value
+      it.map { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Double](1)
+        val codes = Array.tabulate(NumSubspaces) { s =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < Codes) {
+            var d = 0.0; var j = 0
+            while (j < sub) {
+              val diff = v(s * sub + j) - book(s)(c)(j); d += diff * diff; j += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
+        }
+        Row(id, codes.toSeq)
+      }
+    }
+    spark.createDataFrame(encoded, outSchema)
+  }
+
+  /** ADC top-k dot-product search over PQ codes: per query, the lookup
+    * table lut(s)(c) = dot(query subvector s, codebook(s)(c)) is
+    * computed once (driver-free — it's a literal-free expression over
+    * the broadcast query row), then every corpus score is
+    * Σ_s lut(s)(codes(s)) — `NumSubspaces` array lookups, no float
+    * vector ever read. Exact-rescore of the returned candidates with
+    * the full vectors is the standard follow-up (see vq1's kNN spec).
+    */
+  def searchDot(queries: DataFrame, codes: DataFrame,
+                cb: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(cb)
+    val sub = cb(0)(0).length
+    val lutSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("lut", ArrayType(ArrayType(DoubleType, containsNull = false),
+        containsNull = false), nullable = false)))
+    val luts = spark.createDataFrame(
+      queries.select(col("query_id"), col("qv")).rdd.mapPartitions { it =>
+        val book = bc.value
+        it.map { r =>
+          val q = r.getSeq[Double](1)
+          val lut = Array.tabulate(NumSubspaces, Codes) { (s, c) =>
+            var d = 0.0; var j = 0
+            while (j < sub) { d += q(s * sub + j) * book(s)(c)(j); j += 1 }
+            d
+          }
+          Row(r.getLong(0), lut.map(_.toSeq).toSeq)
+        }
+      }, lutSchema)
+    // score = fold over the 8 codes — a small bounded HOF over
+    // materialized arrays (not a per-pair vector fold)
+    val scored = graft.Dist.spread(codes).crossJoin(broadcast(luts))
+      .withColumn("score",
+        aggregate(zip_with(col("codes"), col("lut"),
+            (code, tbl) => element_at(tbl, code + 1)),
+          lit(0.0), (acc, x) => acc + x))
+      .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(col("score").desc, col("vec_id").asc), k)
+  }
+}

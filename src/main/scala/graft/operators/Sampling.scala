@@ -64,6 +64,40 @@ object Sampling {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Deterministic train/val/test split (s3): bucket = mixed hash of
+    * the key mod 100; train < `trainPct`, val < trainPct+`valPct`,
+    * else test. Pure per-row arithmetic — no shuffle, no RNG, stable
+    * under reruns and re-partitioning, and every engine (and future
+    * run) assigns each row to the same split. */
+  def split(df: DataFrame, keyCol: String,
+            trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = mixedHash(col(keyCol)) % 100
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Weighted source-mixture sampling (s4): keep a row iff its
+    * mixed-hash draw (uniform in [0, 1000)) falls under its group's
+    * weight×1000 threshold — the dataset-mixture step of training-data
+    * assembly (e.g. up-weight books, down-weight web). `weights` rides
+    * in as a broadcast-joined table rather than a when()-chain so a
+    * production weight table (thousands of sources) needs no plan
+    * rebuild. Rows whose group has no weight are dropped (weight 0).
+    */
+  def mixtureSample(df: DataFrame, groupCol: String, keyCol: String,
+                    weights: Map[String, Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wt = broadcast(
+      weights.toSeq.toDF(groupCol, "__w")
+        .select(col(groupCol), (col("__w") * 1000).cast("long").as("__thresh")))
+    df.join(wt, groupCol)
+      .filter(mixedHash(col(keyCol)) % 1000 < col("__thresh"))
+      .drop("__thresh")
+  }
+
   /** Vocabulary builder: global token frequencies, rank-ordered — the
     * seed step of tokenizer/BPE training. Explode → one shuffle with
     * map-side combine → top-N by the custom TopK operator.

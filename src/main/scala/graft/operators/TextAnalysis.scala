@@ -176,6 +176,56 @@ object TextAnalysis {
           / count(lit(1)), 4).as("rare_ratio"))
   }
 
+  /** Repetition thresholds for `repetition` — applied to the ROUNDED
+    * ratios so the boolean agrees across engines even at a round
+    * boundary. */
+  val DupTokenMax = 0.55
+  val TopBigramMax = 0.18
+
+  /** Within-document repetition signals (t8) — the Gopher-style
+    * repetition filters every training-data pipeline applies: highly
+    * repetitive documents (boilerplate, keyword stuffing, generation
+    * loops) are poison for LM training. Per doc:
+    *   dup_token_ratio — 1 − distinct/total tokens;
+    *   top_bigram_ratio — occurrences of the most frequent bigram over
+    *     all bigram occurrences (NON-distinct, unlike t6);
+    *   repetitive — either ratio over its threshold.
+    * Shape: one exploded-token aggregation + one exploded-bigram
+    * double aggregation, both map-side combined; the join back is on
+    * doc_id. Docs with <2 tokens have no bigrams → ratio 0.
+    */
+  def repetition(docs: DataFrame, textCol: String): DataFrame = {
+    val base = graft.Dist.spread(
+      docs.select(col("doc_id"), tokens(col(textCol)).as("tk")))
+      .filter(size(col("tk")) > 0)
+    val tokStats = base
+      .select(col("doc_id"), explode(col("tk")).as("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct("t").as("n_distinct_tokens"))
+    // non-distinct bigrams: count per (doc, bigram hash), then the max
+    // and total per doc in a second map-side-combined pass
+    val bigrams = base.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 1),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1)))).as("s"))
+      .select(col("doc_id"), tokenHash(col("s")).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_bigram"), sum("c").as("n_bigrams"))
+    tokStats.join(bigrams, Seq("doc_id"), "left")
+      .withColumn("dup_token_ratio", round(
+        lit(1.0) - col("n_distinct_tokens").cast("double") / col("n_tokens"), 4))
+      .withColumn("top_bigram_ratio", round(coalesce(
+        col("top_bigram").cast("double") / col("n_bigrams"), lit(0.0)), 4))
+      .withColumn("repetitive",
+        col("dup_token_ratio") > DupTokenMax ||
+          col("top_bigram_ratio") > TopBigramMax)
+      .select("doc_id", "n_tokens", "dup_token_ratio", "top_bigram_ratio",
+        "repetitive")
+  }
+
   /** Deterministic query generation (reference samples ~10% of the
     * corpus and LLM-generates one query per doc): sample doc_id % 10 = 0,
     * query = the doc's 3 most frequent tokens, frequency-desc then
