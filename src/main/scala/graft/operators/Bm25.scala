@@ -57,7 +57,7 @@ object Bm25 {
     val scored = tf.join(broadcast(qdf), "term")
       .withColumn("part",
         col("idf") * (col("tf") * (K1 + 1.0))
-          / (col("tf") + K1 * (1.0 - B + B * col("dl") / col("avgdl"))))
+          / (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
       .groupBy("query_id", "doc_id")
       .agg(round(sum("part"), 4).as("score"))
     graft.plans.TopK.perKey(scored, Seq("query_id"),
