@@ -20,11 +20,16 @@ object Dist {
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-  /** Collision-free tag for scratch directories derived from a path:
-    * the full path with non-filename characters replaced, NOT a 32-bit
-    * hashCode — hashCode collisions between two different sf dirs would
-    * silently share (and clobber) one scratch dir. */
-  def pathTag(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
+  /** Collision-free tag for scratch directories derived from a path: a
+    * readable sanitized prefix plus the SHA-256 of the UNMODIFIED path.
+    * The sanitizer alone is not injective ("/a/b", "/a_b", "/a:b" all
+    * sanitize to "_a_b"), so two sf dirs could silently share (and
+    * clobber) one scratch dir; the digest restores injectivity. */
+  def pathTag(s: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + digest
+  }
 
   /** Two-phase salted aggregation for skewed keys: aggregate on
     * (key, salt) first — spreading one hot key over `salts` reducers —

@@ -85,14 +85,21 @@ object Sampling {
     * in as a broadcast-joined table rather than a when()-chain so a
     * production weight table (thousands of sources) needs no plan
     * rebuild. Rows whose group has no weight are dropped (weight 0).
+    *
+    * Weights must be in [0, 1]: this operator only DOWN-samples (rows
+    * are never duplicated), so an up-weight > 1 is rejected rather than
+    * silently behaving as keep-all. Thresholds use round(), not a
+    * truncating cast — weight 0.0625 means 62.5 ≈ 63/1000, not 62.
     */
   def mixtureSample(df: DataFrame, groupCol: String, keyCol: String,
                     weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
+      s"mixtureSample weights must be in [0, 1] (no row replication): $weights")
     val spark = df.sparkSession
     import spark.implicits._
     val wt = broadcast(
       weights.toSeq.toDF(groupCol, "__w")
-        .select(col(groupCol), (col("__w") * 1000).cast("long").as("__thresh")))
+        .select(col(groupCol), round(col("__w") * 1000).cast("long").as("__thresh")))
     df.join(wt, groupCol)
       .filter(mixedHash(col(keyCol)) % 1000 < col("__thresh"))
       .drop("__thresh")

@@ -182,6 +182,14 @@ object TextAnalysis {
   val DupTokenMax = 0.55
   val TopBigramMax = 0.18
 
+  /** Minimum tokens before the repetition flag applies. Gopher-style
+    * top-n-gram thresholds assume a minimum length: a 2-token doc has
+    * exactly one bigram, so its top_bigram_ratio is 1.0 and EVERY short
+    * doc would be flagged regardless of content ("hello world" is not
+    * boilerplate). Below this, `repetitive` is false by definition —
+    * the ratios are still reported. */
+  val MinRepTokens = 10
+
   /** Within-document repetition signals (t8) — the Gopher-style
     * repetition filters every training-data pipeline applies: highly
     * repetitive documents (boilerplate, keyword stuffing, generation
@@ -220,8 +228,9 @@ object TextAnalysis {
       .withColumn("top_bigram_ratio", round(coalesce(
         col("top_bigram").cast("double") / col("n_bigrams"), lit(0.0)), 4))
       .withColumn("repetitive",
-        col("dup_token_ratio") > DupTokenMax ||
-          col("top_bigram_ratio") > TopBigramMax)
+        col("n_tokens") >= MinRepTokens &&
+          (col("dup_token_ratio") > DupTokenMax ||
+            col("top_bigram_ratio") > TopBigramMax))
       .select("doc_id", "n_tokens", "dup_token_ratio", "top_bigram_ratio",
         "repetitive")
   }

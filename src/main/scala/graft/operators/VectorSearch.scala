@@ -211,18 +211,22 @@ object VectorSearch {
 
   /** Sign-bit bucket id from `bits` dimensions starting at `offset` —
     * deterministic random-hyperplane LSH with axis-aligned hyperplanes.
-    * offset + bits must stay within the vector dimension: an
-    * out-of-range (or NaN) element raises at execution instead of
-    * silently sending every vector to bit 0, which would degrade the
-    * bucket join toward all-pairs with no visible error.
+    * offset + bits must stay within the vector dimension, and elements
+    * must be real numbers: an out-of-range (null) or NaN element raises
+    * at execution instead of silently sending every vector to one
+    * bucket, which would degrade the bucket join toward all-pairs with
+    * no visible error. (NaN needs its own isnan() test: Spark's
+    * comparisons use nan-safe ordering where NaN > any double, so
+    * `x >= 0.0` would otherwise be quietly TRUE for NaN.)
     */
   def signBucketAt(v: Column, offset: Int, bits: Int): Column =
     (0 until bits).map { i =>
       val x = element_at(v, offset + i + 1).cast("double")
-      when(x >= 0.0, lit(1L << i)).when(x < 0.0, lit(0L))
+      when(!isnan(x) && x >= 0.0, lit(1L << i))
+        .when(!isnan(x) && x < 0.0, lit(0L))
         .otherwise(raise_error(lit(
-          s"signBucketAt: dimension ${offset + i} out of range (or NaN) " +
-            "— tables*bits must be <= vector dim")).cast("long"))
+          s"signBucketAt: dimension ${offset + i} out of range or NaN " +
+            "— tables*bits must be <= vector dim and elements finite")).cast("long"))
     }.reduce(_ + _)
 
   def signBucket(v: Column, bits: Int): Column = signBucketAt(v, 0, bits)
