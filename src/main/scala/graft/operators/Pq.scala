@@ -33,7 +33,7 @@ object Pq {
     * codebook(s)(c) = seed c's subvector in subspace s. */
   def codebook(corpus: DataFrame): Array[Array[Array[Double]]] = {
     val seeds = corpus
-      .select(col("vec_id"), col("v"))
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
       .orderBy(Sampling.mixedHash(col("vec_id")).asc, col("vec_id").asc)
       .limit(Codes)
       .collect()
@@ -47,6 +47,41 @@ object Pq {
     }
   }
 
+  /** Lloyd-refine a codebook per subspace: `iters` rounds of
+    * assign-to-nearest (the encode kernel) + per-(subspace, code)
+    * subvector mean. Each round is one encode pass plus ONE map-side-
+    * combined aggregation over (subspace, code, dim) — at 100 TB the
+    * aggregation output is NumSubspaces×Codes×subDim rows regardless of
+    * corpus size, so the collect is index-metadata-sized. Empty cells
+    * keep their previous centroid. Deterministic given the (hash-
+    * sampled) seed init — no RNG.
+    *
+    * The driver-checked vq2/v11 entries use the raw seed codebook (the
+    * oracle replicates seed selection in SQL; k-means is not
+    * SQL-expressible — same policy as v8). This is the production
+    * quality path, spec-bounded like v8's recall.
+    */
+  def refine(corpus: DataFrame, cb0: Array[Array[Array[Double]]],
+             iters: Int): Array[Array[Array[Double]]] = {
+    val sub = cb0(0)(0).length
+    var cb = cb0
+    for (_ <- 0 until iters) {
+      val vecs = corpus.select(col("vec_id"),
+        col("v").cast("array<double>").as("v"))
+      val means = vecs.join(encode(vecs, cb), "vec_id")
+        .select(col("v"), posexplode(col("codes")).as(Seq("s", "code")))
+        .select(col("s"), col("code"),
+          posexplode(expr(s"slice(v, s * $sub + 1, $sub)")).as(Seq("j", "x")))
+        .groupBy("s", "code", "j").agg(avg("x").as("m"))
+        .collect()
+      val next = Array.tabulate(NumSubspaces, Codes)((s, c) => cb(s)(c).clone())
+      means.foreach(r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      cb = next
+    }
+    cb
+  }
+
   /** Encode every corpus vector to its per-subspace nearest-seed codes:
     * (vec_id, codes array<int>). One imperative pass per partition with
     * the broadcast codebook; ties on the lower code id. */
@@ -58,7 +93,9 @@ object Pq {
       StructField("vec_id", LongType, nullable = false),
       StructField("codes", ArrayType(IntegerType, containsNull = false),
         nullable = false)))
-    val encoded = corpus.select(col("vec_id"), col("v")).rdd.mapPartitions { it =>
+    val encoded = corpus
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+      .rdd.mapPartitions { it =>
       val book = bc.value
       it.map { r =>
         val id = r.getLong(0)
@@ -100,7 +137,8 @@ object Pq {
       StructField("lut", ArrayType(ArrayType(DoubleType, containsNull = false),
         containsNull = false), nullable = false)))
     val luts = spark.createDataFrame(
-      queries.select(col("query_id"), col("qv")).rdd.mapPartitions { it =>
+      queries.select(col("query_id"), col("qv").cast("array<double>").as("qv"))
+        .rdd.mapPartitions { it =>
         val book = bc.value
         it.map { r =>
           val q = r.getSeq[Double](1)

@@ -388,6 +388,157 @@ object CorpusQueries {
        |    row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
        |  FROM f) WHERE rank <= $VocabTopN""".stripMargin
 
+  // ---- s3_split -------------------------------------------------------
+
+  def s3Split(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.split(
+      Tables.documents(s, d).select("doc_id", "lang", "source"), "doc_id")
+
+  val s3Sql: String =
+    s"""WITH h AS (SELECT doc_id, lang, source,
+       |             ${mixedHashS("CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents)
+       |SELECT doc_id, lang, source,
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM h""".stripMargin
+
+  // ---- s4_mixture -----------------------------------------------------
+
+  /** Per-source mixture weights: even sources kept at 0.8, odd at 0.25,
+    * src19 deliberately unweighted (dropped) to exercise the
+    * weight-0 path. Exact multiples of 1/1000 so the ×1000 threshold is
+    * integral in both engines. */
+  val MixtureWeights: Map[String, Double] =
+    (0 until 19).map(i => s"src$i" -> (if (i % 2 == 0) 0.8 else 0.25)).toMap
+
+  def s4Mixture(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.mixtureSample(
+      Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+      "source", "doc_id", MixtureWeights)
+
+  val s4Sql: String = {
+    val rows = MixtureWeights.toSeq.sorted
+      .map { case (src, w) => s"('$src', ${math.round(w * 1000)})" }
+      .mkString(", ")
+    s"""WITH w(source, thresh) AS (VALUES $rows)
+       |SELECT d.source, d.doc_id, d.n_chars
+       |FROM documents d JOIN w USING (source)
+       |WHERE ${mixedHashS("CAST(d.doc_id AS VARCHAR)")} % 1000 < w.thresh""".stripMargin
+  }
+
+  // ---- t8_repetition --------------------------------------------------
+
+  /** Driver shape casts the boolean flag to INT (the r1 precedent:
+    * oracle booleans ride as 0/1). */
+  def t8Repetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetition(Tables.documents(s, d).select("doc_id", "text"), "text")
+      .withColumn("repetitive", col("repetitive").cast("int"))
+
+  val t8Sql: String =
+    s"""WITH $toksCte,
+       |ts AS (SELECT doc_id, len(tk) AS n_tokens,
+       |         len(list_distinct(tk)) AS n_distinct FROM toks WHERE len(tk) > 0),
+       |bg AS (SELECT doc_id, ${polyhashS("s")} AS h FROM (
+       |         SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+       |           __bi -> tk[__bi] || ' ' || tk[__bi+1])) AS s
+       |         FROM toks WHERE len(tk) >= 2)),
+       |bc AS (SELECT doc_id, h, count(*) AS c FROM bg GROUP BY 1, 2),
+       |bs AS (SELECT doc_id, max(c) AS top_bigram, sum(c) AS n_bigrams FROM bc GROUP BY 1),
+       |r AS (SELECT ts.doc_id, CAST(ts.n_tokens AS BIGINT) AS n_tokens,
+       |        round(1.0 - ts.n_distinct::DOUBLE / ts.n_tokens, 4) AS dup_token_ratio,
+       |        round(coalesce(bs.top_bigram::DOUBLE / bs.n_bigrams, 0.0), 4) AS top_bigram_ratio
+       |      FROM ts LEFT JOIN bs USING (doc_id))
+       |SELECT doc_id, n_tokens, dup_token_ratio, top_bigram_ratio,
+       |  CASE WHEN n_tokens >= ${TextAnalysis.MinRepTokens}
+       |        AND (dup_token_ratio > ${TextAnalysis.DupTokenMax}
+       |          OR top_bigram_ratio > ${TextAnalysis.TopBigramMax})
+       |       THEN 1 ELSE 0 END AS repetitive
+       |FROM r""".stripMargin
+
+  // ---- b2_bm25 --------------------------------------------------------
+
+  val Bm25K = 5
+
+  /** BM25 retrieval driven by the q0-generated queries (the reference
+    * flow: querygen → retrieval), query_id = the sampled doc_id. */
+  def b2Bm25(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val queries = TextAnalysis.queryGen(docs, "text")
+      .select(col("doc_id").as("query_id"), col("query"))
+    graft.operators.Bm25.search(docs, "text", queries, "query", Bm25K)
+  }
+
+  val b2Sql: String = {
+    val K1 = graft.operators.Bm25.K1
+    val B = graft.operators.Bm25.B
+    s"""WITH $toksCte,
+       |freq AS (
+       |  SELECT doc_id, tok, count(*) AS freq FROM (
+       |    SELECT doc_id, unnest(tk) AS tok FROM toks WHERE doc_id % 10 = 0)
+       |  GROUP BY 1, 2),
+       |rankedq AS (
+       |  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY freq DESC, tok ASC) AS rnk FROM freq),
+       |qry AS (SELECT doc_id AS query_id, string_agg(tok, ' ' ORDER BY rnk) AS query
+       |        FROM rankedq WHERE rnk <= 3 GROUP BY doc_id),
+       |tk2 AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+       |tf AS (SELECT doc_id, t AS term, count(*) AS tf, any_value(dl) AS dl FROM (
+       |         SELECT doc_id, len(tk) AS dl, unnest(tk) AS t FROM tk2)
+       |       GROUP BY 1, 2),
+       |stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM tk2),
+       |qt AS (SELECT query_id, unnest(list_distinct(
+       |         list_filter(string_split(query, ' '), t -> length(t) > 0))) AS term
+       |       FROM qry),
+       |tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |qdf AS (SELECT query_id, term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+       |        FROM qt JOIN tdf USING (term) CROSS JOIN stats),
+       |sc AS (SELECT q.query_id, t.doc_id,
+       |         round(sum((q.idf * (t.tf * ${K1 + 1.0}))
+       |           / (t.tf + ($K1 * (${1.0 - B} + (($B * t.dl) / s2.avgdl))))), 4) AS score
+       |       FROM tf t JOIN qdf q USING (term) CROSS JOIN stats s2
+       |       GROUP BY 1, 2)
+       |SELECT query_id, doc_id, score, rnk FROM (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM sc) WHERE rnk <= $Bm25K""".stripMargin
+  }
+
+  // ---- d8_dedup_groups ------------------------------------------------
+
+  /** Connected components over the d2 near-dup pair graph + group
+    * sizes — the survivor-selection input of a dedup pipeline. */
+  def d8DedupGroups(s: SparkSession, d: String): DataFrame =
+    graft.operators.GraphOps.dedupGroups(
+      d2NgramJaccard(s, d).select("id_a", "id_b"))
+
+  /** Transitive closure via recursive min-label reachability — UNION
+    * (distinct) semantics bound the recursion to |V|·|component|. */
+  val d8Sql: String =
+    s"""WITH RECURSIVE $toksCte, $shingleCte,
+       |exs AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
+       |ex0 AS (SELECT doc_id, ${polyhashS("s")} AS h FROM exs),
+       |hot AS (SELECT h FROM ex0 GROUP BY h HAVING count(*) > ${Dedup.DefaultDfCap}),
+       |exk AS (SELECT doc_id, h FROM ex0 WHERE h NOT IN (SELECT h FROM hot)),
+       |ex AS (SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS nsh FROM exk),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT id_a, id_b, inter::DOUBLE / (na + nb - inter) AS jaccard FROM (
+       |      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+       |             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+       |      FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2))
+       |  WHERE jaccard >= $JaccardMin),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |        UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, lab) AS (
+       |  SELECT DISTINCT src, src FROM sym
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN sym e ON r.id = e.src),
+       |comp AS (SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY 1)
+       |SELECT doc_id, component,
+       |  count(*) OVER (PARTITION BY component) AS group_size
+       |FROM comp""".stripMargin
+
   // ---- u1_upsert ------------------------------------------------------
 
   /** Two synthetic batches over orders: version 0 = the base table,

@@ -387,6 +387,83 @@ object VectorQueries {
        |  GROUP BY 1, 2)
        |WHERE score >= $NearDupMinCos""".stripMargin
 
+  // ---- vq2 / v11: product quantization (8 subspaces × 16 codes) -------
+
+  private def pqCorpus(s: SparkSession, d: String): DataFrame =
+    corpusVecs(s, d).select("vec_id", "v")
+
+  /** Exploded (vec_id, subspace, code) PQ codes — all-integer output,
+    * hash-exact across engines. Codebook = the 16 corpus vectors with
+    * the smallest mixed hash (deterministic, oracle-replicable). */
+  def vq2PqCodes(s: SparkSession, d: String): DataFrame = {
+    val corpus = pqCorpus(s, d)
+    val cb = graft.operators.Pq.codebook(corpus)
+    graft.operators.Pq.encode(corpus, cb)
+      .select(col("vec_id"), posexplode(col("codes")))
+      .select(col("vec_id"), col("pos").as("subspace"), col("col").as("code"))
+  }
+
+  /** Shared PQ oracle CTEs: seed selection (mixed-hash order), the
+    * codebook as one list-of-vectors row, and the per-subspace argmin
+    * encode. Lambda vars are __-prefixed and unique per nesting level —
+    * DuckDB lexically shadows reused names (see polyhashS). */
+  private def pqEncCtes: String = {
+    val mh = s"(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length(CAST(vec_id AS VARCHAR)) + 1), " +
+      s"__pi -> CAST(ascii(substring(CAST(vec_id AS VARCHAR), __pi, 1)) AS BIGINT))), " +
+      s"(__ph, __pc) -> (__ph * 31 + __pc) % ${Embed.HashMod}) " +
+      s"* ${graft.operators.Sampling.mixedHashSqlConst}) % ${Embed.HashMod}"
+    val sub = EmbedDim / graft.operators.Pq.NumSubspaces
+    s"""c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= $QN),
+       |hk AS (SELECT vec_id, v, $mh AS hk FROM c),
+       |seeds AS (SELECT row_number() OVER (ORDER BY hk ASC, vec_id ASC) - 1 AS code, v
+       |          FROM hk ORDER BY hk ASC, vec_id ASC LIMIT ${graft.operators.Pq.Codes}),
+       |book AS (SELECT list(v ORDER BY code) AS bk FROM seeds),
+       |enc AS (
+       |  SELECT c.vec_id, r.range AS subspace,
+       |    CAST(list_reduce(list_prepend([1e308, -1.0],
+       |      list_transform(range(0, ${graft.operators.Pq.Codes}), __cc ->
+       |        [list_reduce(list_prepend(0.0, list_transform(range(1, ${sub + 1}), __j ->
+       |           (v[r.range*$sub + __j] - bk[__cc+1][r.range*$sub + __j])
+       |         * (v[r.range*$sub + __j] - bk[__cc+1][r.range*$sub + __j]))),
+       |           (__a, __x) -> __a + __x),
+       |         CAST(__cc AS DOUBLE)])),
+       |      (__p, __q) -> CASE WHEN __q[1] < __p[1] THEN __q ELSE __p END)[2] AS INT) AS code
+       |  FROM c, book, range(0, ${graft.operators.Pq.NumSubspaces}) r)""".stripMargin
+  }
+
+  def vq2Sql: String =
+    s"""WITH $pqEncCtes
+       |SELECT vec_id, subspace, code FROM enc""".stripMargin
+
+  /** ADC top-k dot search over the PQ codes (score = sum of per-subspace
+    * codebook dot products, identical sequential fold both engines). */
+  def v11PqAdc(s: SparkSession, d: String): DataFrame = {
+    val corpus = pqCorpus(s, d)
+    val cb = graft.operators.Pq.codebook(corpus)
+    graft.operators.Pq.searchDot(
+      queryVecs(s, d), graft.operators.Pq.encode(corpus, cb), cb, K)
+  }
+
+  def v11Sql: String = {
+    val sub = EmbedDim / graft.operators.Pq.NumSubspaces
+    s"""WITH $pqEncCtes,
+       |enc2 AS (SELECT vec_id, list(code ORDER BY subspace) AS codes FROM enc GROUP BY vec_id),
+       |$qCte,
+       |sc AS (SELECT q.query_id, e.vec_id,
+       |  round(list_reduce(list_prepend(0.0, list_transform(range(0, ${graft.operators.Pq.NumSubspaces}), __s ->
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, ${sub + 1}), __j ->
+       |      qv[__s*$sub + __j] * bk[codes[__s+1] + 1][__s*$sub + __j])),
+       |      (__b, __y) -> __b + __y))),
+       |    (__a, __x) -> __a + __x), 6) AS score
+       |  FROM enc2 e, q, book)
+       |SELECT query_id, vec_id, score, rnk FROM (
+       |  SELECT query_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM sc) WHERE rnk <= $K""".stripMargin
+  }
+
   // ---- v0: deterministic hashing-TF embedder over documents -----------
 
 

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("id_a", "id_b")
+  }
+
+  test("connected components: two chains and an isolated pair") {
+    // 1-2-3-4 (path), 10-11, 20-21-22 (triangle edge set)
+    val cc = GraphOps.connectedComponents(
+      edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 10L -> 11L,
+        20L -> 21L, 21L -> 22L, 20L -> 22L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("long path converges (diameter rounds, not 2)") {
+    val path = (1L until 20L).map(i => i -> (i + 1))
+    val cc = GraphOps.connectedComponents(edges(path: _*))
+    assert(cc.select(countDistinct("comp")).head().getLong(0) == 1L)
+    assert(cc.agg(min("comp")).head().getLong(0) == 1L)
+    assert(cc.count() == 20L)
+  }
+
+  test("dedupGroups: survivor = min id, group_size counts members") {
+    val g = GraphOps.dedupGroups(edges(5L -> 6L, 6L -> 7L, 30L -> 31L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(g.toSet == Set((5L, 5L, 3L), (6L, 5L, 3L), (7L, 5L, 3L),
+      (30L, 30L, 2L), (31L, 30L, 2L)))
+  }
+
+  test("empty edge set yields empty components") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(GraphOps.connectedComponents(empty).count() == 0L)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.{Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class SamplingExtrasSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("split: partitions are exhaustive, disjoint, and deterministic") {
+    val s1 = Sampling.split(docs.select("doc_id"), "doc_id").cache()
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts.values.sum == docs.count())
+    assert(counts("train") > counts.getOrElse("val", 0L))
+    // re-run assigns identically
+    val s2 = Sampling.split(docs.select("doc_id"), "doc_id")
+    assert(s1.exceptAll(s2).count() == 0L)
+  }
+
+  test("split honors custom percentages") {
+    val all = Sampling.split(docs.select("doc_id"), "doc_id",
+      trainPct = 100, valPct = 0)
+    assert(all.filter(col("split") =!= "train").count() == 0L)
+  }
+
+  test("mixtureSample: weight 1 keeps all, weight 0 drops all, missing drops") {
+    val src = docs.select("doc_id", "source")
+    val srcs = src.select("source").distinct().collect().map(_.getString(0))
+    val keepAll = Map(srcs.head -> 1.0)
+    val kept = Sampling.mixtureSample(src, "source", "doc_id", keepAll)
+    assert(kept.count() == src.filter(col("source") === srcs.head).count())
+    val none = Sampling.mixtureSample(src, "source", "doc_id",
+      Map(srcs.head -> 0.0))
+    assert(none.count() == 0L)
+  }
+
+  test("mixtureSample: fraction kept tracks the weight") {
+    val src = docs.select("doc_id", "source")
+    val weights = src.select("source").distinct().collect()
+      .map(_.getString(0) -> 0.5).toMap
+    val kept = Sampling.mixtureSample(src, "source", "doc_id", weights).count()
+    val n = src.count().toDouble
+    assert(kept > n * 0.35 && kept < n * 0.65,
+      s"kept $kept of $n at weight 0.5")
+  }
+
+  test("mixtureSample rejects up-weights > 1 (no row replication)") {
+    val src = docs.select("doc_id", "source")
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(src, "source", "doc_id", Map("src0" -> 2.0))
+    }
+  }
+
+  test("repetition: tiny docs are never flagged; stuffed docs are") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "hello world"),                                  // 2 tokens, 1 bigram
+      (2L, ("spam ham " * 20).trim),                        // 40 tokens, stuffed
+      (3L, "the quick brown fox jumps over a lazy dog " +
+        "while the calm river flows past green hills today") // varied, 18 tokens
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(fixture, "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(!r(1L).getBoolean(4), "2-token doc must not be repetitive")
+    assert(r(1L).getDouble(3) == 1.0) // its one bigram is 100% of bigrams
+    assert(r(2L).getBoolean(4), "keyword-stuffed doc must be repetitive")
+    assert(!r(3L).getBoolean(4), "varied prose must not be repetitive")
+  }
+}
