@@ -503,6 +503,47 @@ object CorpusQueries {
        |  FROM sc) WHERE rnk <= $Bm25K""".stripMargin
   }
 
+  // ---- t9_tfidf_keywords ----------------------------------------------
+
+  val TfidfTopK = 3
+
+  /** Per-document top-3 TF-IDF keywords — the classic keyword-
+    * extraction / doc-summarization signal. Ranking on the 4-dp ROUNDED
+    * score (ties by token) so ln()'s last ulp can't flip the top-k
+    * across engines (b2's policy). One tokenize pass: df and the doc
+    * count both derive from the persisted tf table. */
+  def t9TfidfKeywords(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.Dist.spread(
+      Tables.documents(s, d).select(col("doc_id"), Embed.tokens(col("text")).as("tk")))
+      .filter(size(col("tk")) > 0)
+    val tf = toks.select(col("doc_id"), explode(col("tk")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
+    val nd = tf.agg(countDistinct("doc_id").as("n_docs"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(nd))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .select("doc_id", "term", "score")
+    graft.plans.TopK.perKey(scored, Seq("doc_id"),
+      Seq(col("score").desc, col("term").asc), TfidfTopK)
+  }
+
+  val t9Sql: String =
+    s"""WITH $toksCte,
+       |tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM (
+       |         SELECT doc_id, unnest(tk) AS t FROM toks WHERE len(tk) > 0)
+       |       GROUP BY 1, 2),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+       |tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+       |SELECT doc_id, term, score, rnk FROM (
+       |  SELECT tf.doc_id, tf.term,
+       |    round(tf.tf * ln(nd.n_docs::DOUBLE / tdf.df), 4) AS score,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY round(tf.tf * ln(nd.n_docs::DOUBLE / tdf.df), 4) DESC,
+       |               tf.term ASC) AS rnk
+       |  FROM tf JOIN tdf USING (term) CROSS JOIN nd) WHERE rnk <= $TfidfTopK""".stripMargin
+
   // ---- d8_dedup_groups ------------------------------------------------
 
   /** Connected components over the d2 near-dup pair graph + group

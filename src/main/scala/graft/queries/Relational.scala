@@ -502,6 +502,107 @@ object Relational {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** q13_salted_agg — two-phase salted aggregation (Dist.saltedSum):
+    * the skew-safe shape for a hot grouping key — partials on
+    * (key, salt) spread one hot key over `salts` reducers, then the
+    * bare-key combine sees `salts` rows per key. Results must equal
+    * the plain one-phase aggregation exactly (sums rounded: partial
+    * order differs between the paths). */
+  def q13SaltedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Dist.saltedSum(
+      Tables.events(spark, sfDir).select("event_type", "value"),
+      "event_type", "value", 8)
+      .select(col("event_type"), round(col("sum_value"), 2).as("sum_value"),
+        col("n_rows"))
+
+  val q13Sql: String =
+    """SELECT event_type, round(sum(value), 2) AS sum_value,
+      |  count(*) AS n_rows
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** fj1_fuzzy_join — blocked edit-distance join (entity resolution on
+    * dirty keys): deterministically misspelled nation names (3rd char
+    * dropped) joined back within Levenshtein <= 2. Blocking =
+    * first-char + length band, mirrored in the oracle. */
+  val FuzzyMaxDist = 2
+
+  def fj1FuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val nat = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    val dirty = nat.select(col("n_nationkey").as("q_key"),
+      concat(substring(col("n_name"), 1, 2), expr("substring(n_name, 4)"))
+        .as("qname"))
+    graft.operators.FuzzyJoin.joinByEditDistance(dirty, "qname", nat,
+      "n_name", FuzzyMaxDist)
+      .select("q_key", "qname", "n_nationkey", "n_name", "dist")
+  }
+
+  val fj1Sql: String =
+    s"""WITH dirty AS (
+       |  SELECT n_nationkey AS q_key,
+       |    substring(n_name, 1, 2) || substring(n_name, 4) AS qname
+       |  FROM nation)
+       |SELECT q_key, qname, n_nationkey, n_name,
+       |  levenshtein(qname, n_name) AS dist
+       |FROM dirty JOIN nation
+       |  ON substring(qname, 1, 1) = substring(n_name, 1, 1)
+       | AND abs(length(qname) - length(n_name)) <= $FuzzyMaxDist
+       |WHERE levenshtein(qname, n_name) <= $FuzzyMaxDist""".stripMargin
+
+  /** q14_range_window — interval rolling aggregate: per user, events in
+    * the preceding 10 minutes (rangeBetween on epoch seconds — a RANGE
+    * frame, not ROWS: simultaneous events are peers). One shuffle on
+    * user_id; frames never materialize beyond the running window. */
+  val RangeWindowSec = 600L
+
+  def q14RangeWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").cast("long"))
+      .rangeBetween(-RangeWindowSec, 0)
+    Tables.events(spark, sfDir).select("event_id", "user_id", "ts", "value")
+      .withColumn("n_10min", count(lit(1)).over(w))
+      .withColumn("sum_10min", round(sum("value").over(w), 2))
+      .select("event_id", "user_id", "ts", "n_10min", "sum_10min")
+  }
+
+  val q14Sql: String =
+    s"""SELECT event_id, user_id, ts,
+       |  count(*) OVER w AS n_10min,
+       |  round(sum(value) OVER w, 2) AS sum_10min
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+       |             RANGE BETWEEN $RangeWindowSec PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** m6_zscore — per-group standardization (outlier scoring): value
+    * z-score against the event_type mean/stddev. Emits EVERY row with
+    * its rounded z plus a flag on the rounded value — no
+    * boundary-sensitive filter, so last-ulp stddev differences between
+    * engines can't change the row set. Group moments ride in via one
+    * map-side-combined aggregate + broadcast join. */
+  val ZscoreFlag = 2.5
+
+  def m6Zscore(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("event_id", "event_type", "value")
+    val stats = ev.groupBy("event_type")
+      .agg(avg("value").as("m"), stddev_samp("value").as("sd"))
+    // + 0.0 canonicalizes IEEE -0.0 to +0.0: a z just under zero rounds
+    // to -0.0 in one engine and +0.0 in the other — equal by ==, but
+    // the driver hashes bits
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z",
+        round((col("value") - col("m")) / col("sd"), 3) + lit(0.0))
+      .withColumn("is_outlier", (abs(col("z")) > ZscoreFlag).cast("int"))
+      .select("event_id", "event_type", "z", "is_outlier")
+  }
+
+  val m6Sql: String =
+    s"""WITH s AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+       |           FROM events GROUP BY 1)
+       |SELECT event_id, e.event_type,
+       |  round((e.value - s.m) / s.sd, 3) + 0.0 AS z,
+       |  CASE WHEN abs(round((e.value - s.m) / s.sd, 3) + 0.0) > $ZscoreFlag
+       |       THEN 1 ELSE 0 END AS is_outlier
+       |FROM events e JOIN s USING (event_type)""".stripMargin
+
   /** e2_sessions — gap-based sessionization per user via the typed
     * flatMapGroups fold (graft.streaming.Sessionize); oracle is the
     * gaps-and-islands SQL. 12-hour gap. */

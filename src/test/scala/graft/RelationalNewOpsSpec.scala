@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.FuzzyJoin
+import graft.queries.{CorpusQueries, Relational}
+import org.apache.spark.sql.functions._
+
+class RelationalNewOpsSpec extends SparkSpec {
+
+  test("saltedSum equals the plain one-phase aggregation") {
+    val plain = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(round(sum("value"), 2).as("sum_value"), count(lit(1)).as("n_rows"))
+    val salted = Relational.q13SaltedAgg(spark, sf)
+    assert(salted.exceptAll(plain).count() == 0L)
+    assert(plain.exceptAll(salted).count() == 0L)
+  }
+
+  test("fuzzy join: matches within maxDist, blocked plan finds the planted typo") {
+    import spark.implicits._
+    val clean = Seq((1L, "alpha"), (2L, "bravo"), (3L, "charlie"))
+      .toDF("id", "name")
+    val dirty = Seq("alpa", "brvo", "zulu").toDF("qname")
+    val res = FuzzyJoin.joinByEditDistance(dirty, "qname", clean, "name", 2)
+      .select("qname", "name", "dist").collect()
+    val m = res.map(r => r.getString(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(m("alpa") == ("alpha", 1))
+    assert(m("brvo") == ("bravo", 1))
+    assert(!m.contains("zulu")) // no block/ no match
+    // levenshtein beyond the threshold is excluded even inside a block
+    val far = FuzzyJoin.joinByEditDistance(
+      Seq("axxxx").toDF("qname"), "qname", clean, "name", 2)
+    assert(far.count() == 0L)
+  }
+
+  test("range window counts only events within the interval, per user") {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").cast("long"))
+      .rangeBetween(-600, 0)
+    val ev = Seq(
+      (1L, 7L, "2024-01-01 10:00:00", 1.0),
+      (2L, 7L, "2024-01-01 10:05:00", 2.0),
+      (3L, 7L, "2024-01-01 10:12:00", 4.0), // 1 fell out (>10min before)
+      (4L, 9L, "2024-01-01 10:05:00", 8.0)  // other user unaffected
+    ).toDF("event_id", "user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val res = ev.withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", round(sum("value").over(w), 2))
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getDouble(5))).toMap
+    assert(res(1L) == (1L, 1.0))
+    assert(res(2L) == (2L, 3.0))
+    assert(res(3L) == (2L, 6.0))
+    assert(res(4L) == (1L, 8.0))
+  }
+
+  test("zscore: standardized values have ~zero mean and flagged rows are extreme") {
+    val z = Relational.m6Zscore(spark, sf).cache()
+    val stats = z.groupBy("event_type")
+      .agg(round(avg("z"), 2).as("mz"), max(abs(col("z"))).as("mx"))
+      .collect()
+    assert(stats.forall(r => math.abs(r.getDouble(1)) <= 0.01))
+    val flagged = z.filter(col("is_outlier") === 1)
+    assert(flagged.filter(abs(col("z")) <= Relational.ZscoreFlag).count() == 0L)
+  }
+
+  test("tfidf keywords: ubiquitous tokens never win over distinctive ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "zebra zebra common common common"),
+      (20L, "yak common common"),
+      (30L, "wolf common")
+    ).toDF("doc_id", "text")
+    // 'common' appears in all 3 docs -> idf = ln(1) = 0; each doc's top
+    // keyword must be its distinctive token
+    val toks = graft.Dist.spread(
+      docs.select(col("doc_id"), graft.operators.Embed.tokens(col("text")).as("tk")))
+      .filter(size(col("tk")) > 0)
+    val tf = toks.select(col("doc_id"), explode(col("tk")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val nd = tf.agg(countDistinct("doc_id").as("n_docs"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(nd))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .select("doc_id", "term", "score")
+    val top1 = graft.plans.TopK.perKey(scored, Seq("doc_id"),
+      Seq(col("score").desc, col("term").asc), 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top1 == Map(10L -> "zebra", 20L -> "yak", 30L -> "wolf"))
+  }
+}
