@@ -37,14 +37,17 @@ object Bm25 {
       docs.select(col("doc_id"), tokens(col(textCol)).as("tk")))
       .filter(size(col("tk")) > 0)
     // (doc_id, term, tf, dl): one shuffle with map-side combine.
-    // PERSISTED — tf feeds the df aggregate, the corpus stats, and the
-    // scoring join; without the cache each consumer re-runs the whole
-    // tokenize+explode pipeline (measured 6.5 s -> expect ~3x less).
+    // EAGERLY materialized (localCheckpoint, not a lazy cache): tf
+    // feeds the df aggregate, the corpus stats, AND the scoring join —
+    // and the broadcast subjobs race the main job, so a lazy cache gets
+    // materialized 2-3x concurrently (the same race Dedup's cap design
+    // dodges). A real cluster with preemptible executors would use
+    // reliable checkpoint(dir) instead.
     val tf = toks
       .select(col("doc_id"), size(col("tk")).as("dl"), explode(col("tk")).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-      .persist()
+      .localCheckpoint()
     // corpus constants derived FROM tf (identical values: every doc
     // with >= 1 token has tf rows, and avg-of-dl is the same exact
     // BIGINT sum/count either way — bit-identical in the oracle)
@@ -55,9 +58,13 @@ object Bm25 {
     val qterms = queries.select(col("query_id"),
       explode(array_distinct(tokens(col(queryCol)))).as("term"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // qdf is |queries|x|terms| tiny; eager-checkpointing it runs the
+    // query-generation lineage exactly once and makes the broadcast
+    // build instant instead of a subjob racing the main job
     val qdf = qterms.join(df, "term").crossJoin(stats)
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .localCheckpoint()
     val scored = tf.join(broadcast(qdf), "term")
       .withColumn("part",
         col("idf") * (col("tf") * (K1 + 1.0))

@@ -72,4 +72,28 @@ object GraphOps {
       .select(col("id").as("doc_id"), col("comp").as("component"),
         col("group_size"))
   }
+
+  /** Survivor selection: per duplicate component, keep the member that
+    * maximizes `priorityCol` (quality heuristic — e.g. longest text,
+    * preferred source), ties broken by smallest doc_id. One max_by-style
+    * window over the component key — the same shuffle dedupGroups
+    * already pays, no extra pass over the corpus (docs join the
+    * component table on doc_id; docs in no component are untouched
+    * upstream).
+    *
+    * docs must carry (doc_id, priorityCol). Emits one row per
+    * component: (component, survivor_id, n_members, n_dropped).
+    */
+  def survivors(edges: DataFrame, docs: DataFrame,
+                priorityCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+      .orderBy(col(priorityCol).desc, col("doc_id").asc)
+    dedupGroups(edges)
+      .join(docs.select(col("doc_id"), col(priorityCol)), "doc_id")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("component"), col("doc_id").as("survivor_id"),
+        col("group_size").as("n_members"),
+        (col("group_size") - 1).as("n_dropped"))
+  }
 }

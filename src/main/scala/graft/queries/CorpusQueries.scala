@@ -516,9 +516,11 @@ object CorpusQueries {
     val toks = graft.Dist.spread(
       Tables.documents(s, d).select(col("doc_id"), Embed.tokens(col("text")).as("tk")))
       .filter(size(col("tk")) > 0)
+    // eager localCheckpoint, not lazy cache: broadcast(nd) races the
+    // scoring join into double-materializing a lazy cache (see Bm25)
     val tf = toks.select(col("doc_id"), explode(col("tk")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist()
+      .localCheckpoint()
     val nd = tf.agg(countDistinct("doc_id").as("n_docs"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term").crossJoin(broadcast(nd))
@@ -579,6 +581,48 @@ object CorpusQueries {
        |SELECT doc_id, component,
        |  count(*) OVER (PARTITION BY component) AS group_size
        |FROM comp""".stripMargin
+
+  // ---- d9_survivors ---------------------------------------------------
+
+  /** Survivor per near-dup component: keep the longest doc (n_chars),
+    * ties to the smallest doc_id — the final step of the dedup
+    * pipeline (pairs → components → survivors). */
+  def d9Survivors(s: SparkSession, d: String): DataFrame =
+    graft.operators.GraphOps.survivors(
+      d2NgramJaccard(s, d).select("id_a", "id_b"),
+      Tables.documents(s, d).select("doc_id", "n_chars"), "n_chars")
+
+  val d9Sql: String =
+    s"""WITH RECURSIVE $toksCte, $shingleCte,
+       |exs AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
+       |ex0 AS (SELECT doc_id, ${polyhashS("s")} AS h FROM exs),
+       |hot AS (SELECT h FROM ex0 GROUP BY h HAVING count(*) > ${Dedup.DefaultDfCap}),
+       |exk AS (SELECT doc_id, h FROM ex0 WHERE h NOT IN (SELECT h FROM hot)),
+       |ex AS (SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS nsh FROM exk),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT id_a, id_b, inter::DOUBLE / (na + nb - inter) AS jaccard FROM (
+       |      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+       |             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+       |      FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2))
+       |  WHERE jaccard >= $JaccardMin),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |        UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, lab) AS (
+       |  SELECT DISTINCT src, src FROM sym
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN sym e ON r.id = e.src),
+       |comp AS (SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY 1),
+       |sized AS (SELECT doc_id, component,
+       |            count(*) OVER (PARTITION BY component) AS group_size
+       |          FROM comp)
+       |SELECT component, survivor_id, n_members, n_dropped FROM (
+       |  SELECT s.component, s.doc_id AS survivor_id,
+       |    s.group_size AS n_members, s.group_size - 1 AS n_dropped,
+       |    row_number() OVER (PARTITION BY s.component
+       |      ORDER BY d.n_chars DESC, s.doc_id ASC) AS rn
+       |  FROM sized s JOIN documents d USING (doc_id)) WHERE rn = 1""".stripMargin
 
   // ---- u1_upsert ------------------------------------------------------
 

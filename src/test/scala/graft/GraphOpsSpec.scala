@@ -40,4 +40,16 @@ class GraphOpsSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(GraphOps.connectedComponents(empty).count() == 0L)
   }
+
+  test("survivors keep the highest-priority member, ties to smallest id") {
+    import spark.implicits._
+    val docs = Seq((5L, 100), (6L, 300), (7L, 300), (30L, 10), (31L, 10))
+      .toDF("doc_id", "n_chars")
+    val res = GraphOps.survivors(
+      edges(5L -> 6L, 6L -> 7L, 30L -> 31L), docs, "n_chars")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // component 5: docs 6 and 7 tie at n_chars=300 -> smaller id 6 wins
+    assert(res == Map(5L -> (6L, 3L, 2L), 30L -> (30L, 2L, 1L)))
+  }
 }

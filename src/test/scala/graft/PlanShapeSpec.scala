@@ -73,4 +73,31 @@ class PlanShapeSpec extends SparkSpec {
         s"dedup candidate join degenerated to all-pairs:\n$p")
     }
   }
+
+  test("fuzzy join blocks on an equi-key — never a cartesian product") {
+    val p = plan(graft.queries.Relational.fj1FuzzyJoin(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"fuzzy join degenerated to all-pairs:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on the block key:\n$p")
+  }
+
+  test("bm25 broadcasts query terms and scores from the materialized tf") {
+    val p = plan(graft.queries.CorpusQueries.b2Bm25(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term/posting join should broadcast the tiny side:\n$p")
+    // tf is eagerly localCheckpoint'ed (shows as an ExistingRDD scan):
+    // a lazy cache here gets double-materialized by the broadcast
+    // subjob racing the main job
+    assert(p.contains("Scan ExistingRDD"),
+      s"tf not checkpointed — stats/df/scoring re-tokenize the corpus:\n$p")
+  }
+
+  test("tfidf keyword extraction broadcasts the doc-count and materializes tf") {
+    val p = plan(graft.queries.CorpusQueries.t9TfidfKeywords(spark, sf))
+    assert(p.contains("Scan ExistingRDD"),
+      s"tf not checkpointed:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"doc-count should ride in as a broadcast:\n$p")
+  }
 }
