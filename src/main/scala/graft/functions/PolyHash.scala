@@ -54,10 +54,18 @@ object PolyHash {
   val Mod = 1000000007L
   val Base = 31L
 
-  /** Second independent (base, mod) pair for the wide exact-dedup
-    * digest; a distinct prime modulus so collisions are independent. */
+  /** Independent (base, mod) pairs 2-4 for the wide exact-dedup
+    * digest; distinct prime moduli so collisions are independent.
+    * Four ~30-bit hashes + the length = a ~120-bit digest — past the
+    * birthday bound even at 100 TB doc counts (10¹² docs → ~10²⁴
+    * pairs vs 2¹²⁰ ≈ 10³⁶ digest space). All moduli < 2³⁰ so
+    * h·base + cp never overflows a long. */
   val Base2 = 131L
   val Mod2 = 998244353L
+  val Base3 = 137L
+  val Mod3 = 1000000009L
+  val Base4 = 139L
+  val Mod4 = 1000000021L
 
   /** Shared by interpreted eval and generated code. */
   def hash(s: String, base: Long, mod: Long): Long = {
@@ -75,7 +83,11 @@ object PolyHash {
   def apply(c: Column): Column =
     GraftBridge.column(PolyHash(GraftBridge.expression(c), Base, Mod))
 
-  /** The independent second hash (see scaladoc above). */
+  /** The independent second/third/fourth hashes (see scaladoc above). */
   def second(c: Column): Column =
     GraftBridge.column(PolyHash(GraftBridge.expression(c), Base2, Mod2))
+  def third(c: Column): Column =
+    GraftBridge.column(PolyHash(GraftBridge.expression(c), Base3, Mod3))
+  def fourth(c: Column): Column =
+    GraftBridge.column(PolyHash(GraftBridge.expression(c), Base4, Mod4))
 }

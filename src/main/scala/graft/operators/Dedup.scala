@@ -46,20 +46,22 @@ object Dedup {
       .select(col("doc_id"), explode(shinglesFromTokens(col("tk"), n)).as("s"))
       .select(col("doc_id"), tokenHash(col("s")).as("h"))
 
-  /** Exact dedup: group by (length, two independent content hashes),
-    * keep the smallest id. Grouping on the ~20-byte digest instead of
+  /** Exact dedup: group by (length, FOUR independent content hashes),
+    * keep the smallest id. Grouping on the ~36-byte digest instead of
     * the full text keeps the shuffle narrow at scale — a 400-char key
     * would move the whole corpus through the exchange. ONE ~30-bit
     * polyhash is past its birthday bound at 100 TB doc counts (false
-    * merges guaranteed), so the digest is two independent (base, mod)
-    * polyhashes (~60 bits; add pairs for 128 — see PolyHash scaladoc).
-    * The oracle groups on the identical portable digest, so even a
-    * residual collision agrees across engines.
+    * merges guaranteed), so the digest is four independent (base, mod)
+    * polyhashes — ~120 bits, collision-free even at 10¹² docs (see
+    * PolyHash scaladoc). The oracle groups on the identical portable
+    * digest, so even a residual collision agrees across engines.
     */
   def exact(docs: DataFrame): DataFrame =
     docs.groupBy(length(col("text")).as("__len"),
         tokenHash(col("text")).as("__h"),
-        graft.functions.PolyHash.second(col("text")).as("__h2"))
+        graft.functions.PolyHash.second(col("text")).as("__h2"),
+        graft.functions.PolyHash.third(col("text")).as("__h3"),
+        graft.functions.PolyHash.fourth(col("text")).as("__h4"))
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 

@@ -23,11 +23,19 @@ object CorpusQueries {
       s"list_transform(range(1, length($e) + 1), __pi -> CAST(ascii(substring($e, __pi, 1)) AS BIGINT))), " +
       s"(__ph, __pc) -> (__ph * 31 + __pc) % ${Embed.HashMod})"
 
-  /** The independent second polyhash (matches PolyHash.second). */
-  def polyhash2S(e: String): String =
+  /** The independent extra polyhashes (match PolyHash.second/third/
+    * fourth) forming d1's wide digest. */
+  private def polyhashNS(e: String, base: Long, mod: Long): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, length($e) + 1), __pi -> CAST(ascii(substring($e, __pi, 1)) AS BIGINT))), " +
-      s"(__ph, __pc) -> (__ph * ${graft.functions.PolyHash.Base2} + __pc) % ${graft.functions.PolyHash.Mod2})"
+      s"(__ph, __pc) -> (__ph * $base + __pc) % $mod)"
+
+  def polyhash2S(e: String): String =
+    polyhashNS(e, graft.functions.PolyHash.Base2, graft.functions.PolyHash.Mod2)
+  def polyhash3S(e: String): String =
+    polyhashNS(e, graft.functions.PolyHash.Base3, graft.functions.PolyHash.Mod3)
+  def polyhash4S(e: String): String =
+    polyhashNS(e, graft.functions.PolyHash.Base4, graft.functions.PolyHash.Mod4)
 
   val toksCte: String =
     "toks AS (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk FROM documents)"
@@ -56,7 +64,8 @@ object CorpusQueries {
        |  UNION ALL
        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50)
        |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
-       |FROM dup GROUP BY length(text), ${polyhashS("text")}, ${polyhash2S("text")}""".stripMargin
+       |FROM dup GROUP BY length(text), ${polyhashS("text")}, ${polyhash2S("text")},
+       |  ${polyhash3S("text")}, ${polyhash4S("text")}""".stripMargin
 
   // ---- d2_ngram_jaccard -----------------------------------------------
 

@@ -603,6 +603,84 @@ object Relational {
        |       THEN 1 ELSE 0 END AS is_outlier
        |FROM events e JOIN s USING (event_type)""".stripMargin
 
+  /** q15_gapfill — time-series gap filling: densify each event_type's
+    * daily series over its own [min, max] day span (sequence + explode
+    * — generation is distributed, one array per key) and forward-fill
+    * missing days with the last observed value (last() IGNORE NULLS
+    * over an ordered window). The standard feature-engineering step
+    * before any rolling computation on sparse series. */
+  def q15Gapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("day_value"))
+    val spans = daily.groupBy("event_type")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+    val allDays = spans.select(col("event_type"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    allDays.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("filled_value", last("day_value", ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("day_value").isNull.cast("int"))
+      .select("event_type", "day", "filled_value", "is_gap")
+  }
+
+  val q15Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         round(sum(value), 2) AS day_value
+      |  FROM events GROUP BY 1, 2),
+      |spans AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+      |          FROM daily GROUP BY 1),
+      |alldays AS (SELECT event_type,
+      |              unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      |            FROM spans)
+      |SELECT a.event_type, a.day,
+      |  last_value(d.day_value IGNORE NULLS) OVER (
+      |    PARTITION BY a.event_type ORDER BY a.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+      |  CASE WHEN d.day_value IS NULL THEN 1 ELSE 0 END AS is_gap
+      |FROM alldays a LEFT JOIN daily d USING (event_type, day)""".stripMargin
+
+  /** pr1_profile — column profiling (the ANALYZE/data-quality pass):
+    * null count, distinct count, min/max/avg per column, all from ONE
+    * scan (a single multi-aggregate row, inline()-unpivoted to one row
+    * per column — never one scan per column). */
+  val ProfileCols = Seq("l_quantity", "l_discount", "l_tax")
+
+  def pr1Profile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val aggs = count(lit(1)).as("n") +: ProfileCols.flatMap { c =>
+      Seq(sum(col(c).isNull.cast("long")).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        round(min(col(c)), 4).as(s"${c}_min"),
+        round(max(col(c)), 4).as(s"${c}_max"),
+        round(avg(col(c)), 4).as(s"${c}_avg"))
+    }
+    val structs = ProfileCols.map(c =>
+      s"struct('$c' AS column, ${c}_nulls AS n_nulls, ${c}_nd AS n_distinct, " +
+        s"${c}_min AS min_v, ${c}_max AS max_v, ${c}_avg AS avg_v)")
+      .mkString("array(", ", ", ")")
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(col("n"), expr(s"inline($structs)"))
+  }
+
+  val pr1Sql: String = {
+    val aggs = ProfileCols.map { c =>
+      s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_nulls, " +
+        s"count(DISTINCT $c) AS ${c}_nd, round(min($c), 4) AS ${c}_min, " +
+        s"round(max($c), 4) AS ${c}_max, round(avg($c), 4) AS ${c}_avg"
+    }.mkString(",\n|    ")
+    val rows = ProfileCols.map { c =>
+      s"SELECT n, '$c' AS column, ${c}_nulls AS n_nulls, ${c}_nd AS n_distinct, " +
+        s"${c}_min AS min_v, ${c}_max AS max_v, ${c}_avg AS avg_v FROM a"
+    }.mkString("\n|UNION ALL\n|")
+    s"""WITH a AS (SELECT count(*) AS n,
+       |    $aggs
+       |  FROM lineitem)
+       |$rows""".stripMargin
+  }
+
   /** e2_sessions — gap-based sessionization per user via the typed
     * flatMapGroups fold (graft.streaming.Sessionize); oracle is the
     * gaps-and-islands SQL. 12-hour gap. */

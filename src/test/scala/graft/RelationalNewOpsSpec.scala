@@ -63,6 +63,50 @@ class RelationalNewOpsSpec extends SparkSpec {
     assert(flagged.filter(abs(col("z")) <= Relational.ZscoreFlag).count() == 0L)
   }
 
+  test("gapfill: missing days appear, forward-filled from the last value") {
+    import spark.implicits._
+    val daily = Seq(
+      ("click", "2024-03-01", 5.0),
+      ("click", "2024-03-04", 7.0), // 2nd/3rd missing
+      ("view", "2024-03-02", 1.0)
+    ).toDF("event_type", "day", "day_value")
+      .withColumn("day", col("day").cast("date"))
+    val spans = daily.groupBy("event_type")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+    val allDays = spans.select(col("event_type"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    val filled = allDays.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("filled_value", last("day_value", ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("day_value").isNull.cast("int"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getDouble(3), r.getInt(4))).toMap
+    assert(filled(("click", "2024-03-02")) == (5.0, 1)) // gap, carried 5.0
+    assert(filled(("click", "2024-03-03")) == (5.0, 1))
+    assert(filled(("click", "2024-03-04")) == (7.0, 0))
+    assert(filled(("view", "2024-03-02")) == (1.0, 0))
+    assert(filled.size == 5)
+  }
+
+  test("profile emits one row per column from a single scan") {
+    val p = Relational.pr1Profile(spark, sf)
+    val rows = p.collect()
+    assert(rows.map(_.getString(1)).toSet == Relational.ProfileCols.toSet)
+    assert(rows.map(_.getLong(0)).distinct.length == 1) // same scan count
+    rows.foreach { r =>
+      assert(r.getDouble(4) <= r.getDouble(5)) // min <= max
+    }
+    // Spark's exact multi-column distinct rewrite adds one extra scan
+    // branch; anything beyond that means per-column scans crept in. (At
+    // 100 TB profiling switches to approx_count_distinct — q12's HLL
+    // path — and this collapses to a single scan.)
+    val plan = p.queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).size <= 2,
+      s"profile should not scan once per column:\n$plan")
+  }
+
   test("tfidf keywords: ubiquitous tokens never win over distinctive ones") {
     import spark.implicits._
     val docs = Seq(
