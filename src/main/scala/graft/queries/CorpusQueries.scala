@@ -512,6 +512,108 @@ object CorpusQueries {
        |  FROM sc) WHERE rnk <= $Bm25K""".stripMargin
   }
 
+  // ---- v12_hybrid_search ----------------------------------------------
+
+  val HybridArmK = 10
+  val HybridK = 5
+  val HybridDim = 64
+
+  /** Hybrid retrieval: BM25 lexical arm + hash-TF-embedding cosine arm
+    * over the SAME q0-generated queries and corpus, fused by RRF. The
+    * vector arm embeds the query TEXT with the same embedder as the
+    * docs (the reference's query flow, chroma.py:96-106, with v0's
+    * deterministic model). */
+  def v12Hybrid(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val queries = TextAnalysis.queryGen(docs, "text")
+      .select(col("doc_id").as("query_id"), col("query"))
+    val lex = graft.operators.Bm25.search(docs, "text", queries, "query", HybridArmK)
+      .select("query_id", "doc_id", "rnk")
+    val dEmb = Embed.embedDocs(docs, "text", HybridDim)
+      .select(col("doc_id").as("vec_id"), col("embedding").as("v"))
+    val qEmb = Embed.embedDocs(
+      queries.select(col("query_id").as("doc_id"), col("query").as("text")),
+      "text", HybridDim)
+      .select(col("doc_id").as("query_id"), col("embedding").as("qv"))
+    val vec = graft.operators.VectorSearch.knnCosine(qEmb, dEmb, HybridArmK)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rnk"))
+    graft.operators.Hybrid.rrfFuse(Seq(lex, vec), HybridK)
+  }
+
+  /** Hashing-TF embed CTEs over (idCol, tkCol) token lists → `outCte`
+    * with the 6-dp-rounded normalized vector (matches Embed.embedDocs).
+    * Lambda vars carry the prefix — DuckDB shadows reused names. */
+  private def embedCteS(p: String, srcCte: String, idCol: String,
+                        outCte: String): String =
+    s"""${p}b AS (SELECT $idCol, list_transform(tk, __${p}t ->
+       |    ${polyhashS(s"__${p}t")} % $HybridDim) AS buckets FROM $srcCte),
+       |${p}c AS (SELECT $idCol, list_transform(range(0, $HybridDim),
+       |    __${p}bb -> CAST(len(list_filter(buckets, __${p}z -> __${p}z = __${p}bb)) AS DOUBLE)) AS counts
+       |  FROM ${p}b),
+       |$outCte AS (SELECT $idCol,
+       |    list_transform(counts, __${p}x -> round(__${p}x /
+       |      sqrt(list_dot_product(counts, counts)), 6)) AS vec
+       |  FROM ${p}c)""".stripMargin
+
+  val v12Sql: String = {
+    val K1 = graft.operators.Bm25.K1
+    val B = graft.operators.Bm25.B
+    val cos = "list_dot_product(q.vec, d.vec) / " +
+      "(sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(d.vec, d.vec)))"
+    s"""WITH $toksCte,
+       |freq AS (
+       |  SELECT doc_id, tok, count(*) AS freq FROM (
+       |    SELECT doc_id, unnest(tk) AS tok FROM toks WHERE doc_id % 10 = 0)
+       |  GROUP BY 1, 2),
+       |rankedq AS (
+       |  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY freq DESC, tok ASC) AS rnk FROM freq),
+       |qry AS (SELECT doc_id AS query_id, string_agg(tok, ' ' ORDER BY rnk) AS query
+       |        FROM rankedq WHERE rnk <= 3 GROUP BY doc_id),
+       |tk2 AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+       |tf AS (SELECT doc_id, t AS term, count(*) AS tf, any_value(dl) AS dl FROM (
+       |         SELECT doc_id, len(tk) AS dl, unnest(tk) AS t FROM tk2)
+       |       GROUP BY 1, 2),
+       |stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM tk2),
+       |qt AS (SELECT query_id, unnest(list_distinct(
+       |         list_filter(string_split(query, ' '), t -> length(t) > 0))) AS term
+       |       FROM qry),
+       |tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |qdf AS (SELECT query_id, term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+       |        FROM qt JOIN tdf USING (term) CROSS JOIN stats),
+       |sc AS (SELECT q.query_id, t.doc_id,
+       |         round(sum((q.idf * (t.tf * ${K1 + 1.0}))
+       |           / (t.tf + ($K1 * (${1.0 - B} + (($B * t.dl) / s2.avgdl))))), 4) AS score
+       |       FROM tf t JOIN qdf q USING (term) CROSS JOIN stats s2
+       |       GROUP BY 1, 2),
+       |lexrank AS (SELECT query_id, doc_id, rnk FROM (
+       |  SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM sc) WHERE rnk <= $HybridArmK),
+       |${embedCteS("d", "toks", "doc_id", "demb")},
+       |qtk AS (SELECT query_id,
+       |          list_filter(string_split(query, ' '), t -> length(t) > 0) AS tk
+       |        FROM qry),
+       |${embedCteS("q", "qtk", "query_id", "qemb")},
+       |vecrank AS (SELECT query_id, doc_id, rnk FROM (
+       |  SELECT q.query_id, d.doc_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY $cos DESC, d.doc_id ASC) AS rnk
+       |  FROM qemb q, demb d) WHERE rnk <= $HybridArmK),
+       |contrib AS (
+       |  SELECT query_id, doc_id, 1.0 / (${graft.operators.Hybrid.RrfK} + rnk) AS c FROM lexrank
+       |  UNION ALL
+       |  SELECT query_id, doc_id, 1.0 / (${graft.operators.Hybrid.RrfK} + rnk) AS c FROM vecrank),
+       |fused AS (SELECT query_id, doc_id, round(sum(c), 6) AS rrf_score
+       |          FROM contrib GROUP BY 1, 2)
+       |SELECT query_id, doc_id, rrf_score, rnk FROM (
+       |  SELECT query_id, doc_id, rrf_score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_score DESC, doc_id ASC) AS rnk
+       |  FROM fused) WHERE rnk <= $HybridK""".stripMargin
+  }
+
   // ---- t9_tfidf_keywords ----------------------------------------------
 
   val TfidfTopK = 3

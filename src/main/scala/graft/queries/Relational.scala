@@ -586,11 +586,13 @@ object Relational {
       .agg(avg("value").as("m"), stddev_samp("value").as("sd"))
     // + 0.0 canonicalizes IEEE -0.0 to +0.0: a z just under zero rounds
     // to -0.0 in one engine and +0.0 in the other — equal by ==, but
-    // the driver hashes bits
+    // the driver hashes bits. The sd>0 guard nulls z for constant
+    // groups instead of emitting engine-dependent Infinity.
     ev.join(broadcast(stats), "event_type")
-      .withColumn("z",
-        round((col("value") - col("m")) / col("sd"), 3) + lit(0.0))
-      .withColumn("is_outlier", (abs(col("z")) > ZscoreFlag).cast("int"))
+      .withColumn("z", when(col("sd") > 0.0,
+        round((col("value") - col("m")) / col("sd"), 3) + lit(0.0)))
+      .withColumn("is_outlier",
+        (col("sd") > 0.0 && abs(col("z")) > ZscoreFlag).cast("int"))
       .select("event_id", "event_type", "z", "is_outlier")
   }
 
@@ -598,8 +600,10 @@ object Relational {
     s"""WITH s AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
        |           FROM events GROUP BY 1)
        |SELECT event_id, e.event_type,
-       |  round((e.value - s.m) / s.sd, 3) + 0.0 AS z,
-       |  CASE WHEN abs(round((e.value - s.m) / s.sd, 3) + 0.0) > $ZscoreFlag
+       |  CASE WHEN s.sd > 0.0
+       |       THEN round((e.value - s.m) / s.sd, 3) + 0.0 END AS z,
+       |  CASE WHEN s.sd > 0.0
+       |        AND abs(round((e.value - s.m) / s.sd, 3) + 0.0) > $ZscoreFlag
        |       THEN 1 ELSE 0 END AS is_outlier
        |FROM events e JOIN s USING (event_type)""".stripMargin
 
