@@ -30,10 +30,12 @@ object FuzzyJoin {
       .withColumn("__len", length(col(leftCol)))
     val r = right.withColumn("__blk", substring(col(rightCol), 1, 1))
       .withColumn("__rlen", length(col(rightCol)))
+    // 3-arg levenshtein: the banded DP early-outs at the threshold and
+    // returns -1 above it — O(maxDist·n) per pair instead of O(n²)
     l.join(r, l("__blk") === r("__blk") &&
         abs(col("__len") - col("__rlen")) <= maxDist)
-      .withColumn("dist", levenshtein(col(leftCol), col(rightCol)))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col(leftCol), col(rightCol), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .drop("__blk", "__len", "__rlen")
   }
 }

@@ -93,6 +93,7 @@ object Pq {
       StructField("vec_id", LongType, nullable = false),
       StructField("codes", ArrayType(IntegerType, containsNull = false),
         nullable = false)))
+    val dim = NumSubspaces * sub
     val encoded = corpus
       .select(col("vec_id"), col("v").cast("array<double>").as("v"))
       .rdd.mapPartitions { it =>
@@ -100,6 +101,8 @@ object Pq {
       it.map { r =>
         val id = r.getLong(0)
         val v = r.getSeq[Double](1)
+        require(v.length == dim,
+          s"Pq.encode: vector $id has dim ${v.length}, codebook expects $dim")
         val codes = Array.tabulate(NumSubspaces) { s =>
           var best = 0; var bestD = Double.MaxValue
           var c = 0

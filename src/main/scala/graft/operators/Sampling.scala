@@ -71,6 +71,9 @@ object Sampling {
     * run) assigns each row to the same split. */
   def split(df: DataFrame, keyCol: String,
             trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"split percentages must be >= 0 with train+val <= 100, " +
+        s"got train=$trainPct val=$valPct")
     val bucket = mixedHash(col(keyCol)) % 100
     df.withColumn("split",
       when(bucket < trainPct, "train")
