@@ -646,6 +646,33 @@ object Relational {
       |  CASE WHEN d.day_value IS NULL THEN 1 ELSE 0 END AS is_gap
       |FROM alldays a LEFT JOIN daily d USING (event_type, day)""".stripMargin
 
+  /** q16_window_suite — the analytic-window family in one pass: lag /
+    * lead (session deltas), percent_rank (exact rational — (rank−1)/
+    * (n−1), engine-portable), and ntile quartiles, all over ONE
+    * (user_id, ordered-by-ts) window spec so Catalyst evaluates them in
+    * a single Window operator — one shuffle, one sort. Tie-broken on
+    * event_id for a total order. */
+  def q16WindowSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir).select("event_id", "user_id", "ts", "value")
+      .withColumn("prev_value", round(lag("value", 1).over(w), 2))
+      .withColumn("next_value", round(lead("value", 1).over(w), 2))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("quartile", ntile(4).over(w))
+      .select("event_id", "user_id", "prev_value", "next_value",
+        "pct_rank", "quartile")
+  }
+
+  val q16Sql: String =
+    """SELECT event_id, user_id,
+      |  round(lag(value, 1) OVER w, 2) AS prev_value,
+      |  round(lead(value, 1) OVER w, 2) AS next_value,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  ntile(4) OVER w AS quartile
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
   /** pr1_profile — column profiling (the ANALYZE/data-quality pass):
     * null count, distinct count, min/max/avg per column, all from ONE
     * scan (a single multi-aggregate row, inline()-unpivoted to one row
