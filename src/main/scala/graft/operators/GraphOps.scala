@@ -13,15 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** Connected components by iterative min-label propagation: each
-    * round every node takes the minimum component id among itself and
-    * its neighbors (one equi-join + one map-side-combined min
-    * aggregation per round — shuffles only on node ids, never
-    * materializing anything larger than |V| + |E|). Converges in
-    * `diameter` rounds; near-dup graphs are unions of quasi-cliques
-    * (diameter ≲ 3), so this beats the O(log n)-round star-contraction
-    * algorithms that pay 2-3 shuffles per round for graphs this
-    * shallow. Lineage is cut with localCheckpoint each round (an
+  /** Connected components by min-label propagation WITH pointer-jump
+    * shortcutting (Shiloach-Vishkin style): each round every node takes
+    * the minimum label among itself and its neighbors (one equi-join +
+    * one map-side-combined min aggregation), then jumps through its
+    * label's own label (labels are node ids, so one more equi-join).
+    * Neighbor-min alone converges in `diameter` rounds — fine for
+    * quasi-clique near-dup graphs (diameter ≲ 3) but unbounded for
+    * chain-shaped clusters; the shortcut halves remaining path lengths
+    * every round, guaranteeing O(log |V|) rounds on ANY graph. All
+    * shuffles are on node ids; nothing larger than |V| + |E| ever
+    * materializes. Lineage is cut with localCheckpoint each round (an
     * iterative plan otherwise grows exponentially); a real cluster
     * deployment with preemptible executors would use reliable
     * checkpoint(dir) instead.
@@ -44,11 +46,17 @@ object GraphOps {
       val nbrMin = sym.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("comp").as("ncomp"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          (coalesce(col("ncomp"), col("comp")) < col("comp"))
-            .cast("long").as("__chg"))
+      val merged = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("pcomp"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // shortcut: comp is a node id, so follow it one hop — comp' =
+      // min(comp, comp[comp]); labels only ever decrease
+      val hop = labels.select(col("id").as("__hid"), col("comp").as("__hcomp"))
+      val next = merged.join(hop, merged("comp") === hop("__hid"), "left")
+        .select(merged("id"),
+          least(col("comp"), coalesce(col("__hcomp"), col("comp"))).as("comp"),
+          (least(col("comp"), coalesce(col("__hcomp"), col("comp")))
+            < col("pcomp")).cast("long").as("__chg"))
         .localCheckpoint()
       changed = next.agg(coalesce(sum("__chg"), lit(0L))).head().getLong(0)
       labels = next.select("id", "comp")
@@ -56,7 +64,8 @@ object GraphOps {
     }
     require(changed == 0,
       s"connectedComponents: not converged after $maxIter rounds " +
-        "(graph diameter exceeds maxIter)")
+        "(pointer-jump label propagation needs O(log V) rounds — " +
+        "raise maxIter only for astronomically large graphs)")
     labels
   }
 
