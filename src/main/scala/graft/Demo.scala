@@ -77,6 +77,20 @@ object Demo {
     println(f"persistent IVF: $nIvf rows in $ivfMs%.0f ms; " +
       f"top-5 overlap with brute force ${overlap.toDouble / nHits}%.2f")
 
+    // 5c. hybrid retrieval (beyond the reference): BM25 lexical arm +
+    //     the vector arm above, fused by reciprocal rank. The fused
+    //     list should self-retrieve at least as well as either arm.
+    val lex = operators.Bm25.search(
+      docs.withColumnRenamed("id", "doc_id"), "text",
+      queryTexts.select(col("doc_id").as("query_id"), col("query")),
+      "query", 10)
+    val fused = operators.Hybrid.rrfFuse(Seq(
+      lex.select("query_id", "doc_id", "rnk"),
+      hits.select(col("query_id"), col("vec_id").as("doc_id"), col("rnk"))), 5)
+    val fusedSelf = fused
+      .filter(col("query_id") === col("doc_id") && col("rnk") === 1).count()
+    println(s"hybrid RRF: $fusedSelf/${nHits / 5} queries rank their source doc #1")
+
     // 6. relevancy: a result is relevant iff it retrieves the query's
     //    own source doc or scores ≥ 0.8 cosine (stand-in for LLM ≥ 4/5)
     val judged = hits.withColumn("rel",
@@ -99,6 +113,20 @@ object Demo {
     pcts.sortBy(_.getString(0)).foreach(r =>
       println(f"  ${r.getString(0)}%-10s P50=${r.getDouble(1)}%8.3f " +
         f"P95=${r.getDouble(2)}%8.3f P99=${r.getDouble(3)}%8.3f"))
+
+    // 9. the dedup tail (beyond the reference): near-dup pairs →
+    //    connected components → survivor per duplicate group
+    val dd = docs.withColumnRenamed("id", "doc_id")
+    val pairs = operators.Dedup.ngramJaccardPairs(dd, 3, 0.05)
+    val nPairs = pairs.count()
+    if (nPairs > 0) {
+      val survivors = operators.GraphOps.survivors(
+        pairs.select("id_a", "id_b"),
+        dd.select(col("doc_id"), length(col("text")).as("n_chars")), "n_chars")
+      val dropped = survivors.agg(sum("n_dropped")).head().getLong(0)
+      println(s"dedup: $nPairs near-dup pairs -> ${survivors.count()} groups, " +
+        s"$dropped docs dropped after survivor selection")
+    } else println("dedup: no near-dup pairs at this threshold")
 
     println("=" * 70)
     println("demo complete")
