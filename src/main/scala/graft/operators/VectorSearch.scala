@@ -284,6 +284,36 @@ object VectorSearch {
                w: Array[Array[Array[Double]]]): DataFrame =
     knnLshBuckets(queries, corpus, k, hyperplaneBuckets(_, w))
 
+  /** Multi-PROBE random-hyperplane LSH kNN (Lv et al.): in every table
+    * the query probes its own bucket AND each hamming-1 neighbor (one
+    * sign bit flipped) — a near neighbor straddling a single hyperplane
+    * is still met without adding tables. The corpus side is UNCHANGED
+    * (one bucket per table per vector — no index growth); only the
+    * tiny broadcast query side expands ×(bits+1), so candidate volume
+    * grows ~(bits+1)× while recall approaches multi-table-squared
+    * quality. The right knob at 100 TB: probes are free (query side),
+    * tables cost a full extra corpus shuffle copy each.
+    */
+  def knnLshRpMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
+                         w: Array[Array[Array[Double]]]): DataFrame = {
+    val bits = w(0).length
+    val cb = spread(corpus).withColumn("vn", Vec.norm(col("v")))
+      .select(col("vec_id"), col("v"), col("vn"),
+        posexplode(hyperplaneBuckets(col("v"), w)).as(Seq("tbl", "bucket")))
+    val masks = array((lit(0L) +: (0 until bits).map(b => lit(1L << b))): _*)
+    val qb = queries.withColumn("qn", Vec.norm(col("qv")))
+      .select(col("query_id"), col("qv"), col("qn"),
+        posexplode(hyperplaneBuckets(col("qv"), w)).as(Seq("tbl", "bucket0")))
+      .select(col("query_id"), col("qv"), col("qn"), col("tbl"),
+        col("bucket0"), explode(masks).as("__mask"))
+      .withColumn("bucket", col("bucket0").bitwiseXOR(col("__mask")))
+      .drop("bucket0", "__mask")
+    val scored = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .withColumn("score", Vec.dot(col("qv"), col("v")) / (col("qn") * col("vn")))
+      .groupBy("query_id", "vec_id").agg(max("score").as("score"))
+    topK(scored, k, ascending = false)
+  }
+
   /** Shared multi-table LSH kNN skeleton over any per-table bucket
     * expression. */
   def knnLshBuckets(queries: DataFrame, corpus: DataFrame, k: Int,

@@ -348,6 +348,29 @@ object VectorQueries {
        |    FROM cb JOIN qb USING (tbl, bucket)) GROUP BY 1, 2)
        |${topkSql(s"SELECT query_id, vec_id, score FROM cand", desc = true)}""".stripMargin
 
+  // ---- v13: multi-probe LSH kNN ---------------------------------------
+
+  def v13KnnLshMp(s: SparkSession, d: String): DataFrame =
+    VectorSearch.knnLshRpMultiProbe(queryVecs(s, d), corpusVecs(s, d), K,
+      rpWeights)
+
+  /** v7's bucket CTEs + a probe expansion on the query side only:
+    * mask 0 (own bucket) plus one mask per flippable bit. */
+  val v13Sql: String =
+    s"""WITH $qCte, $cCte,
+       |w(tbl, bit, wv) AS (VALUES
+       |    $rpWeightRowsS),
+       |${rpBucketCteS("qb0", "q", "query_id", "qv")},
+       |${rpBucketCteS("cb", "c", "vec_id", "v")},
+       |qb AS (SELECT query_id, qv, tbl,
+       |         xor(bucket, CASE WHEN m.range < 0 THEN 0
+       |                          ELSE (1::BIGINT << m.range) END) AS bucket
+       |       FROM qb0, range(-1, $RpBits) m),
+       |cand AS (SELECT query_id, vec_id, max(score) AS score FROM (
+       |    SELECT query_id, vec_id, ${cosS("qv", "v")} AS score
+       |    FROM cb JOIN qb USING (tbl, bucket)) GROUP BY 1, 2)
+       |${topkSql(s"SELECT query_id, vec_id, score FROM cand", desc = true)}""".stripMargin
+
   // ---- d5: embedding-cosine near-duplicate pairs ----------------------
 
   val NearDupMinCos = 0.4

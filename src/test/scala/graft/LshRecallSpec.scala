@@ -18,6 +18,18 @@ class LshRecallSpec extends SparkSpec {
     assert(recall >= 0.6, f"v7 recall $recall%.3f (measured 0.675 at pinning)")
   }
 
+  test("v13 multi-probe recall beats single-probe v7 and >= 0.8") {
+    val brute = VectorQueries.v1KnnCos(spark, sf).select("query_id", "vec_id").cache()
+    val v7 = VectorQueries.v7KnnLsh(spark, sf).select("query_id", "vec_id")
+    val v13 = VectorQueries.v13KnnLshMp(spark, sf).select("query_id", "vec_id")
+    val n = brute.count().toDouble
+    val r7 = v7.intersect(brute).count() / n
+    val r13 = v13.intersect(brute).count() / n
+    // probing hamming-1 buckets strictly widens the candidate set
+    assert(r13 >= r7, f"multi-probe $r13%.3f < single-probe $r7%.3f")
+    assert(r13 >= 0.8, f"v13 recall $r13%.3f (measured 0.975 at pinning)")
+  }
+
   test("d6 hyperplane pair recall vs exact d5 >= 0.35 on the fixture") {
     // d6 runs 6-bit tables (see VectorQueries.RpBitsPair): the pair
     // join's candidate volume is N²·L/2^(b+1), so coarse 4-bit buckets
