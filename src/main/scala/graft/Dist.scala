@@ -31,6 +31,52 @@ object Dist {
     s.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + digest
   }
 
+  /** Distributed running total (prefix sum) over a TOTAL order — the
+    * scale-safe replacement for a partitionless window (which drags
+    * the whole dataset through ONE task): range-partition on the order
+    * keys, run the window per partition (parallel), then shift each
+    * partition by the driver-prefix-summed totals of its predecessors
+    * (≤ #partitions rows on the driver — index-metadata-sized at any
+    * scale). The result depends only on the total order, not on where
+    * range boundaries fall, so it is engine- and run-independent.
+    *
+    * Emits the input columns + `<valueCol>_end` = inclusive running
+    * total in (orderCols) order. orderCols must be a total order.
+    */
+  def runningTotal(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
+                   valueCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val sorted = df.repartitionByRange(p, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__pid")
+      .orderBy(orderCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val local = sorted.withColumn("__local_end", sum(col(valueCol)).over(w))
+      .localCheckpoint() // consumed twice below (offsets + join)
+    val totals = local.groupBy("__pid").agg(max("__local_end").as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val prefix = totals.keys.toSeq.sorted
+      .scanLeft((Int.MinValue, 0L)) { case ((_, acc), pid) =>
+        (pid, acc + totals(pid)) }
+      .sliding(2).collect { case Seq((_, acc), (pid, _)) => (pid, acc) }
+      .toMap
+    val offset = udfFreeLookup(local, prefix)
+    local.withColumn(s"${valueCol}_end", col("__local_end") + offset)
+      .drop("__pid", "__local_end")
+  }
+
+  /** Broadcast-join-free partition-offset lookup: a when() chain over
+    * ≤ #partitions entries (tiny, codegen'd — no UDF, no join). */
+  private def udfFreeLookup(df: DataFrame,
+                            prefix: Map[Int, Long]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    prefix.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("__pid") === pid, lit(off)).otherwise(acc)
+    }
+  }
+
   /** Two-phase salted aggregation for skewed keys: aggregate on
     * (key, salt) first — spreading one hot key over `salts` reducers —
     * then combine the partials on the bare key. `aggs` must be

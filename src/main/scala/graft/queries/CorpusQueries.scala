@@ -320,6 +320,39 @@ object CorpusQueries {
        |FROM ch""".stripMargin
   }
 
+  // ---- ch2_pack -------------------------------------------------------
+
+  val PackCapacity = 256
+
+  /** Sequence packing: documents concatenated in deterministic
+    * mixed-hash order, token stream cut into 256-token bins; one row
+    * per (doc, bin) segment. */
+  def ch2Pack(s: SparkSession, d: String): DataFrame =
+    graft.operators.Packing.pack(
+      Tables.documents(s, d).select(col("doc_id"),
+        size(Embed.tokens(col("text"))).as("n_tokens")),
+      PackCapacity)
+
+  val ch2Sql: String = {
+    val c = PackCapacity
+    s"""WITH $toksCte,
+       |n AS (SELECT doc_id, len(tk) AS n_tokens FROM toks),
+       |h AS (SELECT doc_id, n_tokens,
+       |        ${mixedHashS("CAST(doc_id AS VARCHAR)")} AS hk FROM n),
+       |r AS (SELECT doc_id, n_tokens,
+       |        CAST(sum(n_tokens) OVER (ORDER BY hk, doc_id
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+       |      FROM h),
+       |s AS (SELECT doc_id, n_tokens, e, e - n_tokens AS st
+       |      FROM r WHERE n_tokens > 0),
+       |x AS (SELECT doc_id, e, st,
+       |        unnest(range(st // $c, (e - 1) // $c + 1)) AS bin FROM s)
+       |SELECT doc_id, bin,
+       |  least(e, (bin + 1) * $c) - greatest(st, bin * $c) AS seg_tokens,
+       |  greatest(st, bin * $c) - bin * $c AS offset_in_bin
+       |FROM x""".stripMargin
+  }
+
   // ---- t7_redact ------------------------------------------------------
 
   def t7Redact(s: SparkSession, d: String): DataFrame =
