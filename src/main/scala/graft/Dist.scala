@@ -54,7 +54,7 @@ object Dist {
       .orderBy(orderCols: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val local = sorted.withColumn("__local_end", sum(col(valueCol)).over(w))
-      .localCheckpoint() // consumed twice below (offsets + join)
+      .localCheckpoint() // consumed twice: partition totals + final shift
     val totals = local.groupBy("__pid").agg(max("__local_end").as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val prefix = totals.keys.toSeq.sorted
@@ -62,15 +62,13 @@ object Dist {
         (pid, acc + totals(pid)) }
       .sliding(2).collect { case Seq((_, acc), (pid, _)) => (pid, acc) }
       .toMap
-    val offset = udfFreeLookup(local, prefix)
-    local.withColumn(s"${valueCol}_end", col("__local_end") + offset)
+    local.withColumn(s"${valueCol}_end", col("__local_end") + offsetExpr(prefix))
       .drop("__pid", "__local_end")
   }
 
   /** Broadcast-join-free partition-offset lookup: a when() chain over
     * ≤ #partitions entries (tiny, codegen'd — no UDF, no join). */
-  private def udfFreeLookup(df: DataFrame,
-                            prefix: Map[Int, Long]): org.apache.spark.sql.Column = {
+  private def offsetExpr(prefix: Map[Int, Long]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     prefix.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
       when(col("__pid") === pid, lit(off)).otherwise(acc)
