@@ -107,6 +107,34 @@ class RelationalNewOpsSpec extends SparkSpec {
       s"profile should not scan once per column:\n$plan")
   }
 
+  test("window suite: lag/lead/percent_rank/ntile agree with hand math") {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = Seq(
+      (1L, 7L, "2024-01-01 10:00:00", 1.0),
+      (2L, 7L, "2024-01-01 10:01:00", 2.0),
+      (3L, 7L, "2024-01-01 10:02:00", 4.0),
+      (4L, 7L, "2024-01-01 10:03:00", 8.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val res = ev
+      .withColumn("prev_value", round(lag("value", 1).over(w), 2))
+      .withColumn("next_value", round(lead("value", 1).over(w), 2))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("quartile", ntile(4).over(w))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(res(1L).isNullAt(4) && res(1L).getDouble(5) == 2.0)
+    assert(res(2L).getDouble(4) == 1.0 && res(2L).getDouble(5) == 4.0)
+    assert(res(4L).isNullAt(5)) // last row has no lead
+    // percent_rank = (rank-1)/(n-1) over 4 rows: 0, 1/3, 2/3, 1
+    assert(res(2L).getDouble(6) == BigDecimal(1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(res(4L).getDouble(6) == 1.0)
+    // ntile(4) over 4 rows: one per bucket, in order
+    assert((1 to 4).map(i => res(i.toLong).getInt(7)) == Seq(1, 2, 3, 4))
+  }
+
   test("tfidf keywords: ubiquitous tokens never win over distinctive ones") {
     import spark.implicits._
     val docs = Seq(
