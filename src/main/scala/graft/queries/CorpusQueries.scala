@@ -799,4 +799,38 @@ object CorpusQueries {
       |  SELECT o_orderkey, o_totalprice, version,
       |    row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
       |  FROM batches) WHERE rn = 1""".stripMargin
+
+  // ---- u4_scd2 --------------------------------------------------------
+
+  /** Slowly-changing-dimension type 2: instead of last-write-wins (u1),
+    * keep EVERY version with its validity interval — valid_to = the
+    * next version for the key (null = current row). One window over the
+    * same (key, version) shuffle u1 pays; the standard warehouse
+    * history-table shape. Runs on u1's two-batch fixture. */
+  def u4Scd2(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), lit(0).as("version"))
+    val update = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") + 1000.0).as("o_totalprice"),
+        lit(1).as("version"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderkey").orderBy("version")
+    base.unionAll(update)
+      .withColumn("valid_to", lead("version", 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+      .select("o_orderkey", "o_totalprice", "version", "valid_to", "is_current")
+  }
+
+  val u4Sql: String =
+    """WITH batches AS (
+      |  SELECT o_orderkey, o_totalprice, 0 AS version FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, 1 AS version
+      |  FROM orders WHERE o_orderkey % 10 = 0)
+      |SELECT o_orderkey, o_totalprice, version,
+      |  lead(version, 1) OVER (PARTITION BY o_orderkey ORDER BY version) AS valid_to,
+      |  CASE WHEN lead(version, 1) OVER (PARTITION BY o_orderkey ORDER BY version)
+      |            IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM batches""".stripMargin
 }

@@ -135,6 +135,23 @@ class RelationalNewOpsSpec extends SparkSpec {
     assert((1 to 4).map(i => res(i.toLong).getInt(7)) == Seq(1, 2, 3, 4))
   }
 
+  test("scd2: updated keys get chained intervals, others one current row") {
+    val scd = CorpusQueries.u4Scd2(spark, sf).cache()
+    val updated = scd.filter(col("o_orderkey") % 10 === 0)
+    // updated keys: v0 closed by v1 (valid_to = 1), v1 current
+    assert(updated.filter(col("version") === 0)
+      .filter(col("valid_to") =!= 1 || col("is_current") =!= 0).count() == 0L)
+    assert(updated.filter(col("version") === 1)
+      .filter(!col("valid_to").isNull || col("is_current") =!= 1).count() == 0L)
+    // untouched keys have exactly one, current, version-0 row
+    val untouched = scd.filter(col("o_orderkey") % 10 =!= 0)
+    assert(untouched.filter(col("is_current") =!= 1).count() == 0L)
+    // exactly one current row per key overall
+    val perKey = scd.filter(col("is_current") === 1)
+      .groupBy("o_orderkey").count().filter(col("count") =!= 1).count()
+    assert(perKey == 0L)
+  }
+
   test("tfidf keywords: ubiquitous tokens never win over distinctive ones") {
     import spark.implicits._
     val docs = Seq(
