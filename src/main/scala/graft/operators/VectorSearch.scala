@@ -359,6 +359,12 @@ object VectorSearch {
         Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    rescorePairs(base, cand, minCosine)
+  }
+
+  /** One exact cosine rescore per unique candidate pair. */
+  private def rescorePairs(base: DataFrame, cand: DataFrame,
+                           minCosine: Double): DataFrame =
     cand
       .join(base.select(col("vec_id").as("id_a"), col("v").as("va"),
         col("vn").as("na")), "id_a")
@@ -367,5 +373,31 @@ object VectorSearch {
       .withColumn("score", Vec.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("score") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+
+  /** Multi-PROBE variant of the pair generator: the probing side of
+    * the bucket self-join also visits every hamming-1 bucket, so a
+    * pair split by exactly one hyperplane in a table still meets.
+    * Coverage is symmetric with one-sided probing (for any pair, the
+    * smaller id's probe row hits the larger id's exact bucket), so
+    * candidate volume grows only ×(bits+1) on one side — then the
+    * usual distinct-pair dedup + single exact rescore. */
+  def nearDupPairsLshRpMultiProbe(vectors: DataFrame, minCosine: Double,
+                                  w: Array[Array[Array[Double]]]): DataFrame = {
+    val bits = w(0).length
+    val base = spread(vectors.select(col("vec_id"), col("v")))
+      .withColumn("vn", Vec.norm(col("v")))
+    val bk = base.select(col("vec_id"),
+      posexplode(hyperplaneBuckets(col("v"), w)).as(Seq("tbl", "bucket")))
+    val masks = array((lit(0L) +: (0 until bits).map(b => lit(1L << b))): _*)
+    val probed = bk.select(col("vec_id").as("id_a"), col("tbl"),
+        col("bucket").as("__b0"), explode(masks).as("__m"))
+      .select(col("id_a"), col("tbl"),
+        col("__b0").bitwiseXOR(col("__m")).as("bucket"))
+    val cand = probed
+      .join(bk.select(col("tbl"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    rescorePairs(base, cand, minCosine)
   }
 }

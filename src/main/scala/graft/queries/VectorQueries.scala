@@ -487,6 +487,30 @@ object VectorQueries {
        |  FROM sc) WHERE rnk <= $K""".stripMargin
   }
 
+  // ---- d10: multi-probe LSH near-dup pairs ----------------------------
+
+  def d10NearDupLshMp(s: SparkSession, d: String): DataFrame =
+    VectorSearch.nearDupPairsLshRpMultiProbe(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v")),
+      NearDupMinCos, rpWeightsPair)
+
+  val d10Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |w(tbl, bit, wv) AS (VALUES
+       |    $rpWeightRowsPairS),
+       |${rpBucketCteS("b", "e", "vec_id", "v")},
+       |bp AS (SELECT vec_id, v, tbl,
+       |         xor(bucket, CASE WHEN m.range < 0 THEN 0
+       |                          ELSE (1::BIGINT << m.range) END) AS bucket
+       |       FROM b, range(-1, $RpBitsPair) m)
+       |SELECT id_a, id_b, round(score, 6) AS score FROM (
+       |  SELECT id_a, id_b, max(score) AS score FROM (
+       |    SELECT a.vec_id AS id_a, b2.vec_id AS id_b, ${cosS("a.v", "b2.v")} AS score
+       |    FROM bp a JOIN b b2
+       |      ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |  GROUP BY 1, 2)
+       |WHERE score >= $NearDupMinCos""".stripMargin
+
   // ---- v0: deterministic hashing-TF embedder over documents -----------
 
 

@@ -42,6 +42,17 @@ class LshRecallSpec extends SparkSpec {
     assert(recall >= 0.35, f"d6 pair recall $recall%.3f (measured 0.394 at pinning)")
   }
 
+  test("d10 multi-probe pair recall beats single-probe d6") {
+    val d5 = VectorQueries.d5EmbedNearDup(spark, sf).select("id_a", "id_b").cache()
+    val d6 = VectorQueries.d6NearDupLsh(spark, sf).select("id_a", "id_b")
+    val d10 = VectorQueries.d10NearDupLshMp(spark, sf).select("id_a", "id_b")
+    val n = math.max(1, d5.count()).toDouble
+    val r6 = d6.intersect(d5).count() / n
+    val r10 = d10.intersect(d5).count() / n
+    assert(r10 >= r6, f"multi-probe pair recall $r10%.3f < single-probe $r6%.3f")
+    assert(r10 >= 0.6, f"d10 pair recall $r10%.3f (measured 0.894 vs d6 0.394 at pinning)")
+  }
+
   test("true near-duplicates (cos >= 0.95) are recalled near-perfectly") {
     import spark.implicits._
     // high-similarity pairs are the dedup use case: per-bit agreement
