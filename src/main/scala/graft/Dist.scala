@@ -42,10 +42,20 @@ object Dist {
     *
     * Emits the input columns + `<valueCol>_end` = inclusive running
     * total in (orderCols) order. orderCols must be a total order.
+    *
+    * valueCol must be an integral, non-null column (sums collect on the
+    * driver as Long; doubles would also reorder-sensitively round).
+    * Enforced up front so a double/decimal column fails at plan time
+    * with a clear message, not as a ClassCastException mid-collect.
     */
   def runningTotal(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
                    valueCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val vt = df.schema(valueCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(vt),
+      s"runningTotal: value column '$valueCol' must be integral " +
+        s"(got $vt) — exact prefix sums are defined on integers only")
     val p = df.sparkSession.sparkContext.defaultParallelism
     val sorted = df.repartitionByRange(p, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
@@ -56,7 +66,9 @@ object Dist {
     val local = sorted.withColumn("__local_end", sum(col(valueCol)).over(w))
       .localCheckpoint() // consumed twice: partition totals + final shift
     val totals = local.groupBy("__pid").agg(max("__local_end").as("__t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap // all-null-valued partition sums to null → contributes 0
     val prefix = totals.keys.toSeq.sorted
       .scanLeft((Int.MinValue, 0L)) { case ((_, acc), pid) =>
         (pid, acc + totals(pid)) }

@@ -96,9 +96,17 @@ object GraphOps {
   def survivors(edges: DataFrame, docs: DataFrame,
                 priorityCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
-      .orderBy(col(priorityCol).desc, col("doc_id").asc)
+      .orderBy(col("__prio").desc, col("doc_id").asc)
     dedupGroups(edges)
-      .join(docs.select(col("doc_id"), col(priorityCol)), "doc_id")
+      .join(docs.select(col("doc_id"), col(priorityCol)), Seq("doc_id"), "left")
+      // Left join + execution-time assert: an inner join would silently
+      // drop graph members missing from `docs` (skewing group counts,
+      // and vanishing whole components). raise_error lives inside the
+      // ordering column itself so column pruning can't elide the check.
+      .withColumn("__prio", when(col(priorityCol).isNotNull, col(priorityCol))
+        .otherwise(raise_error(concat(
+          lit("survivors: doc_id "), col("doc_id"),
+          lit(" appears in the dedup graph but is missing from docs")))))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("component"), col("doc_id").as("survivor_id"),

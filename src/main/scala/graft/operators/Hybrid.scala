@@ -24,8 +24,10 @@ object Hybrid {
   val RrfK = 60
 
   /** Fuse rank lists. Each arm must expose (query_id, doc_id, rnk)
-    * with rnk 1-based; a doc absent from an arm contributes 0. */
-  def rrfFuse(arms: Seq[DataFrame], k: Int): DataFrame = {
+    * with rnk 1-based; a doc absent from an arm contributes 0.
+    * `topK` is the OUTPUT cutoff per query — the RRF formula's own
+    * constant is [[RrfK]], not this parameter. */
+  def rrfFuse(arms: Seq[DataFrame], topK: Int): DataFrame = {
     val contribs = arms.map(_.select(col("query_id"), col("doc_id"),
       (lit(1.0) / (lit(RrfK) + col("rnk"))).as("c")))
     // ≤ one row per (query, doc) per arm → the sum has ≤ |arms| addends;
@@ -34,6 +36,6 @@ object Hybrid {
       .groupBy("query_id", "doc_id")
       .agg(round(sum("c"), 6).as("rrf_score"))
     graft.plans.TopK.perKey(fused, Seq("query_id"),
-      Seq(col("rrf_score").desc, col("doc_id").asc), k)
+      Seq(col("rrf_score").desc, col("doc_id").asc), topK)
   }
 }

@@ -591,8 +591,11 @@ object Relational {
     ev.join(broadcast(stats), "event_type")
       .withColumn("z", when(col("sd") > 0.0,
         round((col("value") - col("m")) / col("sd"), 3) + lit(0.0)))
+      // when().otherwise(0) mirrors the oracle's CASE ... ELSE 0 END:
+      // a singleton group has NULL stddev_samp, where a bare boolean
+      // cast would emit NULL while the oracle emits 0
       .withColumn("is_outlier",
-        (col("sd") > 0.0 && abs(col("z")) > ZscoreFlag).cast("int"))
+        when(col("sd") > 0.0 && abs(col("z")) > ZscoreFlag, 1).otherwise(0))
       .select("event_id", "event_type", "z", "is_outlier")
   }
 

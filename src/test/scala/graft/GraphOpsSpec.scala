@@ -52,4 +52,18 @@ class GraphOpsSpec extends SparkSpec {
     // component 5: docs 6 and 7 tie at n_chars=300 -> smaller id 6 wins
     assert(res == Map(5L -> (6L, 3L, 2L), 30L -> (30L, 2L, 1L)))
   }
+
+  test("survivors fail loudly when a graph member is missing from docs") {
+    import spark.implicits._
+    // doc 7 is in the pair graph but absent from the docs table: an
+    // inner join would silently elect among {5, 6} with group_size
+    // still 3 — the operator must raise instead
+    val docs = Seq((5L, 100), (6L, 300)).toDF("doc_id", "n_chars")
+    val ex = intercept[Exception] {
+      GraphOps.survivors(edges(5L -> 6L, 6L -> 7L), docs, "n_chars").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("missing from docs")))
+  }
 }

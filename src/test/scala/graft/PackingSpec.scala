@@ -23,6 +23,15 @@ class PackingSpec extends SparkSpec {
     assert(bins.keys.min == 0L && bins.size == lastBin + 1)
   }
 
+  test("runningTotal rejects non-integral value columns at plan time") {
+    import spark.implicits._
+    val df = Seq((1L, 1.5), (2L, 2.5)).toDF("id", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Dist.runningTotal(df, Seq(col("id")), "v")
+    }
+    assert(ex.getMessage.contains("must be integral"))
+  }
+
   test("a doc spanning a cut contributes correct segments to both bins") {
     import spark.implicits._
     // order is by mixedHash: compute it to find the doc layout, then

@@ -63,6 +63,24 @@ class RelationalNewOpsSpec extends SparkSpec {
     assert(flagged.filter(abs(col("z")) <= Relational.ZscoreFlag).count() == 0L)
   }
 
+  test("zscore: singleton group (NULL stddev) emits is_outlier 0, not NULL") {
+    import spark.implicits._
+    // the sf fixture has no singleton event_type groups, so build a
+    // scratch sf dir where one group has exactly one row: stddev_samp
+    // is NULL there and the flag must still be 0 (oracle's ELSE 0)
+    val dir = java.nio.file.Files.createTempDirectory("m6single").toString
+    Seq(
+      (1L, 1000000000L, 1L, "solo", 5.0),
+      (2L, 2000000000L, 1L, "pair", 1.0),
+      (3L, 3000000000L, 2L, "pair", 9.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = Relational.m6Zscore(spark, dir).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(2)), r.getInt(3))).toMap
+    assert(rows(1L) == (None, 0)) // z NULL (no spread), flag 0 not NULL
+    assert(rows(2L)._1.isDefined && rows(3L)._1.isDefined)
+  }
+
   test("gapfill: missing days appear, forward-filled from the last value") {
     import spark.implicits._
     val daily = Seq(
