@@ -25,6 +25,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override def dataType: DataType = DoubleType
 
+  /** Nullable even when both children are non-nullable: a length
+    * mismatch or a null ELEMENT yields null. The BinaryExpression
+    * default (children's nullability) would (a) let the optimizer
+    * wrongly assume non-null output and (b) hand codegen a FalseLiteral
+    * for ev.isNull, so the generated `false = true;` fails to compile
+    * and silently knocks the whole stage out of codegen — found as a
+    * WholeStageCodegen fallback in the v12 hybrid pipeline, where the
+    * embed transform() produces non-nullable arrays. */
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(lt, _), ArrayType(rt, _))
       if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
