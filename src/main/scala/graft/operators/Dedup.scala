@@ -231,4 +231,54 @@ object Dedup {
           when(col(s"b$i") * 2 >= col("n"), lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
+
+  /** Exact-substring duplication detection (d11) — the signal behind
+    * Lee et al.'s "Deduplicating Training Data Makes Language Models
+    * Better": long token spans repeated ANYWHERE in the corpus (other
+    * docs or the same doc) are memorization fuel, invisible to
+    * whole-doc dedup (d1) and soft for shingle-Jaccard (d2). Per doc:
+    * every length-`w` token window (stride 1, so duplicated spans are
+    * caught at ANY alignment), hashed; a window is duplicated iff its
+    * hash occurs more than once corpus-wide. Emits
+    * (doc_id, n_windows, n_dup_windows, dup_ratio).
+    *
+    * Scale shape: explode windows (the hash wraps the array
+    * construction DIRECTLY — see shingleHashRows on why), one
+    * map-side-combined count per window hash, one equi-join back on the
+    * hash, one per-doc aggregate — every shuffle key is an 8-byte hash.
+    * The window rows feed both the global count and the join, so they
+    * are eagerly localCheckpointed (a lazy cache double-materializes
+    * under the join's broadcast race, §5). The ~30-bit hash has the
+    * same birthday caveat as d1: at 100 TB widen to the 4-polyhash
+    * digest; here the oracle replicates the identical hash so residual
+    * collisions agree across engines. The full suffix-array machinery
+    * of the paper finds MAXIMAL duplicated spans; fixed-w windows are
+    * the standard distributed approximation (any duplicated span ≥ w
+    * is caught by its first window).
+    */
+  def dupSpans(docs: DataFrame, textCol: String, w: Int): DataFrame = {
+    val tk = col("tk")
+    // sequence(1, size-w+1) would DESCEND for short docs (sequence
+    // infers step -1 when start > stop) — gate on size >= w instead
+    val spanHashes = when(size(tk) >= w,
+      transform(sequence(lit(1), size(tk) - (w - 1)),
+        j => tokenHash(array_join(slice(tk, j, lit(w)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+    val windows = graft.Dist.spread(
+        docs.select(col("doc_id"), tokens(col(textCol)).as("tk")))
+      .select(col("doc_id"), explode(spanHashes).as("h"))
+      .localCheckpoint()
+    val counts = windows.groupBy("h").agg(count(lit(1)).as("c"))
+    val perDoc = windows.join(counts, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum((col("c") > 1).cast("long")).as("n_dup_windows"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_ratio", when(col("n_windows") > 0,
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 4))
+        .otherwise(lit(0.0)))
+  }
 }

@@ -253,4 +253,50 @@ object TextAnalysis {
       .agg(array_join(transform(array_sort(collect_list(struct(col("rnk"), col("tok")))),
         x => x.getField("tok")), " ").as("query"))
   }
+
+  /** Unigram-NLL band boundaries (ppl1). The synthetic vocabulary is
+    * ~31 near-uniform terms, so per-doc avg NLL concentrates near
+    * ln(31) ≈ 3.43; the cuts sit at the observed terciles (CCNet bands
+    * by perplexity terciles — these are the fitted model constants).
+    * Banding happens on the ROUNDED score, which is hash-identical
+    * across engines, so boundary behavior cannot diverge. */
+  val NllMidCut = 3.40
+  val NllHighCut = 3.404
+
+  /** CCNet-style perplexity quality filter (ppl1) stand-in: score each
+    * document by its average token negative log-likelihood under a
+    * corpus-fit UNIGRAM LM (the reference pipeline fits a KenLM 5-gram;
+    * the model here is the largest one whose probabilities both engines
+    * reproduce exactly — counts and a single ln). High avg NLL = text
+    * atypical for the corpus (noise, boilerplate in another register);
+    * CCNet keeps the head/middle of the perplexity distribution.
+    *
+    * Shape: one tokenize pass → per-(doc, term) tf (map-side combined);
+    * term totals derive FROM tf (no second corpus pass); the corpus
+    * total rides in as a broadcast scalar; scoring is an equi-join on
+    * the term + one per-doc aggregate. tf feeds three consumers, so it
+    * is eagerly localCheckpointed (§5: lazy caches double-materialize
+    * under broadcast races). Band cuts apply to the 4-dp-rounded score
+    * (b2's policy: ln()'s last ulp cannot flip a rounded comparison
+    * that both engines make on the same rounded value).
+    */
+  def unigramNll(docs: DataFrame, textCol: String): DataFrame = {
+    val tf = graft.Dist.spread(
+        docs.select(col("doc_id"), tokens(col(textCol)).as("tk")))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), explode(col("tk")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val tc = tf.groupBy("t").agg(sum("tf").as("c"))
+    val total = tc.agg(sum("c").as("tt"))
+    tf.join(tc, "t").crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        round(sum(-log(col("c").cast("double") / col("tt")) * col("tf"))
+          / sum("tf"), 4).as("avg_nll"))
+      .withColumn("ppl_band",
+        when(col("avg_nll") < NllMidCut, "head")
+          .when(col("avg_nll") < NllHighCut, "middle")
+          .otherwise("tail"))
+  }
 }

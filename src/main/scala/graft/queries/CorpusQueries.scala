@@ -833,4 +833,57 @@ object CorpusQueries {
       |  CASE WHEN lead(version, 1) OVER (PARTITION BY o_orderkey ORDER BY version)
       |            IS NULL THEN 1 ELSE 0 END AS is_current
       |FROM batches""".stripMargin
+
+  // ---- d11_dup_spans --------------------------------------------------
+
+  val SpanW = 8
+
+  /** Exact duplicated-span detection (Lee et al. substring dedup) —
+    * every 8-token window, stride 1; duplicated iff its hash repeats
+    * corpus-wide. */
+  def d11DupSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.dupSpans(Tables.documents(s, d).select("doc_id", "text"),
+      "text", SpanW)
+
+  /** Oracle: same windows via unnest(range) (DuckDB range() takes no
+    * lateral column arg), same polyhash over the space-joined span. */
+  val d11Sql: String =
+    s"""WITH $toksCte,
+       |w AS (SELECT doc_id, ${polyhashS(s"list_aggregate(tk[j:j+${SpanW - 1}], 'string_agg', ' ')")} AS h
+       |      FROM toks, unnest(range(1, 4096)) AS u(j)
+       |      WHERE j <= len(tk) - ${SpanW - 1}),
+       |cnt AS (SELECT h, count(*) AS c FROM w GROUP BY 1),
+       |per AS (SELECT doc_id, count(*) AS n_windows,
+       |          CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+       |        FROM w JOIN cnt USING (h) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(per.n_windows, 0) AS n_windows,
+       |  coalesce(per.n_dup_windows, 0) AS n_dup_windows,
+       |  CASE WHEN coalesce(per.n_windows, 0) > 0
+       |       THEN round(per.n_dup_windows::DOUBLE / per.n_windows, 4)
+       |       ELSE 0.0 END AS dup_ratio
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
+
+  // ---- ppl1_unigram_nll -----------------------------------------------
+
+  /** Unigram-LM perplexity quality filter (CCNet shape). */
+  def ppl1UnigramNll(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.unigramNll(Tables.documents(s, d).select("doc_id", "text"),
+      "text")
+
+  val ppl1Sql: String =
+    s"""WITH $toksCte,
+       |tf AS (SELECT doc_id, t, count(*) AS tf FROM (
+       |         SELECT doc_id, unnest(tk) AS t FROM toks WHERE len(tk) > 0)
+       |       GROUP BY 1, 2),
+       |tc AS (SELECT t, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM tc),
+       |per AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |          round(sum(-ln(c::DOUBLE / tt) * tf) / sum(tf), 4) AS avg_nll
+       |        FROM tf JOIN tc USING (t) CROSS JOIN tot GROUP BY 1)
+       |SELECT doc_id, n_tokens, avg_nll,
+       |  CASE WHEN avg_nll < ${TextAnalysis.NllMidCut} THEN 'head'
+       |       WHEN avg_nll < ${TextAnalysis.NllHighCut} THEN 'middle'
+       |       ELSE 'tail' END AS ppl_band
+       |FROM per""".stripMargin
 }

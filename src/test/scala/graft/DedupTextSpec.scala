@@ -223,4 +223,57 @@ class DedupTextSpec extends SparkSpec {
     assert(updated.join(orders.withColumnRenamed("o_totalprice", "base"), "o_orderkey")
       .filter(abs(col("o_totalprice") - col("base") - 1000.0) > 1e-9).count() == 0)
   }
+
+  test("d11 dup spans: planted shared span detected at any alignment; short docs zero") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ") // 10-token span
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),           // span at offset 2
+      (2L, s"$shared delta epsilon zeta"),         // span at offset 0
+      (3L, "unique words only here nothing repeats at all in this one"),
+      (4L, "tiny doc")                             // < 8 tokens -> no windows
+    ).toDF("doc_id", "text")
+    val res = graft.operators.Dedup.dupSpans(docs, "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // a 10-token shared span yields 3 duplicated 8-token windows in each
+    assert(res(1L)._2 == 3 && res(2L)._2 == 3)
+    assert(res(1L)._1 == 6)  // 13 tokens -> 6 windows
+    assert(res(3L) == (4L, 0L, 0.0))
+    assert(res(4L) == (0L, 0L, 0.0))
+  }
+
+  test("d11 dup spans: within-doc repetition counts as duplication") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, s"$span filler1 filler2 $span")).toDF("doc_id", "text")
+    val res = graft.operators.Dedup.dupSpans(docs, "text", 8).head()
+    assert(res.getLong(2) >= 2) // the repeated 8-gram occurs twice
+  }
+
+  test("ppl1 unigram NLL: rare-token docs score strictly higher") {
+    import spark.implicits._
+    // 'zzz' appears once in the corpus; 'the' dominates
+    val docs = Seq(
+      (1L, "the the the the the the the the the"),
+      (2L, "the the the the the the the the zzz")
+    ).toDF("doc_id", "text")
+    val res = graft.operators.TextAnalysis.unigramNll(docs, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(res(2L) > res(1L))
+    // doc 1 is all-common: NLL = -ln(17/18) per token
+    assert(math.abs(res(1L) - (-math.log(17.0 / 18.0))) < 1e-3)
+  }
+
+  test("ppl1 bands partition the corpus by the declared cuts") {
+    val res = CorpusQueries.ppl1UnigramNll(spark, sf).cache()
+    import graft.operators.TextAnalysis.{NllMidCut, NllHighCut}
+    assert(res.filter(col("ppl_band") === "head")
+      .filter(col("avg_nll") >= NllMidCut).count() == 0)
+    assert(res.filter(col("ppl_band") === "middle")
+      .filter(col("avg_nll") < NllMidCut || col("avg_nll") >= NllHighCut).count() == 0)
+    assert(res.filter(col("ppl_band") === "tail")
+      .filter(col("avg_nll") < NllHighCut).count() == 0)
+    assert(res.select("ppl_band").distinct().count() >= 2)
+  }
 }
