@@ -104,4 +104,26 @@ object Dist {
       .agg(sum(col("__partial")).as(s"sum_$valueCol"),
            sum(col("__n")).as("n_rows"))
   }
+
+  /** Salted equi-join for skewed probe keys: the build side is
+    * replicated once per salt (×`salts` build rows — fine when the
+    * build side is the smaller fact, too big to broadcast but far
+    * smaller than the probe), while each probe row picks ONE
+    * deterministic pseudo-random salt, so a hot key's probe rows
+    * spread over `salts` reducers instead of melting one. Result is
+    * row-identical to the plain inner join (every probe row still
+    * meets every matching build row exactly once — through its own
+    * salt's copy). This is what AQE's skew-join split does adaptively;
+    * the explicit form works when skew is KNOWN and stable (training
+    * corpora: one language, one domain, one template dominating).
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val salted = probe.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

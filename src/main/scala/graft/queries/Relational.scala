@@ -742,4 +742,45 @@ object Relational {
        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
        |FROM s GROUP BY user_id, sid""".stripMargin
+
+  /** f1_bloom_join — Bloom-prefiltered semi-join: lineitem rows for
+    * urgent orders. The Bloom pass prunes the fact scan before any
+    * shuffle; the exact semi-join removes false positives, so the
+    * result equals the plain semi-join the oracle runs. */
+  def f1BloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    graft.operators.BloomJoin.semiJoin(
+        Tables.lineitem(spark, sfDir)
+          .select("l_orderkey", "l_returnflag", "l_quantity"),
+        "l_orderkey", urgent, "o_orderkey")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+  }
+
+  val f1Sql: String =
+    """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem WHERE l_orderkey IN (
+      |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY 1""".stripMargin
+
+  /** j2_salted_join — skew-safe fact-fact equi-join (Dist.saltedJoin):
+    * orders replicated ×salts, lineitem rows spread by a deterministic
+    * pseudo-random salt. Row-identical to the plain join, so the
+    * oracle is the plain join aggregate. */
+  def j2SaltedJoin(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Dist.saltedJoin(
+        Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+        Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority"),
+        "o_orderkey", 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+
+  val j2Sql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
 }

@@ -107,4 +107,53 @@ class ScaleTechniquesSpec extends SparkSpec {
       assert(joined.count() == Tables.lineitem(spark, sf).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
+
+  test("bloom semi-join equals the exact semi-join; no false negatives") {
+    import graft.operators.BloomJoin
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val exact = li.join(urgent.withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey"), "left_semi")
+    val bloom = BloomJoin.semiJoin(li, "l_orderkey", urgent, "o_orderkey")
+    assert(bloom.count() == exact.count())
+    assert(bloom.agg(sum("l_quantity")).head() == exact.agg(sum("l_quantity")).head())
+  }
+
+  test("bloom prefilter passes every true key and few false positives") {
+    import graft.operators.BloomJoin
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val bitmap = BloomJoin.buildBitmap(urgent, "o_orderkey")
+    val li = Tables.lineitem(spark, sf).select("l_orderkey").cache()
+    val trueKeys = li.join(
+      urgent.withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey"), "left_semi").count()
+    val pass = li.filter(
+      BloomJoin.mightContain(bitmap, col("l_orderkey"))).count()
+    val total = li.count()
+    assert(pass >= trueKeys, "bloom filter dropped a true match")
+    // fp rate among non-matching rows must stay small (m=2^20, k=3)
+    val fp = (pass - trueKeys).toDouble / math.max(total - trueKeys, 1L)
+    assert(fp < 0.01, s"false-positive rate $fp")
+  }
+
+  test("salted join is row-identical to the plain join") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority")
+    val plain = li.join(o, "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("s"))
+      .orderBy("o_orderpriority").collect()
+    val salted = Dist.saltedJoin(li, o, "o_orderkey", 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("s"))
+      .orderBy("o_orderpriority").collect()
+    assert(plain.length == salted.length)
+    plain.zip(salted).foreach { case (p, s) =>
+      assert(p.getString(0) == s.getString(0) && p.getLong(1) == s.getLong(1))
+      assert(math.abs(p.getDouble(2) - s.getDouble(2)) < 1e-6)
+    }
+  }
 }
