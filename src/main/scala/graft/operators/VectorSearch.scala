@@ -138,6 +138,43 @@ object VectorSearch {
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
   }
 
+  /** SemDeDup (Abbas et al.): semantic dedup by cluster-then-cosine —
+    * assign every vector to its nearest centroid cell, then flag a
+    * vector as a semantic duplicate iff a LOWER-id vector in the SAME
+    * cell has cosine ≥ `tau` (min-id is the kept representative; the
+    * paper keeps the member farthest from the centroid — min-id is the
+    * deterministic, engine-portable election). Emits
+    * (vec_id, cell_id, is_dup) for every corpus vector.
+    *
+    * This is d5's quadratic cosine check made 100 TB-shaped a THIRD
+    * way: where d6/d10 bound pairs by LSH buckets, SemDeDup bounds
+    * them by semantic cells — candidate pairs form only inside a cell
+    * (equi-join on cell_id, |cell|² local work), which is exactly the
+    * published algorithm (k-means with k ≈ √N keeps cells ~√N-sized).
+    * The assignment reuses assignCells' min_by scan; the cell
+    * self-join ships (cell_id, vec_id, v) once. The assignment feeds
+    * both self-join sides, so it is eagerly localCheckpointed (§5:
+    * lazy caches double-materialize under concurrent consumers).
+    */
+  def semDedup(vectors: DataFrame, centroids: DataFrame,
+               tau: Double): DataFrame = {
+    val assigned = assignCells(vectors, centroids)
+      .withColumn("vn", Vec.norm(col("v")))
+      .localCheckpoint()
+    val a = assigned.select(col("cell_id"), col("vec_id"),
+      col("v").as("va"), col("vn").as("na"))
+    val b = assigned.select(col("cell_id"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("vn").as("nb"))
+    val dupIds = a.join(b, Seq("cell_id"))
+      .filter(col("id_b") < col("vec_id"))
+      .filter(Vec.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= tau)
+      .select("vec_id").distinct()
+    assigned.join(dupIds.withColumn("__d", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        coalesce(col("__d"), lit(0)).as("is_dup"))
+  }
+
   /** Deterministic cell assignment: nearest of the broadcast `centroids`
     * (cell_id, cv) by L2; ties on cell_id. One corpus scan; the
     * nearest-centroid pick is a `min_by` aggregation so partial (map-

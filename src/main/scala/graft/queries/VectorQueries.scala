@@ -540,4 +540,59 @@ object VectorQueries {
        |n AS (SELECT doc_id, counts, sqrt(list_dot_product(counts, counts)) AS nrm FROM cnts)
        |SELECT doc_id, r.range AS dim_idx, round(counts[r.range + 1] / nrm, 6) AS value
        |FROM n, range(0, $EmbedDim) r""".stripMargin
+
+  // ---- dr1: Johnson-Lindenstrauss random projection -------------------
+
+  def dr1RandomProjection(s: SparkSession, d: String): DataFrame =
+    graft.operators.RandomProjection.project(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      "embedding", EmbedDim)
+
+  /** Oracle regenerates the ±1 sign matrix from the same (j, k)
+    * formula: x = j·131 + k + 17; h = (x² mod p)·2654435761 mod p;
+    * sign = +1 iff h even. list_dot_product folds in index order like
+    * the codegen'd DotProduct; √16 = 4 divides exactly. */
+  val dr1Sql: String = {
+    val p = graft.operators.RandomProjection.Mod
+    val mx = graft.operators.RandomProjection.Mixer
+    val od = graft.operators.RandomProjection.OutDim
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (SELECT k.range AS out_dim, list_transform(range(0, $EmbedDim), __j ->
+       |        CASE WHEN (((__j*131 + k.range + 17) * (__j*131 + k.range + 17)) % $p) * $mx % $p % 2 = 0
+       |             THEN 1.0 ELSE -1.0 END) AS sg
+       |      FROM range(0, $od) k)
+       |SELECT vec_id, out_dim,
+       |  round(list_dot_product(v, sg) / ${math.sqrt(od.toDouble)}, 6) AS value
+       |FROM e CROSS JOIN s""".stripMargin
+  }
+
+  // ---- sem1: SemDeDup semantic dedup ----------------------------------
+
+  val SemTau = 0.4
+
+  def sem1SemDedup(s: SparkSession, d: String): DataFrame =
+    VectorSearch.semDedup(ivfCorpus(s, d), centroids(s, d), SemTau)
+
+  /** Oracle reuses v6's assignment semantics (nearest centroid by L2,
+    * ties to smaller cell_id) and flags via a correlated EXISTS over
+    * same-cell lower-id members. */
+  val sem1Sql: String = {
+    val centCte =
+      s"cent AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < $CN)"
+    val corpCte =
+      s"corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= $CN)"
+    s"""WITH $centCte, $corpCte,
+       |assigned AS (
+       |  SELECT vec_id, v, cell_id FROM (
+       |    SELECT corp.vec_id, corp.v, cent.cell_id,
+       |      row_number() OVER (PARTITION BY corp.vec_id
+       |        ORDER BY ${l2S("corp.v", "cent.cv")} ASC, cent.cell_id ASC) AS crnk
+       |    FROM corp, cent) WHERE crnk = 1)
+       |SELECT a.vec_id, a.cell_id,
+       |  CASE WHEN EXISTS (SELECT 1 FROM assigned b
+       |                    WHERE b.cell_id = a.cell_id AND b.vec_id < a.vec_id
+       |                      AND ${cosS("a.v", "b.v")} >= $SemTau)
+       |       THEN 1 ELSE 0 END AS is_dup
+       |FROM assigned a""".stripMargin
+  }
 }

@@ -160,4 +160,62 @@ class VectorSpec extends SparkSpec {
     val expect = "hello".foldLeft(0L)((h, c) => (h * 31 + c.toInt) % Embed.HashMod)
     assert(h == expect)
   }
+
+  test("dr1 sign matrix is balanced with near-orthogonal rows") {
+    import graft.operators.RandomProjection.{sign, OutDim}
+    val rows = (0 until OutDim).map(k => (0 until 64).map(j => sign(j, k)))
+    val ones = rows.map(_.count(_ == 1.0)).sum.toDouble / (OutDim * 64)
+    assert(math.abs(ones - 0.5) < 0.1, s"sign balance $ones")
+    for (i <- rows.indices; j <- rows.indices if i < j) {
+      val dot = rows(i).zip(rows(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot) <= 24, // random expectation ~±2σ·√64 = 16-24
+        s"rows $i,$j correlate: dot $dot (linear mixers hit ±64 here)")
+    }
+  }
+
+  test("dr1 JL projection roughly preserves pairwise distances") {
+    import graft.operators.RandomProjection
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).limit(40).cache()
+    val orig = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val proj = RandomProjection.project(vecs, "embedding", 64)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    def d(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val ids = orig.keys.toSeq.sorted
+    val ratios = for {
+      i <- ids.indices; j <- ids.indices if i < j
+      o = d(orig(ids(i)), orig(ids(j))) if o > 1e-9
+    } yield d(proj(ids(i)).toArray, proj(ids(j)).toArray) / o
+    val meanRatio = ratios.sum / ratios.size
+    // unbiased estimator: E[ratio] ≈ 1; 16 dims → loose tolerance
+    assert(meanRatio > 0.7 && meanRatio < 1.3, s"mean distortion $meanRatio")
+    assert(ratios.count(r => r > 0.3 && r < 2.0).toDouble / ratios.size > 0.95)
+  }
+
+  test("sem1 semantic dedup agrees with a brute-force per-cell check") {
+    import graft.operators.VectorSearch
+    val res = VectorQueries.sem1SemDedup(spark, sf).cache()
+    val cells = res.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2)))
+    val vecs = Tables.embeddings(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byCell = cells.groupBy(_._2._1)
+    byCell.foreach { case (_, members) =>
+      val ids = members.map(_._1).sorted
+      members.foreach { case (id, (_, flag)) =>
+        val expect = ids.takeWhile(_ < id).exists(o =>
+          cos(vecs(id), vecs(o)) >= VectorQueries.SemTau - 1e-12)
+        assert((flag == 1) == expect, s"vec $id flag $flag expect $expect")
+      }
+    }
+    // the fixture contains planted near-dups: something must be flagged
+    assert(cells.count(_._2._2 == 1) > 0)
+  }
 }
