@@ -864,6 +864,17 @@ object CorpusQueries {
        |       ELSE 0.0 END AS dup_ratio
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
 
+  // ---- bpe1_merges (rows-only: iterative argmax) ----------------------
+
+  val BpeMerges = 8
+
+  /** Distributed BPE tokenizer training — ranked merge table. Driver
+    * check is rows-only (same policy as v8's k-means); BpeSpec replays
+    * the reference algorithm and asserts identical output. */
+  def bpe1Merges(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bpe.learnMerges(
+      Tables.documents(s, d).select("doc_id", "text"), "text", BpeMerges)
+
   // ---- ppl1_unigram_nll -----------------------------------------------
 
   /** Unigram-LM perplexity quality filter (CCNet shape). */
