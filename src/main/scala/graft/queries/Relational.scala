@@ -783,4 +783,66 @@ object Relational {
       |  round(sum(l_quantity), 2) AS sum_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
+
+  /** cdc1_merge — change-data-capture MERGE INTO: one deterministic
+    * I/U/D batch applied to orders (deletes %11, updates %7 of the
+    * rest at +500, inserts re-keyed %13 at +7). Emits the post-merge
+    * table with each row's provenance op ('=' untouched). */
+  def cdc1Merge(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+    val k = col("o_orderkey")
+    val del = o.filter(k % 11 === 0)
+      .select(k, lit("D").as("op"), lit(null).cast("double").as("o_totalprice"))
+    val upd = o.filter(k % 11 =!= 0 && k % 7 === 0)
+      .select(k, lit("U").as("op"),
+        (col("o_totalprice") + 500.0).as("o_totalprice"))
+    val ins = o.filter(k % 13 === 0)
+      .select((k + 10000000L).as("o_orderkey"), lit("I").as("op"),
+        (col("o_totalprice") + 7.0).as("o_totalprice"))
+    graft.operators.Upsert.cdcMerge(
+      o, del.unionAll(upd).unionAll(ins), "o_orderkey", "o_totalprice")
+  }
+
+  val cdc1Sql: String =
+    """WITH ch AS (
+      |  SELECT o_orderkey, 'D' AS op, CAST(NULL AS DOUBLE) AS p
+      |  FROM orders WHERE o_orderkey % 11 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U', o_totalprice + 500.0
+      |  FROM orders WHERE o_orderkey % 11 <> 0 AND o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, 'I', o_totalprice + 7.0
+      |  FROM orders WHERE o_orderkey % 13 = 0)
+      |SELECT coalesce(b.o_orderkey, ch.o_orderkey) AS o_orderkey,
+      |  CASE WHEN ch.op IS NULL THEN b.o_totalprice ELSE ch.p END AS o_totalprice,
+      |  coalesce(ch.op, '=') AS op
+      |FROM orders b FULL OUTER JOIN ch ON b.o_orderkey = ch.o_orderkey
+      |WHERE ch.op IS NULL OR ch.op <> 'D'""".stripMargin
+
+  /** u5_compact — small-file compaction (the OPTIMIZE maintenance pass
+    * every partitioned 100 TB table needs): a fragmented write (every
+    * shuffle task leaves a file in every partition dir) is rewritten
+    * with one hash partition per partition value → one file each. The
+    * driver-checked output is the aggregate round trip (must equal the
+    * direct aggregation); the spec asserts the file counts actually
+    * collapse. */
+  def u5Compact(spark: SparkSession, sfDir: String): DataFrame = {
+    val frag = s"${System.getProperty("java.io.tmpdir")}/graft_u5f_" +
+      graft.Dist.pathTag(sfDir)
+    val compact = s"${System.getProperty("java.io.tmpdir")}/graft_u5c_" +
+      graft.Dist.pathTag(sfDir)
+    graft.Dist.spread(
+        Tables.events(spark, sfDir).select("event_id", "event_type", "value"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(frag)
+    spark.read.parquet(frag)
+      .repartition(col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(compact)
+    spark.read.parquet(compact)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+  }
+
+  val u5Sql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
 }

@@ -138,6 +138,48 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(fp < 0.01, s"false-positive rate $fp")
   }
 
+  test("cdc merge applies I/U/D correctly and rejects malformed ops") {
+    import spark.implicits._
+    import graft.operators.Upsert
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "p")
+    val ch = Seq((2L, "U", 99.0), (3L, "D", 0.0), (4L, "I", 40.0))
+      .toDF("k", "op", "p")
+    val res = Upsert.cdcMerge(base, ch, "k", "p")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(res == Map(1L -> (10.0, "="), 2L -> (99.0, "U"), 4L -> (40.0, "I")))
+    // update for a missing key must raise, not silently insert
+    val bad = Seq((9L, "U", 1.0)).toDF("k", "op", "p")
+    val ex = intercept[Exception] {
+      Upsert.cdcMerge(base, bad, "k", "p").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("cdcMerge")))
+  }
+
+  test("compaction collapses fragmented partition dirs to one file each") {
+    val res = graft.queries.Relational.u5Compact(spark, sf)
+    // aggregate round trip equals the direct aggregation
+    val direct = Tables.events(spark, sf).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val got = res.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == direct)
+    // fragmented layout has many files per dir; compacted exactly one
+    def parquetFiles(root: String) = {
+      val base = new java.io.File(root)
+      base.listFiles().filter(_.isDirectory).map(d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+    }
+    val tmp = System.getProperty("java.io.tmpdir")
+    val tag = graft.Dist.pathTag(sf)
+    val frag = parquetFiles(s"$tmp/graft_u5f_$tag").toMap
+    val comp = parquetFiles(s"$tmp/graft_u5c_$tag").toMap
+    assert(comp.values.forall(_ == 1), s"compacted dirs: $comp")
+    assert(frag.values.sum > comp.values.sum, s"frag $frag vs comp $comp")
+  }
+
   test("salted join is row-identical to the plain join") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
