@@ -845,4 +845,31 @@ object Relational {
   val u5Sql: String =
     """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
+
+  /** zm1_zorder_scan — Z-order layout + zone-map pruned 2-D box scan:
+    * events clustered on (user_id, day-offset), per-block min/max zone
+    * map, then a user×day box query that reads only intersecting block
+    * directories (real partition pruning) before the exact filter. The
+    * driver-checked result is the box aggregate — it must equal the
+    * plain filtered aggregation regardless of layout. */
+  def zm1ZorderScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zm1_" +
+      graft.Dist.pathTag(sfDir)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"), col("value"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).as("yday"))
+    graft.operators.ZOrder.writeLayout(ev, "user_id", "yday", dir)
+    val stats = graft.operators.ZOrder.blockStats(spark, dir, "user_id", "yday")
+    graft.operators.ZOrder.prunedScan(spark, dir, stats,
+        "user_id", "yday", 100L, 199L, 9L, 18L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+  }
+
+  val zm1Sql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events
+      |WHERE user_id BETWEEN 100 AND 199
+      |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-19'
+      |GROUP BY 1""".stripMargin
 }

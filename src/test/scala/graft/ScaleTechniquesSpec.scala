@@ -180,6 +180,42 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(frag.values.sum > comp.values.sum, s"frag $frag vs comp $comp")
   }
 
+  test("z-order zone maps prune blocks for boxes in BOTH dimensions") {
+    import graft.operators.ZOrder
+    val dir = "/tmp/graft_zorder_spec"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("value"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).as("yday"))
+    ZOrder.writeLayout(ev, "user_id", "yday", dir)
+    val stats = ZOrder.blockStats(spark, dir, "user_id", "yday")
+    val nBlocks = stats.length
+    assert(nBlocks > 4, s"layout degenerated to $nBlocks blocks")
+    // a narrow box in EACH single dimension must prune — the property
+    // a single-column sort cannot deliver for its non-sorted dimension
+    val (u0, u1) = (ev.agg(min("user_id")).head().getLong(0),
+      ev.agg(max("user_id")).head().getLong(0))
+    val userBox = ZOrder.candidates(stats, u0, u0 + (u1 - u0) / 8, 0L, 365L)
+    val dayBox = ZOrder.candidates(stats, Long.MinValue, Long.MaxValue, 2L, 5L)
+    assert(userBox.size < nBlocks, s"user box read all $nBlocks blocks")
+    assert(dayBox.size < nBlocks, s"day box read all $nBlocks blocks")
+    // pruned scan result equals the direct filter (data-derived box so
+    // the sf0.001 fixture's small user range still matches rows)
+    val (bx0, bx1) = (u0 + (u1 - u0) / 4, u0 + (u1 - u0) / 2)
+    val direct = ev.filter(col("user_id").between(bx0, bx1)
+        && col("yday").between(9, 18))
+      .agg(count(lit(1)), round(sum("value"), 2)).head()
+    assert(direct.getLong(0) > 0, "fixture box matched no rows")
+    val pruned = ZOrder.prunedScan(spark, dir, stats,
+        "user_id", "yday", bx0, bx1, 9L, 18L)
+      .agg(count(lit(1)), round(sum("value"), 2)).head()
+    assert(direct == pruned)
+    // pruning is visible as real partition pruning in the scan plan
+    val plan = ZOrder.prunedScan(spark, dir, stats,
+      "user_id", "yday", bx0, bx1, 9L, 18L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [block"), plan.take(2000))
+  }
+
   test("salted join is row-identical to the plain join") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
