@@ -98,12 +98,16 @@ object GraphOps {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
       .orderBy(col("__prio").desc, col("doc_id").asc)
     dedupGroups(edges)
-      .join(docs.select(col("doc_id"), col(priorityCol)), Seq("doc_id"), "left")
+      .join(docs.select(col("doc_id"), col(priorityCol),
+        lit(1).as("__present")), Seq("doc_id"), "left")
       // Left join + execution-time assert: an inner join would silently
       // drop graph members missing from `docs` (skewing group counts,
-      // and vanishing whole components). raise_error lives inside the
-      // ordering column itself so column pruning can't elide the check.
-      .withColumn("__prio", when(col(priorityCol).isNotNull, col(priorityCol))
+      // and vanishing whole components). Presence is detected by a
+      // dedicated marker column — NOT by priorityCol IS NULL, which
+      // would misfire on a present doc whose priority is legitimately
+      // NULL. raise_error lives inside the ordering column itself so
+      // column pruning can't elide the check.
+      .withColumn("__prio", when(col("__present").isNotNull, col(priorityCol))
         .otherwise(raise_error(concat(
           lit("survivors: doc_id "), col("doc_id"),
           lit(" appears in the dedup graph but is missing from docs")))))

@@ -796,8 +796,13 @@ object Relational {
     val upd = o.filter(k % 11 =!= 0 && k % 7 === 0)
       .select(k, lit("U").as("op"),
         (col("o_totalprice") + 500.0).as("o_totalprice"))
+    // Inserts are re-keyed above max(o_orderkey) so they can never
+    // collide with an existing base key at any scale factor (a fixed
+    // +10M offset would collide once orders exceeds ~10M keys, and the
+    // engines would diverge by raise_error vs silent overwrite).
     val ins = o.filter(k % 13 === 0)
-      .select((k + 10000000L).as("o_orderkey"), lit("I").as("op"),
+      .crossJoin(broadcast(o.agg(max(k).as("__mx"))))
+      .select((col("__mx") + 1L + k).as("o_orderkey"), lit("I").as("op"),
         (col("o_totalprice") + 7.0).as("o_totalprice"))
     graft.operators.Upsert.cdcMerge(
       o, del.unionAll(upd).unionAll(ins), "o_orderkey", "o_totalprice")
@@ -811,7 +816,8 @@ object Relational {
       |  SELECT o_orderkey, 'U', o_totalprice + 500.0
       |  FROM orders WHERE o_orderkey % 11 <> 0 AND o_orderkey % 7 = 0
       |  UNION ALL
-      |  SELECT o_orderkey + 10000000, 'I', o_totalprice + 7.0
+      |  SELECT o_orderkey + 1 + (SELECT max(o_orderkey) FROM orders),
+      |    'I', o_totalprice + 7.0
       |  FROM orders WHERE o_orderkey % 13 = 0)
       |SELECT coalesce(b.o_orderkey, ch.o_orderkey) AS o_orderkey,
       |  CASE WHEN ch.op IS NULL THEN b.o_totalprice ELSE ch.p END AS o_totalprice,

@@ -243,6 +243,17 @@ class DedupTextSpec extends SparkSpec {
     assert(res(4L) == (0L, 0L, 0.0))
   }
 
+  test("d11 oracle window cap: no document approaches the 4096-token bound") {
+    // CorpusQueries.d11Sql enumerates window offsets via
+    // unnest(range(1, 4096)) (DuckDB range() takes no lateral column
+    // arg) while the Spark side is unbounded. Guard: a doc with >= 4096
+    // tokens would silently lose windows in the oracle only. TESTDATA
+    // docs are ~100 tokens; this trips long before the cap could bite.
+    val mx = graft.Tables.documents(spark, sf)
+      .selectExpr("max(size(split(text, ' +'))) AS n").head().getInt(0)
+    assert(mx < 2048, s"doc with $mx tokens nears the d11Sql 4096 cap")
+  }
+
   test("d11 dup spans: within-doc repetition counts as duplication") {
     import spark.implicits._
     val span = (1 to 8).map(i => s"w$i").mkString(" ")

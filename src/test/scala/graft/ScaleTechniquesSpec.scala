@@ -182,7 +182,8 @@ class ScaleTechniquesSpec extends SparkSpec {
 
   test("z-order zone maps prune blocks for boxes in BOTH dimensions") {
     import graft.operators.ZOrder
-    val dir = "/tmp/graft_zorder_spec"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_spec_" +
+      graft.Dist.pathTag(sf)
     val ev = Tables.events(spark, sf)
       .select(col("event_type"), col("user_id"), col("value"),
         datediff(to_date(col("ts")), lit("2024-01-01")).as("yday"))
