@@ -60,6 +60,15 @@ object IrMetrics {
       round(when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(0.0), 6).as("ndcg"))
   }
 
+  /** Per-query reciprocal rank of the first relevant result (0 when the
+    * top-k holds none) — the MRR building block. One map-side-combined
+    * min() per query; no sort. */
+  def mrrPerQuery(ranked: DataFrame): DataFrame =
+    ranked.groupBy("query_id")
+      .agg(min(when(col("rel") === 1, col("rnk"))).as("first_rel"))
+      .select(col("query_id"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("rr"))
+
   /** Corpus-level averages with the reference's inclusion rules. */
   def irSummary(recall: DataFrame, ndcg: DataFrame): DataFrame = {
     val avgRecall = recall.filter(col("n_relevant") > 0)

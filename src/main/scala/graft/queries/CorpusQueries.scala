@@ -430,6 +430,29 @@ object CorpusQueries {
        |    row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
        |  FROM f) WHERE rank <= $VocabTopN""".stripMargin
 
+  // ---- hh1_heavy_hitters ----------------------------------------------
+
+  /** Heavy iff n·denom ≥ total occurrences (denom 200 → ≥ 0.5%). */
+  val HeavyDenom = 200L
+
+  /** Count-Min-prefiltered exact heavy hitters over corpus tokens —
+    * the sketch kills the long tail map-side before the exact groupBy
+    * (see operators.Sketch scaladoc); the output is exactly the true
+    * heavy-hitter set, so the oracle is the plain HAVING aggregate. */
+  def hh1HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.Dist.spread(Tables.documents(s, d).select("text"))
+      .select(explode(Embed.tokens(col("text"))).as("token"))
+    graft.operators.Sketch.heavyHitters(toks, "token", HeavyDenom)
+  }
+
+  val hh1Sql: String =
+    s"""WITH $toksCte,
+       |tok AS (SELECT unnest(tk) AS token FROM toks),
+       |tot AS (SELECT count(*) AS n FROM tok)
+       |SELECT token, count(*) AS n_occurrences
+       |FROM tok GROUP BY 1
+       |HAVING count(*) * $HeavyDenom >= (SELECT n FROM tot)""".stripMargin
+
   // ---- s3_split -------------------------------------------------------
 
   def s3Split(s: SparkSession, d: String): DataFrame =

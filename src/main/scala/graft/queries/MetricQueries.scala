@@ -101,6 +101,20 @@ object MetricQueries {
        |  round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg
        |FROM agg""".stripMargin
 
+  // ---- m8_mrr ---------------------------------------------------------
+
+  /** Per-query reciprocal rank of the first relevant hit in the v1
+    * top-k (0.0 when none) — MRR's per-query term. */
+  def m8Mrr(s: SparkSession, d: String): DataFrame =
+    IrMetrics.mrrPerQuery(labeledKnn(s, d))
+
+  val m8Sql: String =
+    s"""WITH $relCtes
+       |SELECT query_id,
+       |  round(coalesce(1.0::DOUBLE / min(CASE WHEN rel = 1 THEN rnk END),
+       |                 0.0), 6) AS rr
+       |FROM rel GROUP BY query_id""".stripMargin
+
   // ---- m0_ir_summary --------------------------------------------------
 
   def m0IrSummary(s: SparkSession, d: String): DataFrame = {

@@ -878,4 +878,90 @@ object Relational {
       |WHERE user_id BETWEEN 100 AND 199
       |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-19'
       |GROUP BY 1""".stripMargin
+
+  /** q17_funnel — ordered event-funnel conversion (the product-analytics
+    * staple): per user, first view → first click strictly after that
+    * view → first purchase strictly after that click; one row of stage
+    * populations + step conversion rates. All three stage aggregates
+    * and both joins key on user_id — one shuffle key reused end-to-end,
+    * so the plan stays co-partitioned at any event volume. */
+  def q17Funnel(spark: SparkSession, sfDir: String): DataFrame =
+    funnel(Tables.events(spark, sfDir).select("user_id", "event_type", "ts"))
+
+  /** The funnel over any (user_id, event_type, ts) frame (spec entry). */
+  def funnel(ev: DataFrame): DataFrame = {
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    def firstAfter(tpe: String, prev: DataFrame, prevTs: String, outTs: String) =
+      ev.filter(col("event_type") === tpe)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevTs))
+        .groupBy("user_id").agg(min("ts").as(outTs))
+    val c = firstAfter("click", v, "t_view", "t_click")
+    val p = firstAfter("purchase", c, "t_click", "t_purchase")
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        when(col("n_view") === 0, 0.0).otherwise(
+          round(col("n_click").cast("double") / col("n_view"), 6))
+          .as("view_to_click"),
+        when(col("n_click") === 0, 0.0).otherwise(
+          round(col("n_purchase").cast("double") / col("n_click"), 6))
+          .as("click_to_purchase"))
+  }
+
+  val q17Sql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t_click
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |  (SELECT count(*) FROM c) AS n_click,
+      |  (SELECT count(*) FROM p) AS n_purchase,
+      |  CASE WHEN (SELECT count(*) FROM v) = 0 THEN 0.0
+      |       ELSE round((SELECT count(*) FROM c)::DOUBLE
+      |                  / (SELECT count(*) FROM v), 6) END AS view_to_click,
+      |  CASE WHEN (SELECT count(*) FROM c) = 0 THEN 0.0
+      |       ELSE round((SELECT count(*) FROM p)::DOUBLE
+      |                  / (SELECT count(*) FROM c), 6) END AS click_to_purchase""".stripMargin
+
+  /** inc1_incremental_agg — incremental materialized-view maintenance:
+    * the base aggregate ("yesterday's view", orders with
+    * o_orderkey % 10 != 0) is held as MERGEABLE partial states
+    * (count + exact DECIMAL sum per group); the delta batch (% 10 == 0)
+    * is aggregated alone, and the view is refreshed by merging the two
+    * partial-state tables — the base fact rows are never re-scanned.
+    * Decimal sums make the merge order-independent, so the refreshed
+    * view equals the full recompute EXACTLY (the oracle is the direct
+    * GROUP BY over all of orders). At 100 TB this is the difference
+    * between re-scanning full history daily and touching only the
+    * delta. */
+  def inc1IncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+    def partial(df: DataFrame) =
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("p").as("s"))
+    val base  = partial(o.filter(col("o_orderkey") % 10 =!= 0))
+    val delta = partial(o.filter(col("o_orderkey") % 10 === 0))
+    base.unionByName(delta)
+      .groupBy("o_orderpriority")
+      .agg(sum("n").as("n"), sum("s").as("s"))
+      .select(col("o_orderpriority"), col("n"),
+        col("s").cast("double").as("sum_price"),
+        round(col("s").cast("double") / col("n"), 6).as("avg_price"))
+  }
+
+  val inc1Sql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+      |  round(CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE)
+      |        / count(*), 6) AS avg_price
+      |FROM orders GROUP BY 1""".stripMargin
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Relational
+
+/** Round-6 operators: funnel ordering, incremental-agg parity, MRR. */
+class Round6OpsSpec extends SparkSpec {
+
+  test("q17 funnel enforces strict event ordering per user") {
+    import spark.implicits._
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", t(1)), (1L, "click", t(2)), (1L, "purchase", t(3)),
+      // user 2: click BEFORE first view — click stage must not count,
+      // and the purchase after it must not count either
+      (2L, "click", t(1)), (2L, "view", t(2)), (2L, "purchase", t(3)),
+      // user 3: view only
+      (3L, "view", t(1)),
+      // user 4: view then purchase with no click — purchase not counted
+      (4L, "view", t(1)), (4L, "purchase", t(2))
+    ).toDF("user_id", "event_type", "ts")
+    val r = Relational.funnel(ev).head()
+    assert(r.getLong(0) == 4L, "n_view")
+    assert(r.getLong(1) == 1L, "n_click: only user 1 clicks after a view")
+    assert(r.getLong(2) == 1L, "n_purchase: only user 1 purchases after that click")
+    assert(r.getDouble(3) == 0.25)
+    assert(r.getDouble(4) == 1.0)
+  }
+
+  test("inc1 merged partial states equal the direct full aggregation") {
+    val merged = Relational.inc1IncrementalAgg(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val direct = Tables.orders(spark, sf)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("s"))
+      .select(col("o_orderpriority"), col("n"),
+        col("s").cast("double").as("sum_price"),
+        round(col("s").cast("double") / col("n"), 6).as("avg_price"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(merged == direct, "incremental refresh diverged from recompute")
+    assert(merged.nonEmpty)
+  }
+
+  test("m8 reciprocal rank: first-hit rank inverts, no-hit is zero") {
+    import spark.implicits._
+    val ranked = Seq(
+      (1L, 1, 1), (1L, 2, 0),            // first rel at rank 1 -> 1.0
+      (2L, 1, 0), (2L, 2, 0), (2L, 3, 1), // first rel at rank 3 -> 0.333333
+      (3L, 1, 0), (3L, 2, 0)             // no rel -> 0.0
+    ).toDF("query_id", "rnk", "rel")
+    val rr = graft.operators.IrMetrics.mrrPerQuery(ranked)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rr == Map(1L -> 1.0, 2L -> 0.333333, 3L -> 0.0))
+  }
+}
