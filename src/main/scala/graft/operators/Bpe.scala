@@ -76,4 +76,62 @@ object Bpe {
     import spark.implicits._
     merges.result().toDF("rank", "left", "right", "pair_freq")
   }
+
+  /** Greedy leftmost-first fuse of one merge inside a symbol array —
+    * the imperative twin of `mergeExpr` (spec-checked identical). */
+  private[operators] def fuse(syms: Array[String], l: String,
+                              r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    syms.foreach { s =>
+      if (out.nonEmpty && out.last == l && s == r)
+        out(out.length - 1) = l + r
+      else out += s
+    }
+    out.toArray
+  }
+
+  /** bpe2: apply a learned merge table to tokenize the corpus — each
+    * word starts as its character symbols and every merge is applied
+    * in rank order, greedy leftmost-first, exactly replaying training
+    * (so encoding the training corpus reproduces the trainer's
+    * end-state symbol counts). Map-only at any scale: the merge table
+    * broadcasts (it is merges.txt-sized), each partition encodes
+    * imperatively — the batched-inference shape, with the merge ranks
+    * as the "model" — and nothing shuffles until the per-doc output
+    * row. Emits (doc_id, n_tokens, n_symbols, compression) where
+    * compression = round(chars/symbols, 4).
+    */
+  def encode(docs: DataFrame, textCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    val rows = docs
+      .select(col("doc_id"), Embed.tokens(col(textCol)).as("tk"))
+      .rdd.mapPartitions { it =>
+        val ms = bc.value
+        it.map { row =>
+          val tks = row.getSeq[String](1)
+          var nSym = 0L
+          var nChar = 0L
+          tks.foreach { w =>
+            var syms = w.map(_.toString).toArray
+            nChar += syms.length
+            ms.foreach { case (l, r) => syms = fuse(syms, l, r) }
+            nSym += syms.length
+          }
+          org.apache.spark.sql.Row(row.getLong(0), tks.length.toLong, nSym,
+            if (nSym == 0) 0.0
+            else math.floor(nChar.toDouble / nSym * 10000.0 + 0.5) / 10000.0)
+        }
+      }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_symbols",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("compression",
+        org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
 }

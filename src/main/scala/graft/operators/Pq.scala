@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -130,8 +130,10 @@ object Pq {
     * vector ever read. Exact-rescore of the returned candidates with
     * the full vectors is the standard follow-up (see vq1's kNN spec).
     */
-  def searchDot(queries: DataFrame, codes: DataFrame,
-                cb: Array[Array[Array[Double]]], k: Int): DataFrame = {
+  /** Per-query dot-product lookup tables:
+    * lut(s)(c) = dot(query subvector s, codebook(s)(c)). */
+  private def lutFor(queries: DataFrame,
+                     cb: Array[Array[Array[Double]]]): DataFrame = {
     val spark = queries.sparkSession
     val bc = spark.sparkContext.broadcast(cb)
     val sub = cb(0)(0).length
@@ -139,7 +141,7 @@ object Pq {
       StructField("query_id", LongType, nullable = false),
       StructField("lut", ArrayType(ArrayType(DoubleType, containsNull = false),
         containsNull = false), nullable = false)))
-    val luts = spark.createDataFrame(
+    spark.createDataFrame(
       queries.select(col("query_id"), col("qv").cast("array<double>").as("qv"))
         .rdd.mapPartitions { it =>
         val book = bc.value
@@ -153,13 +155,43 @@ object Pq {
           Row(r.getLong(0), lut.map(_.toSeq).toSeq)
         }
       }, lutSchema)
-    // score = fold over the 8 codes — a small bounded HOF over
-    // materialized arrays (not a per-pair vector fold)
-    val scored = graft.Dist.spread(codes).crossJoin(broadcast(luts))
-      .withColumn("score",
-        aggregate(zip_with(col("codes"), col("lut"),
-            (code, tbl) => element_at(tbl, code + 1)),
-          lit(0.0), (acc, x) => acc + x))
+  }
+
+  /** score = fold over the 8 codes — a small bounded HOF over
+    * materialized arrays (not a per-pair vector fold). */
+  private def adcScore: Column =
+    aggregate(zip_with(col("codes"), col("lut"),
+        (code, tbl) => element_at(tbl, code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def searchDot(queries: DataFrame, codes: DataFrame,
+                cb: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val scored = graft.Dist.spread(codes).crossJoin(broadcast(lutFor(queries, cb)))
+      .withColumn("score", adcScore)
+      .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(col("score").desc, col("vec_id").asc), k)
+  }
+
+  /** IVF + PQ — the billion-scale ANN composition (FAISS IVFADC): the
+    * query probes its `nprobe` nearest IVF cells, and ONLY vectors
+    * assigned to those cells are ADC-scored. Per-query work =
+    * (corpus/cells)·nprobe table lookups instead of a full scan of
+    * even the compressed codes; the float vectors are never read at
+    * all. `codesWithCell` carries (vec_id, cell_id, codes) — the
+    * persisted form of the index is exactly this table partitioned by
+    * cell_id (IndexStore's layout), so the probe join prunes to the
+    * probed partitions.
+    */
+  def searchDotIvf(queries: DataFrame, codesWithCell: DataFrame,
+                   centroids: DataFrame, cb: Array[Array[Array[Double]]],
+                   k: Int, nprobe: Int): DataFrame = {
+    val probed = VectorSearch.probeCells(queries, centroids, nprobe)
+      .select("query_id", "cell_id")
+    val scored = graft.Dist.spread(codesWithCell)
+      .join(broadcast(probed), "cell_id")
+      .join(broadcast(lutFor(queries, cb)), "query_id")
+      .withColumn("score", adcScore)
       .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
     graft.plans.TopK.perKey(scored, Seq("query_id"),
       Seq(col("score").desc, col("vec_id").asc), k)

@@ -898,6 +898,21 @@ object CorpusQueries {
     graft.operators.Bpe.learnMerges(
       Tables.documents(s, d).select("doc_id", "text"), "text", BpeMerges)
 
+  // ---- bpe2_encode (rows-only: replays the iterative merge table) -----
+
+  /** Tokenize the corpus with the bpe1-learned merge table (rank-order
+    * greedy application — see Bpe.encode). Rows-only like bpe1: the
+    * merge table itself comes from the iterative argmax; BpeSpec pins
+    * the encode against a single-threaded replay + the trainer's
+    * end-state symbol counts. */
+  def bpe2Encode(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val merges = graft.operators.Bpe.learnMerges(docs, "text", BpeMerges)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Bpe.encode(graft.Dist.spread(docs), "text", merges)
+  }
+
   // ---- ppl1_unigram_nll -----------------------------------------------
 
   /** Unigram-LM perplexity quality filter (CCNet shape). */

@@ -430,14 +430,18 @@ object VectorQueries {
     * codebook as one list-of-vectors row, and the per-subspace argmin
     * encode. Lambda vars are __-prefixed and unique per nesting level —
     * DuckDB lexically shadows reused names (see polyhashS). */
-  private def pqEncCtes: String = {
+  private def pqEncCtes: String = pqEncCtesFrom(QN)
+
+  /** Same CTEs with the PQ corpus parameterized (v14 trains/encodes on
+    * the IVF corpus, vec_id >= CN). */
+  private def pqEncCtesFrom(minId: Int): String = {
     val mh = s"(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, length(CAST(vec_id AS VARCHAR)) + 1), " +
       s"__pi -> CAST(ascii(substring(CAST(vec_id AS VARCHAR), __pi, 1)) AS BIGINT))), " +
       s"(__ph, __pc) -> (__ph * 31 + __pc) % ${Embed.HashMod}) " +
       s"* ${graft.operators.Sampling.mixedHashSqlConst}) % ${Embed.HashMod}"
     val sub = EmbedDim / graft.operators.Pq.NumSubspaces
-    s"""c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= $QN),
+    s"""c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= $minId),
        |hk AS (SELECT vec_id, v, $mh AS hk FROM c),
        |seeds AS (SELECT row_number() OVER (ORDER BY hk ASC, vec_id ASC) - 1 AS code, v
        |          FROM hk ORDER BY hk ASC, vec_id ASC LIMIT ${graft.operators.Pq.Codes}),
@@ -480,6 +484,56 @@ object VectorQueries {
        |      (__b, __y) -> __b + __y))),
        |    (__a, __x) -> __a + __x), 6) AS score
        |  FROM enc2 e, q, book)
+       |SELECT query_id, vec_id, score, rnk FROM (
+       |  SELECT query_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM sc) WHERE rnk <= $K""".stripMargin
+  }
+
+  // ---- v14: IVF + PQ (FAISS-IVFADC composition) -----------------------
+
+  /** IVF cell probing over PQ codes — the billion-scale ANN shape:
+    * candidates are bounded by the probed cells AND scored via 8 table
+    * lookups each; float vectors are never read. Same fixed centroids
+    * as v6, same deterministic seed codebook policy as vq2 (trained on
+    * the IVF corpus), so the full composition is oracle-replicable. */
+  def v14IvfPq(s: SparkSession, d: String): DataFrame = {
+    val corpus = ivfCorpus(s, d)
+    val cb = graft.operators.Pq.codebook(corpus)
+    val codes = graft.operators.Pq.encode(corpus, cb)
+    val withCell = VectorSearch.assignCells(corpus, centroids(s, d))
+      .select("vec_id", "cell_id").join(codes, "vec_id")
+    graft.operators.Pq.searchDotIvf(queryVecs(s, d), withCell,
+      centroids(s, d), cb, K, NProbe)
+  }
+
+  def v14Sql: String = {
+    val sub = EmbedDim / graft.operators.Pq.NumSubspaces
+    val centCte =
+      s"cent AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < $CN)"
+    s"""WITH ${pqEncCtesFrom(CN)},
+       |enc2 AS (SELECT vec_id, list(code ORDER BY subspace) AS codes FROM enc GROUP BY vec_id),
+       |$qCte, $centCte,
+       |assigned AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT c.vec_id, cent.cell_id,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${l2S("c.v", "cent.cv")} ASC, cent.cell_id ASC) AS crnk
+       |    FROM c, cent) WHERE crnk = 1),
+       |probed AS (
+       |  SELECT query_id, qv, cell_id FROM (
+       |    SELECT q.query_id, q.qv, cent.cell_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${l2S("q.qv", "cent.cv")} ASC, cent.cell_id ASC) AS crnk
+       |    FROM q, cent) WHERE crnk <= $NProbe),
+       |sc AS (SELECT p.query_id, e.vec_id,
+       |  round(list_reduce(list_prepend(0.0, list_transform(range(0, ${graft.operators.Pq.NumSubspaces}), __s ->
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, ${sub + 1}), __j ->
+       |      p.qv[__s*$sub + __j] * bk[codes[__s+1] + 1][__s*$sub + __j])),
+       |      (__b, __y) -> __b + __y))),
+       |    (__a, __x) -> __a + __x), 6) AS score
+       |  FROM enc2 e JOIN assigned a USING (vec_id) JOIN probed p USING (cell_id), book)
        |SELECT query_id, vec_id, score, rnk FROM (
        |  SELECT query_id, vec_id, score,
        |    row_number() OVER (PARTITION BY query_id

@@ -52,6 +52,50 @@ class BpeSpec extends SparkSpec {
     assert(got.forall(_._4 > 0))
   }
 
+  test("bpe2 encode replays training: corpus symbol totals match the trainer end state") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "text", 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Bpe.encode(docs, "text", merges)
+    // single-threaded replay over the raw word list per doc
+    val expect = docs.select(col("doc_id"),
+        explode(graft.operators.Embed.tokens(col("text"))).as("w"))
+      .collect().groupBy(_.getLong(0)).view.mapValues { rows =>
+        rows.map { r =>
+          var syms = r.getString(1).toVector.map(_.toString)
+          merges.foreach { case (l, rr) =>
+            syms = syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+              if (acc.nonEmpty && acc.last == l && x == rr)
+                acc.init :+ (l + rr)
+              else acc :+ x
+            }
+          }
+          syms.length.toLong
+        }.sum
+      }.toMap
+    val got = enc.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expect)
+    // merges actually compress: total symbols < total characters
+    val totalChars = docs.select(
+      sum(length(regexp_replace(col("text"), " ", ""))).as("n"))
+      .head().getLong(0)
+    assert(got.values.sum < totalChars)
+  }
+
+  test("bpe2 encode: greedy leftmost + rank order on a hand example") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab ab")).toDF("doc_id", "text")
+    // merges: (a,a) then (aa,a) then (a,b)
+    val enc = Bpe.encode(docs, "text",
+      Seq(("a", "a"), ("aa", "a"), ("a", "b"))).head()
+    // "aaab": [a,a,a,b] -(a,a)-> [aa,a,b] -(aa,a)-> [aaa,b] : 2 syms
+    // "ab":   [a,b]     -(a,b)->  [ab]                      : 1 sym
+    assert(enc.getLong(1) == 2L, "n_tokens")
+    assert(enc.getLong(2) == 3L, "n_symbols")
+    assert(enc.getDouble(3) == 2.0, "compression 6 chars / 3 symbols")
+  }
+
   test("overlapping pair merges resolve leftmost-first (aaa -> [aa, a])") {
     import spark.implicits._
     val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")

@@ -76,6 +76,45 @@ class PqSpec extends SparkSpec {
     assert(candRecall >= 0.4, s"ADC-30 recall of exact-10 $candRecall < 0.4")
   }
 
+  test("v14 IVF+PQ equals a driver-side ADC replay over the probed cells only") {
+    import graft.operators.VectorSearch
+    val ivfCorpus = VectorQueries.ivfCorpus(spark, sf)
+    val cents = VectorQueries.centroids(spark, sf)
+    val qs = VectorQueries.queryVecs(spark, sf)
+    val cb = Pq.codebook(ivfCorpus)
+    val sub = cb(0)(0).length
+    val codes = Pq.encode(ivfCorpus, cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val cellOf = VectorSearch.assignCells(ivfCorpus, cents)
+      .select("vec_id", "cell_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probedOf = VectorSearch.probeCells(qs, cents, VectorQueries.NProbe)
+      .select("query_id", "cell_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val qvs = qs.select(col("query_id"), col("qv").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // independent single-threaded replay: ADC-score every vector whose
+    // cell the query probes, take top-K by (score desc, vec_id asc)
+    val expect = qvs.flatMap { case (qid, qv) =>
+      val scored = codes.toSeq
+        .filter { case (vid, _) => probedOf(qid).contains(cellOf(vid)) }
+        .map { case (vid, cs) =>
+          val s = (0 until Pq.NumSubspaces).map { sp =>
+            (0 until sub).map(j => qv(sp * sub + j) * cb(sp)(cs(sp))(j)).sum
+          }.sum
+          (vid, math.floor(s * 1e6 + (if (s >= 0) 0.5 else -0.5)) / 1e6)
+        }
+      scored.sortBy { case (vid, s) => (-s, vid) }.take(VectorQueries.K)
+        .zipWithIndex.map { case ((vid, s), i) => (qid, vid, s, i + 1) }
+    }.toSet
+    val got = VectorQueries.v14IvfPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == expect, s"\ngot:    $got\nexpect: $expect")
+    // and every returned candidate really lives in a probed cell
+    assert(got.forall { case (qid, vid, _, _) =>
+      probedOf(qid).contains(cellOf(vid)) })
+  }
+
   test("driver entries: codes are exhaustive and ADC output is ranked") {
     val codes = VectorQueries.vq2PqCodes(spark, sf)
     assert(codes.count() == corpus.count() * Pq.NumSubspaces)
