@@ -56,12 +56,38 @@ object Dedup {
     * PolyHash scaladoc). The oracle groups on the identical portable
     * digest, so even a residual collision agrees across engines.
     */
+  /** The d1 digest columns (length + four independent polyhashes). */
+  private def digestExprs: Seq[org.apache.spark.sql.Column] = Seq(
+    length(col("text")).as("__len"),
+    tokenHash(col("text")).as("__h"),
+    graft.functions.PolyHash.second(col("text")).as("__h2"),
+    graft.functions.PolyHash.third(col("text")).as("__h3"),
+    graft.functions.PolyHash.fourth(col("text")).as("__h4"))
+
+  private val digestKeys = Seq("__len", "__h", "__h2", "__h3", "__h4")
+
   def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(length(col("text")).as("__len"),
-        tokenHash(col("text")).as("__h"),
-        graft.functions.PolyHash.second(col("text")).as("__h2"),
-        graft.functions.PolyHash.third(col("text")).as("__h3"),
-        graft.functions.PolyHash.fourth(col("text")).as("__h4"))
+    docs.groupBy(digestExprs: _*)
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+
+  /** The persisted form of a deduped corpus for INCREMENTAL dedup: one
+    * ~36-byte digest row per distinct text. At 100 TB this table is
+    * what tomorrow's batch joins against — never the corpus itself. */
+  def digests(docs: DataFrame): DataFrame =
+    docs.select(digestExprs: _*).distinct()
+
+  /** d12: incremental exact dedup — drop batch rows whose digest the
+    * base corpus already holds (left_anti on the digest: a narrow-key
+    * shuffle join, broadcastable while the base digest table is small
+    * relative to executors), then collapse within-batch copies to the
+    * min doc_id. ONLY the batch is read and hashed; the base
+    * contributes its digest table — an incremental pipeline never
+    * re-reads yesterday's corpus to dedup today's crawl. */
+  def incrementalExact(baseDigests: DataFrame, batch: DataFrame): DataFrame =
+    batch.select(col("doc_id") +: digestExprs: _*)
+      .join(baseDigests, digestKeys, "left_anti")
+      .groupBy(digestKeys.map(col): _*)
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 

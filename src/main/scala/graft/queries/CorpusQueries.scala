@@ -67,6 +67,42 @@ object CorpusQueries {
        |FROM dup GROUP BY length(text), ${polyhashS("text")}, ${polyhash2S("text")},
        |  ${polyhash3S("text")}, ${polyhash4S("text")}""".stripMargin
 
+  // ---- d12_incr_dedup -------------------------------------------------
+
+  /** Incremental exact dedup: base corpus (doc_id % 5 != 0) persists
+    * only its digest table; the new batch (doc_id % 5 == 0, plus 100
+    * re-keyed copies of base docs that must ALL be dropped) is deduped
+    * against it without touching base text. */
+  def d12IncrDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .unionAll(base.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    Dedup.incrementalExact(Dedup.digests(base), batch)
+  }
+
+  val d12Sql: String =
+    s"""WITH batch AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+       |  WHERE doc_id % 5 <> 0 AND doc_id < 100),
+       |bd AS (SELECT DISTINCT length(text) AS l, ${polyhashS("text")} AS h1,
+       |         ${polyhash2S("text")} AS h2, ${polyhash3S("text")} AS h3,
+       |         ${polyhash4S("text")} AS h4
+       |       FROM documents WHERE doc_id % 5 <> 0),
+       |bh AS (SELECT doc_id, length(text) AS l, ${polyhashS("text")} AS h1,
+       |         ${polyhash2S("text")} AS h2, ${polyhash3S("text")} AS h3,
+       |         ${polyhash4S("text")} AS h4
+       |       FROM batch)
+       |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+       |FROM bh
+       |WHERE NOT EXISTS (SELECT 1 FROM bd
+       |  WHERE bd.l = bh.l AND bd.h1 = bh.h1 AND bd.h2 = bh.h2
+       |    AND bd.h3 = bh.h3 AND bd.h4 = bh.h4)
+       |GROUP BY l, h1, h2, h3, h4""".stripMargin
+
   // ---- d2_ngram_jaccard -----------------------------------------------
 
   val JaccardMin = 0.05

@@ -879,6 +879,27 @@ object Relational {
       |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-19'
       |GROUP BY 1""".stripMargin
 
+  /** roll1_hll_rollup — mergeable-sketch rollup: per-day HLL sketches
+    * of distinct users, then a monthly rollup that merges the SKETCHES
+    * (hll_union_agg) — the raw events are read exactly once, and every
+    * coarser granularity re-aggregates metadata-sized sketch state
+    * instead of the fact table (the re-aggregatable metrics cube every
+    * 100 TB analytics stack keeps; same mergeable-state principle as
+    * inc1 and hh1's sketch). Rows-only: HLL (DataSketches HLL_4)
+    * estimates are engine-specific; the spec bounds the error vs exact
+    * distinct counts and pins merged-vs-direct consistency. */
+  def roll1HllRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("n_events"))
+    daily
+      .groupBy(trunc(col("day"), "month").as("month"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+        sum("n_events").as("n_events"))
+  }
+
   /** q17_funnel — ordered event-funnel conversion (the product-analytics
     * staple): per user, first view → first click strictly after that
     * view → first purchase strictly after that click; one row of stage

@@ -508,11 +508,22 @@ object VectorQueries {
       centroids(s, d), cb, K, NProbe)
   }
 
-  def v14Sql: String = {
+  def v14Sql: String =
+    s"""WITH $ivfPqScoredCtes
+       |SELECT query_id, vec_id, score, rnk FROM (
+       |  SELECT query_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM sc) WHERE rnk <= $K""".stripMargin
+
+  /** CTE list ending in `sc` = per-(query, candidate) rounded ADC score
+    * over the probed cells — shared by v14 (top-k directly) and v15
+    * (top-m candidates then exact rescore). */
+  private def ivfPqScoredCtes: String = {
     val sub = EmbedDim / graft.operators.Pq.NumSubspaces
     val centCte =
       s"cent AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < $CN)"
-    s"""WITH ${pqEncCtesFrom(CN)},
+    s"""${pqEncCtesFrom(CN)},
        |enc2 AS (SELECT vec_id, list(code ORDER BY subspace) AS codes FROM enc GROUP BY vec_id),
        |$qCte, $centCte,
        |assigned AS (
@@ -533,13 +544,51 @@ object VectorQueries {
        |      p.qv[__s*$sub + __j] * bk[codes[__s+1] + 1][__s*$sub + __j])),
        |      (__b, __y) -> __b + __y))),
        |    (__a, __x) -> __a + __x), 6) AS score
-       |  FROM enc2 e JOIN assigned a USING (vec_id) JOIN probed p USING (cell_id), book)
-       |SELECT query_id, vec_id, score, rnk FROM (
-       |  SELECT query_id, vec_id, score,
-       |    row_number() OVER (PARTITION BY query_id
-       |      ORDER BY score DESC, vec_id ASC) AS rnk
-       |  FROM sc) WHERE rnk <= $K""".stripMargin
+       |  FROM enc2 e JOIN assigned a USING (vec_id) JOIN probed p USING (cell_id), book)""".stripMargin
   }
+
+  // ---- v15: IVF+PQ candidates + exact rescore -------------------------
+
+  /** Candidates kept from the ADC pass before the exact rescore. */
+  val RescoreM = 20
+
+  /** The COMPLETE production ANN recipe (FAISS search pipeline): IVF
+    * probe → ADC top-m candidate generation in the compressed domain →
+    * exact dot rescore of only those m float vectors → top-k. The
+    * expensive float reads are bounded at m per query regardless of
+    * corpus size; everything upstream never touches a float vector. */
+  def v15IvfPqRescore(s: SparkSession, d: String): DataFrame = {
+    val corpus = ivfCorpus(s, d)
+    val cb = graft.operators.Pq.codebook(corpus)
+    val codes = graft.operators.Pq.encode(corpus, cb)
+    val withCell = VectorSearch.assignCells(corpus, centroids(s, d))
+      .select("vec_id", "cell_id").join(codes, "vec_id")
+    val cand = graft.operators.Pq.searchDotIvf(queryVecs(s, d), withCell,
+      centroids(s, d), cb, RescoreM, NProbe).select("query_id", "vec_id")
+    val rescored = cand
+      .join(corpus, "vec_id")
+      .join(broadcast(queryVecs(s, d)), "query_id")
+      .withColumn("score", round(Vec.dot(col("qv"), col("v")), 6))
+      .select("query_id", "vec_id", "score")
+    graft.plans.TopK.perKey(rescored, Seq("query_id"),
+      Seq(col("score").desc, col("vec_id").asc), K)
+  }
+
+  def v15Sql: String =
+    s"""WITH $ivfPqScoredCtes,
+       |cand AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id ASC) AS crnk2
+       |  FROM sc) WHERE crnk2 <= $RescoreM)
+       |SELECT query_id, vec_id, score, rnk FROM (
+       |  SELECT cand.query_id, cand.vec_id,
+       |    round(${dotS("q.qv", "c.v")}, 6) AS score,
+       |    row_number() OVER (PARTITION BY cand.query_id
+       |      ORDER BY round(${dotS("q.qv", "c.v")}, 6) DESC, cand.vec_id ASC) AS rnk
+       |  FROM cand JOIN c ON cand.vec_id = c.vec_id
+       |            JOIN q ON cand.query_id = q.query_id)
+       |WHERE rnk <= $K""".stripMargin
 
   // ---- d10: multi-probe LSH near-dup pairs ----------------------------
 

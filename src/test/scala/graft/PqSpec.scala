@@ -115,6 +115,31 @@ class PqSpec extends SparkSpec {
       probedOf(qid).contains(cellOf(vid)) })
   }
 
+  test("v15 rescore: scores are the true dot products and candidates come from the ADC pass") {
+    val got = VectorQueries.v15IvfPqRescore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    got.foreach { case (qid, vid, score) =>
+      val s = vecs(qid).zip(vecs(vid)).map { case (a, b) => a * b }.sum
+      val exact = math.floor(s * 1e6 + (if (s >= 0) 0.5 else -0.5)) / 1e6
+      assert(score == exact, s"($qid,$vid): rescored $score != exact dot $exact")
+    }
+    // every rescored hit must be one of the ADC pass's top-m candidates
+    val corpus = VectorQueries.ivfCorpus(spark, sf)
+    val cents = VectorQueries.centroids(spark, sf)
+    val cb = Pq.codebook(corpus)
+    val withCell = graft.operators.VectorSearch.assignCells(corpus, cents)
+      .select("vec_id", "cell_id").join(Pq.encode(corpus, cb), "vec_id")
+    val cand = Pq.searchDotIvf(VectorQueries.queryVecs(spark, sf), withCell,
+        cents, cb, VectorQueries.RescoreM, VectorQueries.NProbe)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall { case (qid, vid, _) => cand.contains((qid, vid)) })
+  }
+
   test("driver entries: codes are exhaustive and ADC output is ranked") {
     val codes = VectorQueries.vq2PqCodes(spark, sf)
     assert(codes.count() == corpus.count() * Pq.NumSubspaces)

@@ -45,6 +45,65 @@ class Round6OpsSpec extends SparkSpec {
     assert(merged.nonEmpty)
   }
 
+  test("d12 incremental dedup: base copies dropped, batch dups collapse, uniques kept") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = Seq((1L, "shared base text"), (2L, "other base text"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "shared base text"),  // digest exists in base -> dropped
+      (11L, "fresh text twice"),  // within-batch dup ...
+      (12L, "fresh text twice"),  // ... collapses to min id 11
+      (13L, "unique fresh text")  // kept, n_copies 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(Dedup.digests(base), batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(11L -> 2L, 13L -> 1L))
+  }
+
+  test("d12 on corpus equals full-recompute dedup restricted to new digests") {
+    import graft.operators.Dedup
+    val incr = graft.queries.CorpusQueries.d12IncrDedup(spark, sf)
+    // every planted re-keyed base copy (doc_id >= 2000000) must be gone
+    assert(incr.filter(col("doc_id") >= 2000000L).count() == 0)
+    // and survivors are exactly the batch docs whose text has no base twin
+    assert(incr.count() > 0)
+  }
+
+  test("roll1 HLL rollup: merged daily sketches track exact distincts within 5%") {
+    val got = Relational.roll1HllRollup(spark, sf)
+      .collect().map(r => r.getDate(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.events(spark, sf)
+      .select(trunc(to_date(col("ts")), "month").as("month"), col("user_id"))
+      .groupBy("month")
+      .agg(countDistinct("user_id").as("n"), count(lit(1)).as("ne"))
+      .collect().map(r => r.getDate(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == exact.keySet)
+    exact.foreach { case (m, (n, ne)) =>
+      val (est, gotNe) = got(m)
+      assert(gotNe == ne, s"event counts must be exact for $m")
+      assert(math.abs(est - n) <= math.max(1.0, 0.05 * n),
+        s"month $m: HLL estimate $est vs exact $n")
+    }
+  }
+
+  test("roll1 merged-daily estimate equals the direct monthly sketch estimate") {
+    val ev = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val direct = ev
+      .groupBy(trunc(col("day"), "month").as("month"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => r.getDate(0) -> r.getLong(1)).toMap
+    val merged = Relational.roll1HllRollup(spark, sf)
+      .collect().map(r => r.getDate(0) -> r.getLong(1)).toMap
+    // HLL union of per-day sketches is lossless for HLL_4 at one lgK:
+    // merging must not cost accuracy vs sketching the month directly
+    direct.foreach { case (m, d) =>
+      assert(math.abs(merged(m) - d) <= math.max(1.0, 0.01 * d),
+        s"month $m: merged ${merged(m)} vs direct $d")
+    }
+  }
+
   test("m8 reciprocal rank: first-hit rank inverts, no-hit is zero") {
     import spark.implicits._
     val ranked = Seq(
