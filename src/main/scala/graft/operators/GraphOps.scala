@@ -117,4 +117,49 @@ object GraphOps {
         col("group_size").as("n_members"),
         (col("group_size") - 1).as("n_dropped"))
   }
+
+  /** Fixed-point integer PageRank over an undirected pair graph (g1) —
+    * importance ranking of nodes in the dedup/link graph. Mass is held
+    * in integer units of 1/`scale` and EVERY operation is integer
+    * arithmetic (`DIV` for the per-degree split and the damping
+    * factor): floating-point addition-order sensitivity — the classic
+    * reason iterative numeric jobs can't be compared across engines —
+    * is designed out, so the result is bit-identical to the oracle's
+    * unrolled integer CTEs by construction. The tiny mass lost to
+    * floor division per step is deterministic and identical in both
+    * engines.
+    *
+    * Scale shape per iteration: one equi-join of edges to ranks on src
+    * + one map-side-combined sum by dst — the same shuffle pattern as
+    * connectedComponents, nothing larger than |V| + |E| materializes,
+    * lineage cut per round. Node count is a one-scalar driver
+    * aggregate (index-metadata-sized).
+    *
+    * edges: undirected pairs (id_a, id_b). Returns (doc_id, pr) with
+    * pr summing to ~ `scale` across nodes.
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+               scale: Long = 1000000000000L): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val n = deg.count()
+    require(n > 0, "pageRank: empty graph")
+    val teleport = (scale * 15L / 100L) / n
+    var pr = deg.select(col("src").as("id"), lit(scale / n).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      pr = sym
+        .join(pr.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("pr DIV deg").as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("s"))
+        .select(col("dst").as("id"),
+          (lit(teleport) + expr("(85 * s) DIV 100")).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("id").as("doc_id"), col("pr"))
+  }
 }

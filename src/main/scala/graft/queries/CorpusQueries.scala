@@ -757,10 +757,13 @@ object CorpusQueries {
     graft.operators.GraphOps.dedupGroups(
       d2NgramJaccard(s, d).select("id_a", "id_b"))
 
-  /** Transitive closure via recursive min-label reachability — UNION
-    * (distinct) semantics bound the recursion to |V|·|component|. */
-  val d8Sql: String =
-    s"""WITH RECURSIVE $toksCte, $shingleCte,
+  /** The d2 near-dup pair graph as CTEs ending in `sym` (symmetrized
+    * src→dst edges) — shared by the d8 components oracle (transitive
+    * closure via recursive min-label reachability; UNION-distinct
+    * semantics bound the recursion to |V|·|component|) and the g1
+    * PageRank oracle. */
+  private def pairGraphCtes: String =
+    s"""$toksCte, $shingleCte,
        |exs AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
        |ex0 AS (SELECT doc_id, ${polyhashS("s")} AS h FROM exs),
        |hot AS (SELECT h FROM ex0 GROUP BY h HAVING count(*) > ${Dedup.DefaultDfCap}),
@@ -775,7 +778,10 @@ object CorpusQueries {
        |      GROUP BY 1, 2))
        |  WHERE jaccard >= $JaccardMin),
        |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
-       |        UNION SELECT id_b, id_a FROM pairs),
+       |        UNION SELECT id_b, id_a FROM pairs)""".stripMargin
+
+  val d8Sql: String =
+    s"""WITH RECURSIVE $pairGraphCtes,
        |reach(id, lab) AS (
        |  SELECT DISTINCT src, src FROM sym
        |  UNION
@@ -784,6 +790,41 @@ object CorpusQueries {
        |SELECT doc_id, component,
        |  count(*) OVER (PARTITION BY component) AS group_size
        |FROM comp""".stripMargin
+
+  // ---- g1_pagerank ----------------------------------------------------
+
+  val PrIters = 5
+  val PrScale = 1000000000000L
+
+  /** Fixed-point integer PageRank over the d2 near-dup graph (see
+    * GraphOps.pageRank: all-integer arithmetic designs out
+    * float-addition-order divergence, so an ITERATIVE numeric job is
+    * oracle-hashable). */
+  def g1PageRank(s: SparkSession, d: String): DataFrame =
+    graft.operators.GraphOps.pageRank(
+      d2NgramJaccard(s, d).select("id_a", "id_b"), PrIters, PrScale)
+
+  /** Oracle: the same five iterations unrolled as CTEs with identical
+    * integer arithmetic (`//` = Spark `DIV` for the positive operands
+    * here); DuckDB sum() yields HUGEINT so each iteration re-casts its
+    * rank to BIGINT. */
+  val g1Sql: String = {
+    val tele = PrScale * 15L / 100L
+    val iters = (1 to PrIters).map { i =>
+      s"""p$i AS (SELECT e.dst AS id,
+         |  $tele // (SELECT n FROM nn)
+         |    + CAST((85 * sum(p.pr // g.deg)) // 100 AS BIGINT) AS pr
+         |  FROM sym e JOIN p${i - 1} p ON e.src = p.id
+         |             JOIN deg g ON e.src = g.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pairGraphCtes,
+       |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |p0 AS (SELECT src AS id, $PrScale // (SELECT n FROM nn) AS pr FROM deg),
+       |$iters
+       |SELECT id AS doc_id, pr FROM p$PrIters""".stripMargin
+  }
 
   // ---- d9_survivors ---------------------------------------------------
 

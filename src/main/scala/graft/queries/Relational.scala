@@ -879,6 +879,59 @@ object Relational {
       |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-19'
       |GROUP BY 1""".stripMargin
 
+  /** stat1_corr — distributed second-moment statistics (covariance,
+    * correlation, stddev) from EXACT decimal accumulators: the five
+    * sums (Σx, Σy, Σx², Σy², Σxy) are decimal — order-independent and
+    * mergeable (the same property inc1 exploits), so the shuffle can
+    * combine partials in any order — and the closed-form moments are
+    * evaluated in double ONLY at the end, in an operation order the
+    * oracle mirrors token-for-token. sqrt is IEEE-exact (correctly
+    * rounded in every implementation, unlike exp/ln/pow), so even the
+    * stddev path is bit-stable across engines. */
+  def stat1Corr(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    val a = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val covN = nD * d("sxy") - d("sx") * d("sy")
+    val varX = nD * d("sxx") - d("sx") * d("sx")
+    val varY = nD * d("syy") - d("sy") * d("sy")
+    a.select(col("l_returnflag"), col("n"),
+      round(covN / (nD * nD), 6).as("covar_pop"),
+      round(covN / sqrt(varX * varY), 6).as("corr"),
+      round(sqrt(varX) / nD, 6).as("stddev_x"),
+      round(sqrt(varY) / nD, 6).as("stddev_y"))
+  }
+
+  val stat1Sql: String = {
+    val x = "CAST(l_quantity AS DECIMAL(18,2))"
+    val y = "CAST(l_extendedprice AS DECIMAL(18,2))"
+    def dd(c: String) = s"CAST($c AS DOUBLE)"
+    val covN = s"(${dd("n")} * ${dd("sxy")} - ${dd("sx")} * ${dd("sy")})"
+    val varX = s"(${dd("n")} * ${dd("sxx")} - ${dd("sx")} * ${dd("sx")})"
+    val varY = s"(${dd("n")} * ${dd("syy")} - ${dd("sy")} * ${dd("sy")})"
+    s"""WITH a AS (
+       |  SELECT l_returnflag, count(*) AS n,
+       |    sum($x) AS sx, sum($y) AS sy,
+       |    sum($x * $x) AS sxx, sum($y * $y) AS syy,
+       |    sum($x * $y) AS sxy
+       |  FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag, n,
+       |  round($covN / (${dd("n")} * ${dd("n")}), 6) AS covar_pop,
+       |  round($covN / sqrt($varX * $varY), 6) AS corr,
+       |  round(sqrt($varX) / ${dd("n")}, 6) AS stddev_x,
+       |  round(sqrt($varY) / ${dd("n")}, 6) AS stddev_y
+       |FROM a""".stripMargin
+  }
+
   /** roll1_hll_rollup — mergeable-sketch rollup: per-day HLL sketches
     * of distinct users, then a monthly rollup that merges the SKETCHES
     * (hll_union_agg) — the raw events are read exactly once, and every

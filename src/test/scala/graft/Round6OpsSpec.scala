@@ -104,6 +104,57 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("g1 pagerank: matches an exact integer replay on a hand graph") {
+    import spark.implicits._
+    // star: 1 is the hub of 2,3,4; plus isolated edge 5-6
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val scale = 1000000000000L
+    val iters = 5
+    val got = graft.operators.GraphOps.pageRank(edges, iters, scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // single-threaded integer replay with identical DIV semantics
+    val sym = Seq(1L -> 2L, 2L -> 1L, 1L -> 3L, 3L -> 1L, 1L -> 4L,
+      4L -> 1L, 5L -> 6L, 6L -> 5L)
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = deg.size
+    var pr = deg.keys.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val in = sym.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+        pr(s) / deg(s) }.sum).toMap
+      pr = in.map { case (v, s) => v -> (scale * 15 / 100 / n + 85 * s / 100) }
+    }
+    assert(got == pr, s"\ngot:    $got\nexpect: $pr")
+    // the hub outranks every leaf; the isolated pair sits between
+    assert(got(1L) > got(5L) && got(5L) > got(2L))
+    assert(got(2L) == got(3L) && got(3L) == got(4L))
+    // integer mass is conserved up to deterministic floor-division loss
+    assert(math.abs(got.values.sum - scale) < scale / 100)
+  }
+
+  test("stat1 exact-accumulator moments agree with Spark's builtin estimators") {
+    val got = Relational.stat1Corr(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val ref = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(covar_pop(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("cr"),
+        stddev_pop(col("l_quantity")).as("sx"),
+        stddev_pop(col("l_extendedprice")).as("sy"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == ref.keySet)
+    ref.foreach { case (k, (cv, cr, sx, sy)) =>
+      val (gcv, gcr, gsx, gsy) = got(k)
+      assert(math.abs(gcv - cv) <= 1e-4 * math.max(1.0, math.abs(cv)), s"covar $k")
+      assert(math.abs(gcr - cr) <= 1e-6, s"corr $k: $gcr vs $cr")
+      assert(math.abs(gsx - sx) <= 1e-4 * math.max(1.0, sx), s"stddev_x $k")
+      assert(math.abs(gsy - sy) <= 1e-4 * math.max(1.0, sy), s"stddev_y $k")
+      assert(gcr >= -1.0 && gcr <= 1.0)
+    }
+  }
+
   test("m8 reciprocal rank: first-hit rank inverts, no-hit is zero") {
     import spark.implicits._
     val ranked = Seq(
