@@ -129,6 +129,18 @@ object Dedup {
     // million-doc bucket (collect_list would OOM; a separate
     // aggregate+anti-join branch raced the other cache consumers into
     // materializing this pipeline twice)
+    pairIntersections(docs, n, dfCap)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Shared exact pair-intersection core of d2/d13: df-capped shingle
+    * inverted index → self-join on the hash → (id_a, id_b, inter, na,
+    * nb) with id_a < id_b. */
+  private def pairIntersections(docs: DataFrame, n: Int,
+                                dfCap: Int): DataFrame = {
     val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
     val sh = shingleHashRows(docs, n).select("doc_id", "h")
       .withColumn("__df", count(lit(1)).over(wh))
@@ -146,10 +158,27 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
       .join(broadcast(counts.select(col("doc_id").as("id_a"), col("nsh").as("na"))), "id_a")
       .join(broadcast(counts.select(col("doc_id").as("id_b"), col("nsh").as("nb"))), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** d13: asymmetric CONTAINMENT near-dup — containment(a in b) =
+    * |Sa∩Sb| / |Sa|. Jaccard misses subset duplication (a doc fully
+    * embedded in a much larger one scores |Sa|/|Sb| ≈ 0); containment
+    * is the Broder resemblance companion that catches it — the signal
+    * for boilerplate wrappers, quote-expansions, and prefix-truncated
+    * crawls. Same inverted-index core as d2 (one extra projection per
+    * direction, no new shuffle); emits DIRECTED pairs
+    * (id_in, id_out, containment ≥ min). */
+  def containmentPairs(docs: DataFrame, n: Int, minContainment: Double,
+                       dfCap: Int = DefaultDfCap): DataFrame = {
+    val p = pairIntersections(docs, n, dfCap)
+    val ab = p.select(col("id_a").as("id_in"), col("id_b").as("id_out"),
+      (col("inter").cast("double") / col("na")).as("containment"))
+    val ba = p.select(col("id_b").as("id_in"), col("id_a").as("id_out"),
+      (col("inter").cast("double") / col("nb")).as("containment"))
+    ab.unionAll(ba)
+      .filter(col("containment") >= minContainment)
+      .select(col("id_in"), col("id_out"),
+        round(col("containment"), 6).as("containment"))
   }
 
   val NumPerms = 16

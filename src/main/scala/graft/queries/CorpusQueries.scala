@@ -762,13 +762,19 @@ object CorpusQueries {
     * closure via recursive min-label reachability; UNION-distinct
     * semantics bound the recursion to |V|·|component|) and the g1
     * PageRank oracle. */
-  private def pairGraphCtes: String =
-    s"""$toksCte, $shingleCte,
-       |exs AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
+  /** The df-capped shingle-hash inverted index as CTEs ending in `ex`
+    * (doc_id, h, nsh) — reads from `toks`; shared by the jaccard (d2/
+    * d8/g1) and containment (d13) pair oracles. */
+  private def shingleIndexCtes: String =
+    s"""exs AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
        |ex0 AS (SELECT doc_id, ${polyhashS("s")} AS h FROM exs),
        |hot AS (SELECT h FROM ex0 GROUP BY h HAVING count(*) > ${Dedup.DefaultDfCap}),
        |exk AS (SELECT doc_id, h FROM ex0 WHERE h NOT IN (SELECT h FROM hot)),
-       |ex AS (SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS nsh FROM exk),
+       |ex AS (SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS nsh FROM exk)""".stripMargin
+
+  private def pairGraphCtes: String =
+    s"""$toksCte, $shingleCte,
+       |$shingleIndexCtes,
        |pairs AS (
        |  SELECT id_a, id_b FROM (
        |    SELECT id_a, id_b, inter::DOUBLE / (na + nb - inter) AS jaccard FROM (
@@ -790,6 +796,50 @@ object CorpusQueries {
        |SELECT doc_id, component,
        |  count(*) OVER (PARTITION BY component) AS group_size
        |FROM comp""".stripMargin
+
+  // ---- d13_containment ------------------------------------------------
+
+  val ContainMin = 0.8
+
+  /** Corpus + prefix-truncated copies (doc_id < 30 re-keyed +3000000
+    * keeping the first half of their tokens) — planted strict-subset
+    * duplicates that jaccard under-scores but containment catches. */
+  private def docsWithPrefixes(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    docs.unionAll(docs.filter(col("doc_id") < 30)
+      .withColumn("tk", Embed.tokens(col("text")))
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        expr("array_join(slice(tk, 1, greatest(4, size(tk) div 2)), ' ')")
+          .as("text")))
+  }
+
+  /** Asymmetric containment near-dup pairs (see Dedup.containmentPairs):
+    * directed (id_in, id_out) with |S_in ∩ S_out| / |S_in| ≥ 0.8. */
+  def d13Containment(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(docsWithPrefixes(s, d), 3, ContainMin)
+
+  val d13Sql: String =
+    s"""WITH docs2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 3000000 AS doc_id,
+       |    list_aggregate(tk[1:greatest(4, len(tk) // 2)], 'string_agg', ' ') AS text
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+       |        FROM documents WHERE doc_id < 30)),
+       |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk FROM docs2),
+       |$shingleCte,
+       |$shingleIndexCtes,
+       |base AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+       |         any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+       |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |dir AS (
+       |  SELECT id_a AS id_in, id_b AS id_out, inter::DOUBLE / na AS containment FROM base
+       |  UNION ALL
+       |  SELECT id_b, id_a, inter::DOUBLE / nb FROM base)
+       |SELECT id_in, id_out, round(containment, 6) AS containment
+       |FROM dir WHERE containment >= $ContainMin""".stripMargin
 
   // ---- g1_pagerank ----------------------------------------------------
 

@@ -879,6 +879,37 @@ object Relational {
       |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-19'
       |GROUP BY 1""".stripMargin
 
+  /** bk1_bucketed_join — bucketed co-located fact-fact join: both
+    * tables are written `bucketBy(8, key) + sortBy(key)`, so the
+    * sort-merge join consumes the bucket layout directly — NO shuffle
+    * exchange on either side (plan asserted in ScaleTechniquesSpec).
+    * The bucketed write is paid once; every subsequent join on the key
+    * is exchange-free — the standard 100 TB answer to repeated
+    * fact-fact joins on one key. Driver-checked result is the join
+    * aggregate, which must equal the plain join (j2's oracle). */
+  def bk1BucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = graft.Dist.pathTag(sfDir).replaceAll("[^A-Za-z0-9_]", "_")
+    val lt = s"graft_bk1_li_$tag"
+    val ot = s"graft_bk1_o_$tag"
+    // a fresh session's in-memory catalog forgets the tables but their
+    // warehouse directories survive — clear both or saveAsTable fails
+    Seq(lt, ot).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File("spark-warehouse", t)
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+    }
+    Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable(lt)
+    Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable(ot)
+    spark.table(lt).hint("merge")
+      .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+  }
+
   /** stat1_corr — distributed second-moment statistics (covariance,
     * correlation, stddev) from EXACT decimal accumulators: the five
     * sums (Σx, Σy, Σx², Σy², Σxy) are decimal — order-independent and

@@ -104,6 +104,43 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("d13 containment: a strict prefix scores 1.0 inward, lower outward") {
+    import spark.implicits._
+    val full = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val half = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, full), (2L, half),
+      (3L, "entirely different words with no shared shingles at all here")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.containmentPairs(docs, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // doc 2's 8 shingles are all among doc 1's 18 -> containment 1.0
+    assert(got((2L, 1L)) == 1.0)
+    // the reverse direction is 8/18 < 0.5 -> filtered out
+    assert(!got.contains((1L, 2L)))
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("d13 jaccard misses the planted prefixes that containment catches") {
+    val pairs = graft.queries.CorpusQueries.d13Containment(spark, sf)
+    // every planted prefix doc (id >= 3000000) is contained in its source
+    val planted = pairs.filter(col("id_in") >= 3000000L &&
+      col("id_out") === col("id_in") - 3000000L)
+    assert(planted.count() > 0)
+    assert(planted.filter(col("containment") < 1.0).count() == 0,
+      "a strict token-prefix must have containment 1.0 in its source")
+  }
+
+  test("bk1 bucketed join plan: sort-merge with no join-side shuffle") {
+    val df = Relational.bk1BucketedJoin(spark, sf)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"not a sort-merge join:\n$plan")
+    // the only hash-partitioning exchange is the final aggregate's —
+    // the bucketed layout feeds the join without a shuffle on either side
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"join side shuffled ($exchanges exchanges):\n$plan")
+  }
+
   test("g1 pagerank: matches an exact integer replay on a hand graph") {
     import spark.implicits._
     // star: 1 is the hub of 2,3,4; plus isolated edge 5-6
