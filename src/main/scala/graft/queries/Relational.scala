@@ -879,6 +879,64 @@ object Relational {
       |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-19'
       |GROUP BY 1""".stripMargin
 
+  /** dq1_checks — Deequ-style data-quality validation: a declarative
+    * rule set (completeness, range, set-membership, uniqueness)
+    * evaluated in ONE scan of the table — every rule is a conditional
+    * aggregate in the same agg, unpivoted to (rule, n_violations,
+    * passed) rows (pr1's single-scan shape). At 100 TB the alternative
+    * — one pass per rule — multiplies the scan cost by the rule count;
+    * this stays one pass no matter how many rules the contract has.
+    * Uniqueness is n − countDistinct, exact (the approx path at
+    * extreme cardinality is q12's HLL). */
+  def dq1Checks(spark: SparkSession, sfDir: String): DataFrame =
+    dqChecksOn(Tables.documents(spark, sfDir))
+
+  /** The rule evaluation over any documents-shaped frame (spec entry). */
+  def dqChecksOn(d: DataFrame): DataFrame = {
+    val agg = d.agg(
+      count(lit(1)).as("n"),
+      sum(col("text").isNull.cast("long")).as("v_text_null"),
+      sum((col("n_chars") <= 0 || col("n_chars") > 100000)
+        .cast("long")).as("v_chars_range"),
+      sum((!col("lang").isin("en", "de", "fr", "es", "zh"))
+        .cast("long")).as("v_lang_set"),
+      sum((length(col("text")) =!= col("n_chars")).cast("long"))
+        .as("v_chars_consistent"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("v_id_unique"))
+    val rules = Seq(
+      "text_not_null" -> "v_text_null",
+      "n_chars_in_range" -> "v_chars_range",
+      "lang_in_set" -> "v_lang_set",
+      "n_chars_matches_text" -> "v_chars_consistent",
+      "doc_id_unique" -> "v_id_unique")
+    val structs = rules.map { case (name, c) =>
+      s"struct('$name' AS rule, $c AS n_violations, $c = 0 AS passed)"
+    }.mkString("array(", ", ", ")")
+    agg.select(col("n"), expr(s"inline($structs)"))
+  }
+
+  val dq1Sql: String = {
+    val checks = Seq(
+      "text_not_null" ->
+        "CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)",
+      "n_chars_in_range" ->
+        "CAST(sum(CASE WHEN n_chars <= 0 OR n_chars > 100000 THEN 1 ELSE 0 END) AS BIGINT)",
+      "lang_in_set" ->
+        "CAST(sum(CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es', 'zh') THEN 1 ELSE 0 END) AS BIGINT)",
+      "n_chars_matches_text" ->
+        "CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT)",
+      "doc_id_unique" -> "count(*) - count(DISTINCT doc_id)")
+    val aggs = checks.map { case (name, e) => s"$e AS __$name" }
+      .mkString(",\n|    ")
+    val rows = checks.map { case (name, _) =>
+      s"SELECT n, '$name' AS rule, __$name AS n_violations, __$name = 0 AS passed FROM a"
+    }.mkString("\n|UNION ALL\n|")
+    s"""WITH a AS (SELECT count(*) AS n,
+       |    $aggs
+       |  FROM documents)
+       |$rows""".stripMargin
+  }
+
   /** bk1_bucketed_join — bucketed co-located fact-fact join: both
     * tables are written `bucketBy(8, key) + sortBy(key)`, so the
     * sort-merge join consumes the bucket layout directly — NO shuffle

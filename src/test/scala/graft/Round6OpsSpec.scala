@@ -141,6 +141,33 @@ class Round6OpsSpec extends SparkSpec {
     assert(exchanges <= 1, s"join side shuffled ($exchanges exchanges):\n$plan")
   }
 
+  test("dq1 checks: planted violations are counted per rule in one scan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good doc", "en", "web", 8),
+      (2L, null.asInstanceOf[String], "en", "web", 0),  // null text
+      (3L, "bad lang", "xx", "web", 8),                 // lang not in set
+      (3L, "dup id", "en", "web", 6),                   // duplicate doc_id
+      (5L, "short", "en", "web", 99)                    // n_chars mismatch
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Relational.dqChecksOn(docs)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got("text_not_null") == (1L, false))
+    assert(got("lang_in_set") == (1L, false))
+    assert(got("doc_id_unique") == (1L, false))
+    // null text rows: length(text) <> n_chars is NULL -> not a violation;
+    // doc 5's 99 is one; doc 2's 0 chars for null text doesn't trip range
+    assert(got("n_chars_matches_text")._1 == 1L)
+    assert(got("n_chars_in_range") == (1L, false)) // doc 2: n_chars 0
+  }
+
+  test("dq1 on the shipped corpus: every contract rule passes") {
+    val got = Relational.dq1Checks(spark, sf)
+      .collect().map(r => r.getString(1) -> r.getBoolean(3)).toMap
+    assert(got.size == 5)
+    assert(got.values.forall(identity), s"corpus violates contract: $got")
+  }
+
   test("g1 pagerank: matches an exact integer replay on a hand graph") {
     import spark.implicits._
     // star: 1 is the hub of 2,3,4; plus isolated edge 5-6
