@@ -397,6 +397,72 @@ object Relational {
       |SELECT p.event_id, p.user_id, p.ts, c.click_id
       |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts""".stripMargin
 
+  /** a2_asof_forward — FORWARD as-of join: each purchase matched to the
+    * user's EARLIEST click at-or-after it ("next action after
+    * purchase" — the post-conversion behavior question). Same linear
+    * union-carry plan as a1 scanned in descending time; one shuffle.
+    * Oracle uses the portable row_number formulation (not DuckDB's
+    * ASOF, whose inequality-direction support varies by version). */
+  def a2AsofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("cts"))
+      .agg(max("event_id").as("click_id"))
+      .select("user_id", "cts", "click_id")
+    graft.operators.AsOfJoin
+      .leftAsOf(purchases, clicks, "user_id", "ts", "cts", Seq("click_id"),
+        forward = true)
+      .filter(col("click_id").isNotNull)
+      .select("event_id", "user_id", "ts", "click_id")
+  }
+
+  val a2Sql: String =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts AS cts, max(event_id) AS click_id
+      |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT event_id, user_id, ts, click_id FROM (
+      |  SELECT p.event_id, p.user_id, p.ts, c.click_id,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |      ORDER BY c.cts ASC) AS rn
+      |  FROM p JOIN c ON p.user_id = c.user_id AND c.cts >= p.ts)
+      |WHERE rn = 1""".stripMargin
+
+  /** sk1_skew_profile — key-skew diagnostics for shuffle planning (the
+    * report that tells you WHICH keys need q13's salting or an AQE
+    * skew split): per-key event counts → global top-10 hottest keys
+    * via the custom TopK operator (bounded heaps, no global sort),
+    * each with its share of all rows and its multiple of the average
+    * key load. One aggregation + a TopK; the totals are one extra
+    * scalar aggregate, broadcast-joined back. */
+  def sk1SkewProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val cnt = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val totals = cnt.agg(sum("n_events").as("total"),
+      count(lit(1)).as("n_keys"))
+    graft.plans.TopK.perKey(cnt, Seq(),
+        Seq(col("n_events").desc, col("user_id").asc), 10, "rank")
+      .crossJoin(broadcast(totals))
+      .select(col("rank"), col("user_id"), col("n_events"),
+        round(col("n_events").cast("double") / col("total"), 6).as("share"),
+        round(col("n_events").cast("double") * col("n_keys") / col("total"), 4)
+          .as("x_avg"))
+  }
+
+  val sk1Sql: String =
+    """WITH cnt AS (SELECT user_id, count(*) AS n_events
+      |             FROM events GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS total,
+      |             count(*) AS n_keys FROM cnt)
+      |SELECT rank, user_id, n_events,
+      |  round(n_events::DOUBLE / total, 6) AS share,
+      |  round(n_events::DOUBLE * n_keys / total, 4) AS x_avg
+      |FROM (SELECT user_id, n_events,
+      |        row_number() OVER (ORDER BY n_events DESC, user_id ASC) AS rank
+      |      FROM cnt), t
+      |WHERE rank <= 10""".stripMargin
+
   /** e3_attribution — the stream-stream interval join
     * (EventStream.purchaseAttribution) run in BATCH mode: purchases
     * joined to the same user's clicks in the preceding 30 minutes.
