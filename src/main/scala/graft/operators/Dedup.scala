@@ -234,6 +234,35 @@ object Dedup {
       .agg(countDistinct("band_idx").as("n_shared_bands"))
   }
 
+  /** d14: MinHash Jaccard ESTIMATION — the other half of the MinHash
+    * contract (d3 only buckets): for every LSH candidate pair, the
+    * unbiased estimate (matching signature components / NumPerms)
+    * beside the exact df-capped shingle jaccard. At 100 TB the
+    * estimate is what a pipeline actually thresholds on — comparing
+    * two 16-long signatures instead of re-intersecting shingle sets —
+    * and this operator is also the calibration report showing what
+    * 16 permutations buy (σ ≈ √(j(1−j)/16)). Signatures join back to
+    * candidates by doc id; the exact side left-joins (a band collision
+    * between disjoint shingle sets scores exact 0). */
+  def minhashEstimates(docs: DataFrame, n: Int,
+                       dfCap: Int = DefaultDfCap): DataFrame = {
+    val sigs = minhashSignatures(shingleHashRows(docs, n))
+    val cand = minhashCandidates(docs, n, dfCap).select("id_a", "id_b")
+    val exact = pairIntersections(docs, n, dfCap)
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("xj"))
+    cand
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("n_eq", aggregate(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => (x === y).cast("int")), lit(0), _ + _))
+      .join(exact, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        round(col("n_eq").cast("double") / NumPerms, 6).as("est_jaccard"),
+        round(coalesce(col("xj"), lit(0.0)), 6).as("exact_jaccard"))
+  }
+
   val SimhashBits = 30
   val SimhashBands = 3
   val SimhashBandBits = 10 // bands cover bits [10b, 10b+10) of the 30-bit fingerprint

@@ -133,10 +133,12 @@ object CorpusQueries {
   def d3Minhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashCandidates(Tables.documents(s, d), 3)
 
-  val d3Sql: String = {
+  /** MinHash signature + df-capped band CTEs (reads `sh`; ends in
+    * `sig` and `bands`) — shared by the d3 bucketing and d14
+    * estimation oracles. */
+  private def minhashCtes: String = {
     val p = Embed.HashMod
-    s"""WITH $toksCte, $shingleCte,
-       |hs AS (SELECT doc_id, list_transform(sh, s -> ${polyhashS("s")}) AS hs
+    s"""hs AS (SELECT doc_id, list_transform(sh, s -> ${polyhashS("s")}) AS hs
        |       FROM sh WHERE len(sh) > 0),
        |sig AS (SELECT doc_id, list_transform(range(0, ${Dedup.NumPerms}), j ->
        |          list_min(list_transform(hs, h -> ((j*2+3)*h + (j*1234567+89)) % $p))) AS sig
@@ -150,12 +152,47 @@ object CorpusQueries {
        |         GROUP BY 1, 2 HAVING count(*) > ${Dedup.DefaultDfCap}),
        |bands AS (SELECT b.* FROM bands0 b WHERE NOT EXISTS (
        |            SELECT 1 FROM hotb h
-       |            WHERE h.band_idx = b.band_idx AND h.band_key = b.band_key))
+       |            WHERE h.band_idx = b.band_idx AND h.band_key = b.band_key))""".stripMargin
+  }
+
+  val d3Sql: String =
+    s"""WITH $toksCte, $shingleCte,
+       |$minhashCtes
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(DISTINCT a.band_idx) AS n_shared_bands
        |FROM bands a JOIN bands b
        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
        |GROUP BY 1, 2""".stripMargin
-  }
+
+  // ---- d14_minhash_est ------------------------------------------------
+
+  /** MinHash Jaccard estimate vs exact for every LSH candidate pair
+    * (see Dedup.minhashEstimates). */
+  def d14MinhashEst(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashEstimates(Tables.documents(s, d), 3)
+
+  val d14Sql: String =
+    s"""WITH $toksCte, $shingleCte,
+       |$minhashCtes,
+       |$shingleIndexCtes,
+       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |              AND a.doc_id < b.doc_id
+       |         GROUP BY 1, 2),
+       |eq AS (SELECT c.id_a, c.id_b,
+       |         len(list_filter(range(1, ${Dedup.NumPerms} + 1),
+       |           i -> sa.sig[i] = sb.sig[i])) AS n_eq
+       |       FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+       |                   JOIN sig sb ON sb.doc_id = c.id_b),
+       |xact AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |           count(*)::DOUBLE
+       |             / (any_value(a.nsh) + any_value(b.nsh) - count(*)) AS xj
+       |         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |         GROUP BY 1, 2)
+       |SELECT e.id_a, e.id_b,
+       |  round(e.n_eq::DOUBLE / ${Dedup.NumPerms}, 6) AS est_jaccard,
+       |  round(coalesce(x.xj, 0.0), 6) AS exact_jaccard
+       |FROM eq e LEFT JOIN xact x ON e.id_a = x.id_a AND e.id_b = x.id_b""".stripMargin
 
   // ---- d4_simhash -----------------------------------------------------
 

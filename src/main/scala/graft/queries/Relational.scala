@@ -1117,8 +1117,9 @@ object Relational {
   def q17Funnel(spark: SparkSession, sfDir: String): DataFrame =
     funnel(Tables.events(spark, sfDir).select("user_id", "event_type", "ts"))
 
-  /** The funnel over any (user_id, event_type, ts) frame (spec entry). */
-  def funnel(ev: DataFrame): DataFrame = {
+  /** Per-user funnel stage times: first view, first click strictly
+    * after it, first purchase strictly after that (shared by q17/e4). */
+  private def funnelStages(ev: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts").as("t_view"))
     def firstAfter(tpe: String, prev: DataFrame, prevTs: String, outTs: String) =
@@ -1128,6 +1129,12 @@ object Relational {
         .groupBy("user_id").agg(min("ts").as(outTs))
     val c = firstAfter("click", v, "t_view", "t_click")
     val p = firstAfter("purchase", c, "t_click", "t_purchase")
+    (v, c, p)
+  }
+
+  /** The funnel over any (user_id, event_type, ts) frame (spec entry). */
+  def funnel(ev: DataFrame): DataFrame = {
+    val (v, c, p) = funnelStages(ev)
     v.agg(count(lit(1)).as("n_view"))
       .crossJoin(c.agg(count(lit(1)).as("n_click")))
       .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
@@ -1158,6 +1165,38 @@ object Relational {
       |  CASE WHEN (SELECT count(*) FROM c) = 0 THEN 0.0
       |       ELSE round((SELECT count(*) FROM p)::DOUBLE
       |                  / (SELECT count(*) FROM c), 6) END AS click_to_purchase""".stripMargin
+
+  /** e4_time_to_convert — per-user conversion latency for users who
+    * complete the q17 funnel: milliseconds from first view to the
+    * qualifying click and purchase (exact integer epoch-ms deltas —
+    * no float time arithmetic to diverge). The input of any
+    * time-to-convert distribution analysis (m1/m4 percentiles compose
+    * on top); same single-shuffle-key plan as q17. */
+  def e4TimeToConvert(spark: SparkSession, sfDir: String): DataFrame = {
+    val (v, c, p) = funnelStages(
+      Tables.events(spark, sfDir).select("user_id", "event_type", "ts"))
+    v.join(c, "user_id").join(p, "user_id")
+      .select(col("user_id"),
+        (expr("unix_micros(t_click) div 1000")
+          - expr("unix_micros(t_view) div 1000")).as("ms_view_to_click"),
+        (expr("unix_micros(t_purchase) div 1000")
+          - expr("unix_micros(t_view) div 1000")).as("ms_view_to_purchase"))
+  }
+
+  val e4Sql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t_click
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+      |SELECT v.user_id,
+      |  epoch_ms(t_click) - epoch_ms(t_view) AS ms_view_to_click,
+      |  epoch_ms(t_purchase) - epoch_ms(t_view) AS ms_view_to_purchase
+      |FROM v JOIN c ON v.user_id = c.user_id
+      |       JOIN p ON v.user_id = p.user_id""".stripMargin
 
   /** inc1_incremental_agg — incremental materialized-view maintenance:
     * the base aggregate ("yesterday's view", orders with

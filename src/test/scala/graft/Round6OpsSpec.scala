@@ -141,6 +141,38 @@ class Round6OpsSpec extends SparkSpec {
     assert(exchanges <= 1, s"join side shuffled ($exchanges exchanges):\n$plan")
   }
 
+  test("e4 time-to-convert agrees with the funnel and orders stage deltas") {
+    val rows = Relational.e4TimeToConvert(spark, sf).collect()
+    val funnel = Relational.q17Funnel(spark, sf).head()
+    assert(rows.length == funnel.getLong(2),
+      "one latency row per funnel-completing user")
+    rows.foreach { r =>
+      val (c, p) = (r.getLong(1), r.getLong(2))
+      assert(c > 0 && p > c,
+        s"user ${r.getLong(0)}: click delta $c, purchase delta $p")
+    }
+  }
+
+  test("d14 minhash estimate: exact on identical docs, bounded error on candidates") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text),
+      (3L, (1 to 30).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val ident = Dedup.minhashEstimates(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(ident((1L, 2L)) == (1.0, 1.0), "identical docs must score 1.0/1.0")
+    assert(!ident.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // corpus candidates: 16 perms give sigma <= 0.125; mean |err| stays small
+    val est = Dedup.minhashEstimates(
+      Tables.documents(spark, sf).select("doc_id", "text"), 3).collect()
+      .map(r => math.abs(r.getDouble(2) - r.getDouble(3)))
+    assert(est.nonEmpty)
+    assert(est.sum / est.length <= 0.25,
+      f"mean |est-exact| ${est.sum / est.length}%.3f too high for 16 perms")
+  }
+
   test("dq1 checks: planted violations are counted per rule in one scan") {
     import spark.implicits._
     val docs = Seq(
