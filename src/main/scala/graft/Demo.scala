@@ -128,6 +128,31 @@ object Demo {
         s"$dropped docs dropped after survivor selection")
     } else println("dedup: no near-dup pairs at this threshold")
 
+    // 10. compressed-domain ANN (beyond the reference): the complete
+    //     production recipe — PQ-encode the corpus, probe IVF cells,
+    //     ADC-score candidates, exact-rescore the survivors
+    val cb = operators.Pq.codebook(vecCorpus)
+    val codes = operators.Pq.encode(vecCorpus, cb)
+    val withCell = operators.VectorSearch.assignCells(vecCorpus, cents)
+      .select("vec_id", "cell_id").join(codes, "vec_id")
+    val adcHits = operators.Pq.searchDotIvf(qVecs, withCell, cents, cb, 5, 4)
+    val adcOverlap = adcHits.select("query_id", "vec_id")
+      .intersect(hits.select("query_id", "vec_id")).count()
+    println(f"IVF+PQ ADC: top-5 overlap with brute force " +
+      f"${adcOverlap.toDouble / nHits}%.2f (floats never read)")
+
+    // 11. data-quality contract + corpus analytics (beyond the
+    //     reference): the checks a pipeline runs before shipping a crawl
+    val dq = queries.Relational.dqChecksOn(
+      Tables.documents(spark, sfDir)).collect()
+    val failed = dq.filter(!_.getBoolean(3)).map(_.getString(1))
+    println(if (failed.isEmpty) s"data quality: all ${dq.length} rules pass"
+      else s"data quality: FAILING rules ${failed.mkString(", ")}")
+    val funnel = queries.Relational.q17Funnel(spark, sfDir).head()
+    println(s"funnel: ${funnel.getLong(0)} viewers -> " +
+      s"${funnel.getLong(1)} clickers -> ${funnel.getLong(2)} buyers " +
+      s"(view->click ${funnel.getDouble(3)}, click->purchase ${funnel.getDouble(4)})")
+
     println("=" * 70)
     println("demo complete")
     spark.stop()
