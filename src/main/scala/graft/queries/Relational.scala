@@ -945,6 +945,38 @@ object Relational {
       |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-19'
       |GROUP BY 1""".stripMargin
 
+  /** pw3_merge_schema — schema-evolution read: an early batch written
+    * WITHOUT a column that a later batch adds (the normal life of any
+    * long-lived 100 TB table), read back as one table via mergeSchema
+    * with NULLs for the pre-evolution rows. The driver-checked result
+    * proves the merged read loses nothing: per-type counts/sums over
+    * both batches plus the count of pre-evolution (null-column) rows.
+    * Schema merging is a read-option, not a rewrite — no 100 TB
+    * backfill to add a column. */
+  def pw3MergeSchema(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pw3_" +
+      graft.Dist.pathTag(sfDir)
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+    val cut = lit("2024-01-15").cast("date")
+    // v1 schema: no user_id column yet
+    ev.filter(col("day") < cut).select("event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+    // v2 schema adds user_id; appended to the same table location
+    ev.filter(col("day") >= cut).select("event_type", "value", "user_id")
+      .write.mode("append").parquet(dir)
+    spark.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+        sum(col("user_id").isNull.cast("long")).as("n_pre_evolution"))
+  }
+
+  val pw3Sql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+      |  CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15'
+      |               THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_evolution
+      |FROM events GROUP BY 1""".stripMargin
+
   /** dq1_checks — Deequ-style data-quality validation: a declarative
     * rule set (completeness, range, set-membership, uniqueness)
     * evaluated in ONE scan of the table — every rule is a conditional

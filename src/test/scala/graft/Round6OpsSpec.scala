@@ -141,6 +141,45 @@ class Round6OpsSpec extends SparkSpec {
     assert(exchanges <= 1, s"join side shuffled ($exchanges exchanges):\n$plan")
   }
 
+  test("streaming funnel resolves out-of-order events to exact batch semantics") {
+    import graft.streaming.FunnelStream
+    import graft.streaming.FunnelStream.{FunnelEvent, FunnelOut}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val session = spark
+    import session.implicits._
+    def ev(uid: Long, tpe: String, minute: Long) =
+      FunnelEvent(uid, tpe,
+        new java.sql.Timestamp(1700000000000L + minute * 60000))
+    def us(minute: Long) = (1700000000000L + minute * 60000) * 1000L
+    val ms = MemoryStream[FunnelEvent](spark)
+    val q = FunnelStream.stream(ms.toDS(), "10 minutes", 30L * 60000)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      // user 1 arrives OUT OF ORDER: click first, then the earlier view
+      // that qualifies it — incremental state would have dropped it
+      ms.addData(ev(1, "click", 5), ev(1, "purchase", 8))
+      q.processAllAvailable()
+      ms.addData(ev(1, "view", 2), ev(2, "view", 3))
+      q.processAllAvailable()
+      // far-future events push the watermark past both users' horizons
+      ms.addData(ev(99, "view", 2000))
+      q.processAllAvailable()
+      ms.addData(ev(98, "view", 4000))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out").as[FunnelOut].collect()
+        .map(r => r.user_id -> r).toMap
+      assert(rows.contains(1L) && rows.contains(2L), s"emitted: ${rows.keySet}")
+      assert(rows(1L) == FunnelOut(1L, Some(us(2)), Some(us(5)), Some(us(8))),
+        "late view must re-qualify the earlier click")
+      assert(rows(2L) == FunnelOut(2L, Some(us(3)), None, None))
+      // parity: the resolver IS the batch semantics on the same events
+      assert(FunnelStream.resolve(1L,
+        Seq(("click", us(5)), ("purchase", us(8)), ("view", us(2)))) ==
+        rows(1L))
+    } finally q.stop()
+  }
+
   test("e4 time-to-convert agrees with the funnel and orders stage deltas") {
     val rows = Relational.e4TimeToConvert(spark, sf).collect()
     val funnel = Relational.q17Funnel(spark, sf).head()
@@ -171,6 +210,16 @@ class Round6OpsSpec extends SparkSpec {
     assert(est.nonEmpty)
     assert(est.sum / est.length <= 0.25,
       f"mean |est-exact| ${est.sum / est.length}%.3f too high for 16 perms")
+  }
+
+  test("pw3 merge-schema read loses neither batch nor the evolved column") {
+    val rows = Relational.pw3MergeSchema(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val pre = rows.map(_.getAs[Long]("n_pre_evolution")).sum
+    assert(total == Tables.events(spark, sf).count(),
+      "merged read must cover every row of both schema versions")
+    assert(pre > 0 && pre < total,
+      "both pre- and post-evolution rows must be present")
   }
 
   test("dq1 checks: planted violations are counted per rule in one scan") {
