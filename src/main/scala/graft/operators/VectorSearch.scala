@@ -437,4 +437,45 @@ object VectorSearch {
       .select("id_a", "id_b").distinct()
     rescorePairs(base, cand, minCosine)
   }
+
+  // ---- Binary (sign-bit) quantization + Hamming kNN -------------------
+
+  /** 32 sign bits of dims [off+1, off+32] packed into one non-negative
+    * long: bit i set iff v[off+i+1] > 0. Two 32-bit halves instead of a
+    * single 64-bit word keep every code positive, so there is no
+    * sign-bit shift/overflow semantics to match across engines. The
+    * fold is a Catalyst higher-order aggregate — no UDF in the scan.
+    */
+  def signBits32(vcol: String, off: Int): Column =
+    expr(s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+      (acc, i) -> acc + IF(element_at($vcol, i + ${off + 1}) > 0,
+                           shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""")
+
+  /** 64-bit binary (sign) quantization: 256 bytes of float32 → 8 bytes
+    * of code (32×), the coarsest-but-cheapest ANN compression tier
+    * below int8 (vq1) and PQ (vq2). `n_pos` (population count) rides
+    * along as the usual index-health measure.
+    */
+  def binaryQuantize(vectors: DataFrame, vcol: String): DataFrame =
+    vectors
+      .withColumn("code_lo", signBits32(vcol, 0))
+      .withColumn("code_hi", signBits32(vcol, 32))
+      .withColumn("n_pos",
+        expr("CAST(bit_count(code_lo) + bit_count(code_hi) AS BIGINT)"))
+
+  /** Top-k by Hamming distance over binary codes: XOR + popcount per
+    * candidate — two ALU ops against 64 multiply-adds for the exact
+    * dot, and the corpus side reads 16 bytes/vector instead of 256.
+    * Integer distances (ties to vec_id) make the ranking exactly
+    * reproducible in any engine — no float rounding contract needed.
+    * queries: (query_id, ql, qh); corpus: (vec_id, code_lo, code_hi).
+    */
+  def knnHamming(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = spread(corpus).crossJoin(broadcast(queries))
+      .withColumn("hamming",
+        expr("CAST(bit_count(code_lo ^ ql) + bit_count(code_hi ^ qh) AS BIGINT)"))
+      .select("query_id", "vec_id", "hamming")
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(col("hamming").asc, col("vec_id").asc), k)
+  }
 }

@@ -669,6 +669,55 @@ object VectorQueries {
        |FROM e CROSS JOIN s""".stripMargin
   }
 
+  // ---- vq3: binary (sign-bit) quantization ----------------------------
+
+  /** 64-bit sign-bit code per embedding, as two positive 32-bit halves
+    * (see VectorSearch.signBits32 for the cross-engine rationale). */
+  def vq3BinaryQuant(s: SparkSession, d: String): DataFrame =
+    VectorSearch.binaryQuantize(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), "embedding")
+      .select("vec_id", "code_lo", "code_hi", "n_pos")
+
+  val vq3Sql: String =
+    s"""SELECT vec_id,
+       |  bit_or(CASE WHEN i < 32 AND embedding[i + 1] > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END) AS code_lo,
+       |  bit_or(CASE WHEN i >= 32 AND embedding[i + 1] > 0 THEN 1::BIGINT << (i - 32) ELSE 0::BIGINT END) AS code_hi,
+       |  CAST(sum(CASE WHEN embedding[i + 1] > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       |FROM embeddings, generate_series(0, ${EmbedDim - 1}) t(i)
+       |GROUP BY vec_id""".stripMargin
+
+  // ---- v16: Hamming kNN over binary codes -----------------------------
+
+  /** Whole-corpus ANN over the vq3 codes: per-candidate cost is
+    * XOR+popcount and the scan is 16 bytes/vector — the cheapest
+    * first-pass retrieval tier (rescore survivors with v15's exact
+    * tail when float precision matters). */
+  def v16KnnHamming(s: SparkSession, d: String): DataFrame = {
+    val codes = VectorSearch.binaryQuantize(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), "embedding")
+    val q = codes.filter(col("vec_id") < QN)
+      .select(col("vec_id").as("query_id"),
+        col("code_lo").as("ql"), col("code_hi").as("qh"))
+    val c = codes.filter(col("vec_id") >= QN).select("vec_id", "code_lo", "code_hi")
+    VectorSearch.knnHamming(q, c, K)
+  }
+
+  val v16Sql: String =
+    s"""WITH codes AS (
+       |  SELECT vec_id,
+       |    bit_or(CASE WHEN i < 32 AND embedding[i + 1] > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END) AS code_lo,
+       |    bit_or(CASE WHEN i >= 32 AND embedding[i + 1] > 0 THEN 1::BIGINT << (i - 32) ELSE 0::BIGINT END) AS code_hi
+       |  FROM embeddings, generate_series(0, ${EmbedDim - 1}) t(i)
+       |  GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, code_lo AS ql, code_hi AS qh FROM codes WHERE vec_id < $QN),
+       |c AS (SELECT vec_id, code_lo, code_hi FROM codes WHERE vec_id >= $QN)
+       |SELECT query_id, vec_id, hamming, rnk FROM (
+       |  SELECT query_id, vec_id,
+       |    CAST(bit_count(xor(ql, code_lo)) + bit_count(xor(qh, code_hi)) AS BIGINT) AS hamming,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY bit_count(xor(ql, code_lo)) + bit_count(xor(qh, code_hi)) ASC, vec_id ASC) AS rnk
+       |  FROM c, q) WHERE rnk <= $K""".stripMargin
+
   // ---- sem1: SemDeDup semantic dedup ----------------------------------
 
   val SemTau = 0.4
