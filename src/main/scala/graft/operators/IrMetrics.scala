@@ -69,6 +69,29 @@ object IrMetrics {
       .select(col("query_id"),
         round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("rr"))
 
+  /** Per-query average precision AP@k = (1/R)·Σ_{rel positions p}
+    * precision(p), computed with an exact-rational numerator:
+    * Σ cum_p·(L div p) where L = lcm(1..k), so every term is an
+    * integer and only ONE double division happens at the end — the
+    * value is bit-identical in any engine regardless of the order the
+    * per-position terms are summed in (a plain double Σ cum/p is not).
+    * Queries with no relevant results score 0.
+    */
+  def apPerQuery(ranked: DataFrame, k: Int): DataFrame = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val l = (1L to k.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val w = Window.partitionBy("query_id").orderBy(col("rnk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.withColumn("cum", sum("rel").over(w))
+      .groupBy("query_id")
+      .agg(sum(when(col("rel") === 1, col("cum") * expr(s"$l div rnk"))).as("num"),
+           sum("rel").as("r"))
+      .select(col("query_id"),
+        when(col("r") > 0,
+          round(col("num").cast("double") / (col("r") * l).cast("double"), 6))
+          .otherwise(0.0).as("ap"))
+  }
+
   /** Corpus-level averages with the reference's inclusion rules. */
   def irSummary(recall: DataFrame, ndcg: DataFrame): DataFrame = {
     val avgRecall = recall.filter(col("n_relevant") > 0)

@@ -81,6 +81,22 @@ object VectorSearch {
   def knnCosine(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
     knnBrute(queries, corpus, k, Cosine)
 
+  /** Brute-force cosine kNN restricted to (query, candidate) pairs
+    * satisfying `pred` — evaluated on the joined row BEFORE scoring, so
+    * rejected pairs never pay the dot-product fold. Used for
+    * hard-negative mining (candidate label ≠ query label), where the
+    * predicate depends on both sides and a plain corpus pre-filter
+    * can't express it.
+    */
+  def knnCosineWhere(queries: DataFrame, corpus: DataFrame, k: Int,
+                     pred: Column): DataFrame = {
+    val scored = prepCorpus(corpus).crossJoin(broadcast(prepQueries(queries)))
+      .filter(pred)
+      .withColumn("score", scoreExpr(Cosine))
+      .select("query_id", "vec_id", "score")
+    topK(scored, k, ascending = false)
+  }
+
   def knnDot(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
     knnBrute(queries, corpus, k, Dot)
 

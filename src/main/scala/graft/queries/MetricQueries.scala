@@ -115,6 +115,27 @@ object MetricQueries {
        |                 0.0), 6) AS rr
        |FROM rel GROUP BY query_id""".stripMargin
 
+  // ---- m9_map ---------------------------------------------------------
+
+  /** Per-query average precision over the v1 top-k (MAP's per-query
+    * term). The lcm(1..5)=60 trick keeps the numerator integral — see
+    * IrMetrics.apPerQuery. */
+  def m9Map(s: SparkSession, d: String): DataFrame =
+    IrMetrics.apPerQuery(labeledKnn(s, d), VectorQueries.K)
+
+  val m9Sql: String =
+    s"""WITH $relCtes,
+       |cum AS (
+       |  SELECT query_id, rnk, rel,
+       |    sum(rel) OVER (PARTITION BY query_id ORDER BY rnk) AS cum
+       |  FROM rel)
+       |SELECT query_id,
+       |  CASE WHEN sum(rel) > 0
+       |    THEN round(CAST(sum(CASE WHEN rel = 1 THEN cum * (60 // rnk) END) AS DOUBLE)
+       |               / CAST(60 * sum(rel) AS DOUBLE), 6)
+       |    ELSE 0.0 END AS ap
+       |FROM cum GROUP BY query_id""".stripMargin
+
   // ---- m0_ir_summary --------------------------------------------------
 
   def m0IrSummary(s: SparkSession, d: String): DataFrame = {

@@ -669,6 +669,29 @@ object VectorQueries {
        |FROM e CROSS JOIN s""".stripMargin
   }
 
+  // ---- ns1: hard-negative mining --------------------------------------
+
+  /** Per query: the top-k most-similar corpus vectors whose label
+    * DIFFERS from the query's — the hard negatives a contrastive
+    * training pipeline pairs with each anchor. The label predicate is
+    * cross-side (query label vs candidate label), applied before the
+    * dot fold. */
+  def ns1HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d).filter(col("vec_id") < QN)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("q_label"))
+    VectorSearch.knnCosineWhere(q, corpusVecs(s, d), K,
+      col("label") =!= col("q_label"))
+  }
+
+  val ns1Sql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS q_label
+       |           FROM embeddings WHERE vec_id < $QN),
+       |     $cCte
+       |${topkSql(
+        s"SELECT query_id, vec_id, ${cosS("qv", "v")} AS score FROM c, q WHERE c.label <> q.q_label",
+        desc = true)}""".stripMargin
+
   // ---- vq3: binary (sign-bit) quantization ----------------------------
 
   /** 64-bit sign-bit code per embedding, as two positive 32-bit halves

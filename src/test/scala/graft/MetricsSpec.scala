@@ -60,4 +60,26 @@ class MetricsSpec extends SparkSpec {
       val s = r.getLong(2)
       s >= 1 && s <= 5 && (r.getInt(3) == 1) == (s >= 4) })
   }
+
+  test("m9 average precision replays the textbook formula per query") {
+    val labeled = MetricQueries.labeledKnn(spark, sf)
+      .select("query_id", "rnk", "rel").collect()
+      .groupBy(_.getLong(0))
+    val got = MetricQueries.m9Map(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == 8)
+    labeled.foreach { case (q, rows) =>
+      val rels = rows.sortBy(_.getInt(1)).map(_.getInt(2))
+      val hits = rels.zipWithIndex.filter(_._1 == 1)
+      val expect =
+        if (hits.isEmpty) 0.0
+        else {
+          val ap = hits.map { case (_, idx) =>
+            rels.take(idx + 1).sum.toDouble / (idx + 1) }.sum / hits.length
+          BigDecimal(ap).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      assert(math.abs(got(q) - expect) < 2e-6, s"ap mismatch for query $q")
+    }
+    assert(got.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
 }

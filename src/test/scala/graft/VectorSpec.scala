@@ -218,4 +218,33 @@ class VectorSpec extends SparkSpec {
     // the fixture contains planted near-dups: something must be flagged
     assert(cells.count(_._2._2 == 1) > 0)
   }
+
+  test("ns1 hard negatives never share the query's label and rank by true cosine") {
+    val labels = Tables.embeddings(spark, sf).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val res = VectorQueries.ns1HardNegatives(spark, sf).collect()
+    assert(res.length == 8 * VectorQueries.K)
+    res.foreach { r =>
+      assert(labels(r.getLong(1)) != labels(r.getLong(0)),
+        s"candidate ${r.getLong(1)} shares query ${r.getLong(0)}'s label")
+    }
+    // each query's hard-negative list is exactly the brute-force
+    // different-label top-k, recomputed driver-side
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val corpusIds = vecs.keys.filter(_ >= 8).toSeq
+    res.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val expect = corpusIds.filter(c => labels(c) != labels(q))
+        .map(c => (c, cos(vecs(q), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(VectorQueries.K).map(_._1)
+      val got = rows.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+      assert(got == expect, s"hard-negative ranking for query $q")
+    }
+  }
 }
