@@ -21,14 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object IrMetrics {
 
-  private def interp(sorted: Column, n: Column, q: Double): Column = {
+  private def interpRaw(sorted: Column, n: Column, q: Double): Column = {
     val pos = (n - 1).cast("double") * q
     val lo = floor(pos).cast("int")
     val frac = pos - lo.cast("double")
     val base = element_at(sorted, lo + 1)
-    round(when(frac === 0.0, base)
-      .otherwise(base + (element_at(sorted, lo + 2) - base) * frac), 6)
+    when(frac === 0.0, base)
+      .otherwise(base + (element_at(sorted, lo + 2) - base) * frac)
   }
+
+  private def interp(sorted: Column, n: Column, q: Double): Column =
+    round(interpRaw(sorted, n, q), 6)
 
   /** Per-group P50/P95/P99 of `valueCol`. */
   def latencyPercentiles(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
@@ -68,6 +71,35 @@ object IrMetrics {
       .agg(min(when(col("rel") === 1, col("rnk"))).as("first_rel"))
       .select(col("query_id"),
         round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("rr"))
+
+  /** Per-group robust outlier statistics: exact interpolated median,
+    * exact MAD (median of absolute deviations from the median), and the
+    * count of values with |x − med| > 3·1.4826·mad (the
+    * normal-consistency 3σ rule — MAD·1.4826 estimates σ robustly, so
+    * outliers can't inflate their own threshold the way m6's
+    * stddev-based z-score lets them). Two grouped passes over the
+    * input; med/mad are UNROUNDED inside the threshold comparison and
+    * rounded only at output, and the oracle replays the identical
+    * double operation order, so the counts are bit-deterministic.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val g = df.groupBy(groupCol)
+      .agg(array_sort(collect_list(col(valueCol))).as("s"), count(lit(1)).as("n"))
+    val med = g.select(col(groupCol), interpRaw(col("s"), col("n"), 0.5).as("med"))
+    val d = df.join(broadcast(med), groupCol)
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    val mad = d.groupBy(groupCol)
+      .agg(min("med").as("med"),
+        array_sort(collect_list(col("dev"))).as("s"), count(lit(1)).as("n"))
+      .select(col(groupCol), col("med"), interpRaw(col("s"), col("n"), 0.5).as("mad"))
+    d.drop("med").join(broadcast(mad), groupCol)
+      .groupBy(groupCol)
+      .agg(min("med").as("raw_med"), min("mad").as("raw_mad"),
+        sum(when(col("dev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col(groupCol), round(col("raw_med"), 6).as("med"),
+        round(col("raw_mad"), 6).as("mad"), col("n_outliers"))
+  }
 
   /** Per-query average precision AP@k = (1/R)·Σ_{rel positions p}
     * precision(p), computed with an exact-rational numerator:

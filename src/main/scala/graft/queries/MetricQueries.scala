@@ -67,6 +67,39 @@ object MetricQueries {
        |FROM g""".stripMargin
   }
 
+  // ---- m7_mad ---------------------------------------------------------
+
+  /** Per-event-type robust outliers: exact median, exact MAD, count of
+    * |x − med| > 3·1.4826·mad. See IrMetrics.madOutliers. */
+  def m7Mad(s: SparkSession, d: String): DataFrame =
+    IrMetrics.madOutliers(Tables.events(s, d), "event_type", "value")
+
+  val m7Sql: String = {
+    // unrounded numpy-style interpolated median over alias s (sorted
+    // list) and n — the same formula as m1's interpS minus the round,
+    // because med/mad feed the threshold comparison un-rounded
+    val raw =
+      """CASE WHEN (n - 1)::DOUBLE * 0.5 - floor((n - 1)::DOUBLE * 0.5) = 0.0
+        |  THEN s[CAST(floor((n - 1)::DOUBLE * 0.5) AS INT) + 1]
+        |  ELSE s[CAST(floor((n - 1)::DOUBLE * 0.5) AS INT) + 1]
+        |     + (s[CAST(floor((n - 1)::DOUBLE * 0.5) AS INT) + 2]
+        |        - s[CAST(floor((n - 1)::DOUBLE * 0.5) AS INT) + 1])
+        |       * ((n - 1)::DOUBLE * 0.5 - floor((n - 1)::DOUBLE * 0.5))
+        |  END""".stripMargin
+    s"""WITH g AS (SELECT event_type, list_sort(list(value)) AS s, count(*) AS n
+       |           FROM events GROUP BY 1),
+       |med AS (SELECT event_type, $raw AS med FROM g),
+       |d AS (SELECT e.event_type, abs(e.value - m.med) AS dev
+       |      FROM events e JOIN med m USING (event_type)),
+       |g2 AS (SELECT event_type, list_sort(list(dev)) AS s, count(*) AS n
+       |       FROM d GROUP BY 1),
+       |mad AS (SELECT event_type, $raw AS mad FROM g2)
+       |SELECT d.event_type, round(min(me.med), 6) AS med, round(min(ma.mad), 6) AS mad,
+       |  CAST(sum(CASE WHEN d.dev > 3.0 * 1.4826 * ma.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       |FROM d JOIN mad ma USING (event_type) JOIN med me USING (event_type)
+       |GROUP BY d.event_type""".stripMargin
+  }
+
   // ---- m2_recall_at_k -------------------------------------------------
 
   def m2Recall(s: SparkSession, d: String): DataFrame =

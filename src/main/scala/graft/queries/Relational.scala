@@ -1264,4 +1264,46 @@ object Relational {
       |  round(CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE)
       |        / count(*), 6) AS avg_price
       |FROM orders GROUP BY 1""".stripMargin
+
+  /** coh1_cohort — weekly cohort retention (the classic growth
+    * triangle): cohort = a user's first active week, offset = weeks
+    * since cohort, n_users = distinct users from that cohort active at
+    * that offset, retention = n_users / cohort size. Week indices are
+    * pure INTEGER arithmetic (days since the corpus epoch div 7), so
+    * cohorts don't depend on either engine's week-truncation locale;
+    * retention is one double division of two exact integers. All
+    * per-user work (first week, membership) keys user_id — one shuffle
+    * key end-to-end before the small (cohort, offset) rollup. */
+  def coh1Cohort(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("datediff(CAST(ts AS DATE), DATE'2024-01-01') div 7").as("wk"))
+      .distinct()
+    val coh = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+    val cw = ev.join(coh, "user_id")
+      .groupBy(col("cohort"), (col("wk") - col("cohort")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cohort")
+    cw.withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_users"))).over(w))
+      .select(col("cohort"), col("week_offset"), col("n_users"),
+        round(col("n_users").cast("double") / col("cohort_size").cast("double"), 6)
+          .as("retention"))
+  }
+
+  val coh1Sql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id,
+      |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+      |  FROM events),
+      |coh AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY 1),
+      |cw AS (
+      |  SELECT cohort, wk - cohort AS week_offset, count(DISTINCT e.user_id) AS n_users
+      |  FROM ev e JOIN coh c ON e.user_id = c.user_id
+      |  GROUP BY 1, 2)
+      |SELECT cohort, week_offset, n_users,
+      |  round(CAST(n_users AS DOUBLE)
+      |        / CAST(max(CASE WHEN week_offset = 0 THEN n_users END)
+      |               OVER (PARTITION BY cohort) AS DOUBLE), 6) AS retention
+      |FROM cw""".stripMargin
 }

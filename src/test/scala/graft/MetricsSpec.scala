@@ -82,4 +82,28 @@ class MetricsSpec extends SparkSpec {
     }
     assert(got.values.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("m7 median/MAD/outlier-count match a driver-side recomputation") {
+    def interp(sorted: Array[Double], q: Double): Double = {
+      val pos = (sorted.length - 1) * q
+      val lo = pos.toInt
+      if (pos == lo) sorted(lo)
+      else sorted(lo) + (sorted(lo + 1) - sorted(lo)) * (pos - lo)
+    }
+    val byType = Tables.events(spark, sf).select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (t, rs) => t -> rs.map(_.getDouble(1)) }
+    val got = MetricQueries.m7Mad(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got.size == byType.size)
+    byType.foreach { case (t, vals) =>
+      val med = interp(vals.sorted, 0.5)
+      val devs = vals.map(v => math.abs(v - med))
+      val mad = interp(devs.sorted, 0.5)
+      val nOut = devs.count(_ > 3.0 * 1.4826 * mad).toLong
+      val (gm, gmad, gn) = got(t)
+      assert(math.abs(gm - med) < 1e-6 && math.abs(gmad - mad) < 1e-6,
+        s"med/mad mismatch for $t")
+      assert(gn == nOut, s"outlier count mismatch for $t: $gn vs $nOut")
+    }
+  }
 }

@@ -195,4 +195,18 @@ class RelationalNewOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(top1 == Map(10L -> "zebra", 20L -> "yak", 30L -> "wolf"))
   }
+
+  test("coh1 cohort retention: offset-0 is 1.0, offsets non-negative, totals conserve") {
+    val rows = Relational.coh1Cohort(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0, "week_offset non-negative")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0, "retention in (0,1]")
+    }
+    val offset0 = rows.filter(_.getLong(1) == 0L)
+    assert(offset0.forall(_.getDouble(3) == 1.0), "offset 0 retention is 1.0 by definition")
+    // every user appears in exactly one cohort at offset 0
+    val totalUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(offset0.map(_.getLong(2)).sum == totalUsers)
+  }
 }
