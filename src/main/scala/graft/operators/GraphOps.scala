@@ -162,4 +162,24 @@ object GraphOps {
     }
     pr.select(col("id").as("doc_id"), col("pr"))
   }
+
+  /** Exact per-node triangle counts over a canonical (id_a < id_b)
+    * undirected edge list. A wedge join (e1.id_b = e2.id_a yields
+    * ordered a<b<c paths) closed by an equi-join back onto the (a, c)
+    * edge — two shuffle equi-joins, each triangle enumerated exactly
+    * once thanks to the ordered orientation (the standard trick that
+    * also bounds wedge fan-out by forward-degree at scale). The tiny
+    * triangle list is checkpointed once, then exploded into its three
+    * corners for the per-node rollup.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("id_a"), col("id_b"))
+    val wedges = e.select(col("id_a").as("a"), col("id_b").as("b"))
+      .join(e.select(col("id_a").as("b"), col("id_b").as("c")), "b")
+    val tri = wedges
+      .join(e.select(col("id_a").as("a"), col("id_b").as("c")), Seq("a", "c"))
+      .localCheckpoint()
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -834,6 +834,27 @@ object CorpusQueries {
        |  count(*) OVER (PARTITION BY component) AS group_size
        |FROM comp""".stripMargin
 
+  // ---- tc1_triangles --------------------------------------------------
+
+  /** Per-doc triangle participation over the d2 near-dup graph — the
+    * local-clustering signal that separates a tight duplicate clique
+    * (template boilerplate: every pair similar) from a star (one hub
+    * doc loosely similar to many unrelated ones). Composes the same
+    * capped pair generator as d8/g1. */
+  def tc1Triangles(s: SparkSession, d: String): DataFrame =
+    graft.operators.GraphOps.triangles(
+      d2NgramJaccard(s, d).select("id_a", "id_b"))
+
+  val tc1Sql: String =
+    s"""WITH $pairGraphCtes,
+       |tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+       |        FROM pairs e1 JOIN pairs e2 ON e1.id_b = e2.id_a
+       |        JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+       |corners AS (SELECT a AS doc_id FROM tri
+       |            UNION ALL SELECT b FROM tri
+       |            UNION ALL SELECT c FROM tri)
+       |SELECT doc_id, count(*) AS n_triangles FROM corners GROUP BY 1""".stripMargin
+
   // ---- d13_containment ------------------------------------------------
 
   val ContainMin = 0.8

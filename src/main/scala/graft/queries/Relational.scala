@@ -1265,6 +1265,35 @@ object Relational {
       |        / count(*), 6) AS avg_price
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** ord1_global_rank — exact GLOBAL ranking without the partitionless
+    * window (which drags every row through ONE task): range-partition
+    * on the sort keys, rank locally per partition in parallel, then
+    * shift by the driver-prefix-summed predecessor counts
+    * (Dist.runningTotal over a constant 1). The result depends only on
+    * the total order — identical to row_number() OVER (ORDER BY ...) —
+    * but every stage is parallel; at 100 TB this is the only shape
+    * that finishes. Top-1000 filter applied AFTER ranking (the rank is
+    * global, the output just bounded). */
+  def ord1GlobalRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("__one", lit(1))
+    val ord = Seq(col("l_extendedprice").desc,
+      col("l_orderkey").asc, col("l_linenumber").asc)
+    graft.Dist.runningTotal(li, ord, "__one")
+      .withColumnRenamed("__one_end", "global_rank")
+      .filter(col("global_rank") <= 1000)
+      .select(col("global_rank"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+  }
+
+  val ord1Sql: String =
+    """SELECT global_rank, l_orderkey, l_linenumber, l_extendedprice FROM (
+      |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |    row_number() OVER (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+      |      AS global_rank
+      |  FROM lineitem) WHERE global_rank <= 1000""".stripMargin
+
   /** coh1_cohort — weekly cohort retention (the classic growth
     * triangle): cohort = a user's first active week, offset = weeks
     * since cohort, n_users = distinct users from that cohort active at

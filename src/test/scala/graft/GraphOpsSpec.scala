@@ -66,4 +66,20 @@ class GraphOpsSpec extends SparkSpec {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
     assert(msgs(ex).exists(_.contains("missing from docs")))
   }
+
+  test("triangles: K4 has four, each node in three; a path has none") {
+    import spark.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val got = GraphOps.triangles(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    assert(GraphOps.triangles(path).count() == 0L)
+    // one triangle hanging off a pendant edge: pendant node counts zero
+    val tadpole = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 9L)).toDF("id_a", "id_b")
+    val t = GraphOps.triangles(tadpole).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }

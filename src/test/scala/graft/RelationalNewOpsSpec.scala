@@ -209,4 +209,20 @@ class RelationalNewOpsSpec extends SparkSpec {
     val totalUsers = Tables.events(spark, sf).select("user_id").distinct().count()
     assert(offset0.map(_.getLong(2)).sum == totalUsers)
   }
+
+  test("ord1 global rank equals a driver-side total sort, no one-task window") {
+    val got = Relational.ord1GlobalRank(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    val expect = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .sortBy { case (ok, ln, p) => (-p, ok, ln) }
+      .take(1000)
+    assert(got.length == expect.length)
+    got.zip(expect).zipWithIndex.foreach { case ((g, (ok, ln, p)), i) =>
+      assert(g.getLong(0) == i + 1, s"rank at position $i")
+      assert(g.getLong(1) == ok && g.getInt(2) == ln && g.getDouble(3) == p,
+        s"row at rank ${i + 1}")
+    }
+  }
 }
