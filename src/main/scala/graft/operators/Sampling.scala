@@ -64,6 +64,21 @@ object Sampling {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Per-group frequency cap (domain/source capping in crawl
+    * pipelines): keep at most `cap` rows per group, chosen in
+    * mixed-hash order of the key — a deterministic uniform draw, not
+    * "first crawled wins" — ties to the key. Runs on the custom
+    * TopKPerKey operator: per-partition bounded heaps mean a hot
+    * domain with 10⁸ pages ships `cap` candidates per partition to
+    * the reducer, not all 10⁸ rows into one sort. */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                  cap: Int): DataFrame =
+    graft.plans.TopK.perKey(
+      df.withColumn("__hk", mixedHash(col(keyCol))),
+      Seq(groupCol), Seq(col("__hk").asc, col(keyCol).asc), cap,
+      rankName = "keep_rank")
+      .drop("__hk")
+
   /** Deterministic train/val/test split (s3): bucket = mixed hash of
     * the key mod 100; train < `trainPct`, val < trainPct+`valPct`,
     * else test. Pure per-row arithmetic — no shuffle, no RNG, stable

@@ -487,6 +487,29 @@ object CorpusQueries {
     s"""WITH h AS (SELECT doc_id, ${mixedHashS("CAST(doc_id AS VARCHAR)")} AS hk FROM documents)
        |SELECT doc_id, row_number() OVER (ORDER BY hk, doc_id) AS shuffle_pos FROM h""".stripMargin
 
+  // ---- dc1_source_cap -------------------------------------------------
+
+  val SourceCap = 15
+
+  /** Domain-frequency capping: at most SourceCap docs survive per
+    * source, drawn in mixed-hash order (uniform, engine-reproducible)
+    * — the crawl-pipeline guard against one domain dominating the
+    * training mixture. Bounded-heap TopKPerKey execution, so a hot
+    * domain never funnels all its pages through one sort. */
+  def dc1SourceCap(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.capPerGroup(
+      Tables.documents(s, d).select("doc_id", "source"),
+      "source", "doc_id", SourceCap)
+
+  val dc1Sql: String =
+    s"""WITH h AS (SELECT doc_id, source,
+       |             ${mixedHashS("CAST(doc_id AS VARCHAR)")} AS hk FROM documents)
+       |SELECT doc_id, source, keep_rank FROM (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS keep_rank
+       |  FROM h)
+       |WHERE keep_rank <= $SourceCap""".stripMargin
+
   // ---- t5_vocab -------------------------------------------------------
 
   val VocabTopN = 100

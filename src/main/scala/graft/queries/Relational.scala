@@ -568,6 +568,31 @@ object Relational {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** e5_sliding_window — 10-minute windows sliding every 5 (each event
+    * in exactly two windows): the batch parity of the streaming
+    * sliding-window aggregation, via Spark's native window() —
+    * map-side the event is duplicated into its window assignments, so
+    * the shuffle carries (window, type) partials, never raw events
+    * twice. The oracle replays the same window algebra with integer
+    * epoch-ms floor arithmetic. */
+  def e5SlidingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  val e5Sql: String =
+    """WITH x AS (
+      |  SELECT event_type, value,
+      |    make_timestamp((CAST(floor(epoch_ms(ts) / 300000) AS BIGINT) * 300000
+      |                    - 300000 * k.k) * 1000) AS window_start
+      |  FROM events, (SELECT unnest([0, 1]) AS k) k)
+      |SELECT window_start, event_type, count(*) AS n_events,
+      |  round(sum(value), 2) AS sum_value
+      |FROM x GROUP BY 1, 2""".stripMargin
+
   /** q13_salted_agg — two-phase salted aggregation (Dist.saltedSum):
     * the skew-safe shape for a hot grouping key — partials on
     * (key, salt) spread one hot key over `salts` reducers, then the

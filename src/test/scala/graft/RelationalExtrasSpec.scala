@@ -77,4 +77,21 @@ class RelationalExtrasSpec extends SparkSpec {
     assert(out.join(ev, "event_id")
       .filter(col("event_type") =!= "purchase").count() == 0)
   }
+
+  test("e5 sliding windows: every event lands in exactly two 5-min-aligned windows") {
+    val res = Relational.e5SlidingWindow(spark, sf).cache()
+    val totalEvents = Tables.events(spark, sf).count()
+    assert(res.agg(sum("n_events")).head.getLong(0) == 2 * totalEvents)
+    // window starts align to the 5-minute slide grid
+    assert(res.filter(expr("CAST(window_start AS LONG) % 300 != 0")).count() == 0L)
+    // hand case: an event at 10:07 belongs to the 10:00 and 10:05 windows
+    import spark.implicits._
+    val one = Seq(("click", "2024-01-01 10:07:00", 1.0))
+      .toDF("event_type", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .count()
+      .select(col("w.start").cast("string").as("s")).collect().map(_.getString(0)).sorted
+    assert(one.toSeq == Seq("2024-01-01 10:00:00", "2024-01-01 10:05:00"))
+  }
 }

@@ -68,4 +68,24 @@ class SamplingExtrasSpec extends SparkSpec {
     assert(r(2L).getBoolean(4), "keyword-stuffed doc must be repetitive")
     assert(!r(3L).getBoolean(4), "varied prose must not be repetitive")
   }
+
+  test("dc1 source cap keeps exactly min(cap, group size) per source, deterministically") {
+    val cap = graft.queries.CorpusQueries.SourceCap
+    val groupSizes = Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = graft.queries.CorpusQueries.dc1SourceCap(spark, sf).collect()
+    val keptBySource = kept.groupBy(_.getString(1))
+    assert(keptBySource.keySet == groupSizes.keySet)
+    keptBySource.foreach { case (src, rows) =>
+      assert(rows.length == math.min(cap.toLong, groupSizes(src)),
+        s"cap violated for $src")
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to rows.length),
+        s"keep_rank not contiguous for $src")
+    }
+    // deterministic: a second run selects the identical survivor set
+    val again = graft.queries.CorpusQueries.dc1SourceCap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(again == kept.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet)
+  }
 }
