@@ -299,4 +299,41 @@ object TextAnalysis {
           .when(col("avg_nll") < NllHighCut, "middle")
           .otherwise("tail"))
   }
+
+  /** Corpus co-occurrence statistics: unordered token pairs within a
+    * ±`window` token distance, with lift = observed/expected frequency
+    * — observed·N / (c₁·c₂), all three counts exact integers so the
+    * lift is ONE double division (bit-stable, no log in sight; a PMI
+    * consumer can take the log downstream). Pairs are generated
+    * map-side by exploding index-shifted struct arrays (no self-join);
+    * the only shuffles are the two count aggregations; the global
+    * top-N rides the bounded-heap TopK operator.
+    */
+  def cooccurrence(docs: DataFrame, textCol: String, window: Int,
+                   topN: Int): DataFrame = {
+    val tk = graft.Dist.spread(docs)
+      .select(tokens(col(textCol)).as("tk"))
+      .localCheckpoint() // consumed once per gap + once for unigrams
+    val pairs = (1 to window).map { gap =>
+      tk.filter(size(col("tk")) > gap)
+        .select(explode(expr(
+          s"transform(sequence(0, size(tk) - 1 - $gap), i -> " +
+            s"struct(tk[i] AS a, tk[i + $gap] AS b))")).as("p"))
+        .select(least(col("p.a"), col("p.b")).as("w1"),
+          greatest(col("p.a"), col("p.b")).as("w2"))
+    }.reduce(_ unionAll _)
+    val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+    val ug = tk.select(explode(col("tk")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val nt = ug.agg(sum("c").as("n_tokens"))
+    val scored = pc
+      .join(ug.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+      .join(ug.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nt))
+      .select(col("w1"), col("w2"), col("pair_count"),
+        round((col("pair_count") * col("n_tokens")).cast("double")
+          / (col("c1") * col("c2")).cast("double"), 6).as("lift"))
+    graft.plans.TopK.perKey(scored, Seq(),
+      Seq(col("pair_count").desc, col("w1").asc, col("w2").asc), topN, "rank")
+  }
 }

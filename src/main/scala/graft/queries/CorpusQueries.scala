@@ -487,6 +487,37 @@ object CorpusQueries {
     s"""WITH h AS (SELECT doc_id, ${mixedHashS("CAST(doc_id AS VARCHAR)")} AS hk FROM documents)
        |SELECT doc_id, row_number() OVER (ORDER BY hk, doc_id) AS shuffle_pos FROM h""".stripMargin
 
+  // ---- wc1_cooccurrence -----------------------------------------------
+
+  val CoocWindow = 2
+  val CoocTopN = 100
+
+  /** Top co-occurring token pairs (±2 window) with exact-integer lift
+    * — the collocation/PMI feed of an LM data pipeline. */
+  def wc1Cooccurrence(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextAnalysis.cooccurrence(
+      Tables.documents(s, d).select("text"), "text", CoocWindow, CoocTopN)
+
+  val wc1Sql: String =
+    s"""WITH $toksCte,
+       |g1 AS (SELECT tk, unnest(range(0, greatest(len(tk) - 1, 0))) AS i FROM toks),
+       |g2 AS (SELECT tk, unnest(range(0, greatest(len(tk) - 2, 0))) AS i FROM toks),
+       |pairs AS (
+       |  SELECT least(tk[i+1], tk[i+2]) AS w1, greatest(tk[i+1], tk[i+2]) AS w2 FROM g1
+       |  UNION ALL
+       |  SELECT least(tk[i+1], tk[i+3]), greatest(tk[i+1], tk[i+3]) FROM g2),
+       |pc AS (SELECT w1, w2, count(*) AS pair_count FROM pairs GROUP BY 1, 2),
+       |ug AS (SELECT tok, count(*) AS c FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY 1),
+       |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ug)
+       |SELECT w1, w2, pair_count, lift, rank FROM (
+       |  SELECT pc.w1, pc.w2, pc.pair_count,
+       |    round(CAST(pc.pair_count * nt.n AS DOUBLE)
+       |          / CAST(u1.c * u2.c AS DOUBLE), 6) AS lift,
+       |    row_number() OVER (ORDER BY pc.pair_count DESC, pc.w1, pc.w2) AS rank
+       |  FROM pc JOIN ug u1 ON pc.w1 = u1.tok
+       |          JOIN ug u2 ON pc.w2 = u2.tok CROSS JOIN nt)
+       |WHERE rank <= $CoocTopN""".stripMargin
+
   // ---- dc1_source_cap -------------------------------------------------
 
   val SourceCap = 15

@@ -669,6 +669,47 @@ object VectorQueries {
        |FROM e CROSS JOIN s""".stripMargin
   }
 
+  // ---- ix1: IVF index health stats ------------------------------------
+
+  /** Per-cell population of the v6 IVF index plus share-of-corpus and
+    * load factor (multiple of the balanced per-cell average) — the
+    * index-health report that decides when to re-learn centroids or
+    * split hot cells. Counts are exact integers; share/load are one
+    * double division each. */
+  def ix1IndexStats(s: SparkSession, d: String): DataFrame = {
+    val counts = VectorSearch.assignCells(ivfCorpus(s, d), centroids(s, d))
+      .groupBy("cell_id").agg(count(lit(1)).as("n_vectors"))
+    val tot = counts.agg(sum("n_vectors").as("__total"),
+      count(lit(1)).as("__cells"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cell_id"), col("n_vectors"),
+        round(col("n_vectors").cast("double") / col("__total").cast("double"), 6)
+          .as("share"),
+        round((col("n_vectors") * col("__cells")).cast("double")
+          / col("__total").cast("double"), 6).as("load_factor"))
+  }
+
+  val ix1Sql: String = {
+    val centCte =
+      s"cent AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < $CN)"
+    val corpCte =
+      s"corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= $CN)"
+    s"""WITH $centCte, $corpCte,
+       |assigned AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT corp.vec_id, cent.cell_id,
+       |      row_number() OVER (PARTITION BY corp.vec_id
+       |        ORDER BY ${l2S("corp.v", "cent.cv")} ASC, cent.cell_id ASC) AS crnk
+       |    FROM corp, cent) WHERE crnk = 1),
+       |counts AS (SELECT cell_id, count(*) AS n_vectors FROM assigned GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
+       |               count(*) AS cells FROM counts)
+       |SELECT cell_id, n_vectors,
+       |  round(CAST(n_vectors AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+       |  round(CAST(n_vectors * cells AS DOUBLE) / CAST(total AS DOUBLE), 6) AS load_factor
+       |FROM counts, tot""".stripMargin
+  }
+
   // ---- ns1: hard-negative mining --------------------------------------
 
   /** Per query: the top-k most-similar corpus vectors whose label

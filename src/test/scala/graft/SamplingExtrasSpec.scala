@@ -88,4 +88,22 @@ class SamplingExtrasSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
     assert(again == kept.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet)
   }
+
+  test("wc1 co-occurrence pairs and lift agree with hand math") {
+    import spark.implicits._
+    val docs = Seq("x y z", "x y").toDF("text")
+    val rows = TextAnalysis.cooccurrence(docs, "text", 2, 100).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // window 2 over "x y z": (x,y) (y,z) (x,z); over "x y": (x,y)
+    // unigrams: x:2 y:2 z:1, N=5
+    assert(rows.keySet == Set(("x", "y"), ("y", "z"), ("x", "z")))
+    assert(rows(("x", "y"))._1 == 2L)
+    assert(rows(("y", "z"))._1 == 1L && rows(("x", "z"))._1 == 1L)
+    // lift(x,y) = 2*5/(2*2) = 2.5; lift(y,z) = 1*5/(2*1) = 2.5
+    assert(rows(("x", "y"))._2 == 2.5 && rows(("y", "z"))._2 == 2.5)
+    // rank 1 is the most frequent pair with (w1, w2) tiebreak
+    val top = TextAnalysis.cooccurrence(docs, "text", 2, 1).collect()
+    assert(top.length == 1 && top.head.getString(0) == "x" && top.head.getString(1) == "y")
+  }
 }

@@ -247,4 +247,15 @@ class VectorSpec extends SparkSpec {
       assert(got == expect, s"hard-negative ranking for query $q")
     }
   }
+
+  test("ix1 index stats: populations conserve, shares sum to 1, load averages 1") {
+    val rows = VectorQueries.ix1IndexStats(spark, sf).collect()
+    val corpusSize = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") >= 16).count()
+    assert(rows.map(_.getLong(1)).sum == corpusSize)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    val meanLoad = rows.map(_.getDouble(3)).sum / rows.length
+    assert(math.abs(meanLoad - 1.0) < 1e-4)
+    rows.foreach(r => assert(r.getLong(1) > 0))
+  }
 }
