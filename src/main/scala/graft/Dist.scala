@@ -78,6 +78,19 @@ object Dist {
       .drop("__pid", "__local_end")
   }
 
+  /** Exact global rank (1-based, identical to a partitionless
+    * row_number) as a prefix count of ones through runningTotal —
+    * range-partitioned, parallel at every stage. orderCols must be a
+    * total order. */
+  def globalRank(df: DataFrame,
+                 orderCols: Seq[org.apache.spark.sql.Column],
+                 rankName: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    runningTotal(df.withColumn("__one", lit(1)), orderCols, "__one")
+      .withColumnRenamed("__one_end", rankName)
+      .drop("__one")
+  }
+
   /** Broadcast-join-free partition-offset lookup: a when() chain over
     * ≤ #partitions entries (tiny, codegen'd — no UDF, no join). */
   private def offsetExpr(prefix: Map[Int, Long]): org.apache.spark.sql.Column = {

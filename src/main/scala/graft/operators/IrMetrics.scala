@@ -72,6 +72,28 @@ object IrMetrics {
       .select(col("query_id"),
         round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("rr"))
 
+  /** Per-row winsorization at the exact interpolated [qLo, qHi]
+    * group percentiles: values clamp to the cut points instead of
+    * being dropped (the heavy-tail taming that keeps row counts —
+    * and joins downstream — intact). Cut points stay UNROUNDED inside
+    * the clamp so the flagged set is bit-deterministic; the emitted
+    * winsorized value is rounded at output only.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                qLo: Double, qHi: Double): DataFrame = {
+    val cuts = df.groupBy(groupCol)
+      .agg(array_sort(collect_list(col(valueCol))).as("s"), count(lit(1)).as("n"))
+      .select(col(groupCol), interpRaw(col("s"), col("n"), qLo).as("__lo"),
+        interpRaw(col("s"), col("n"), qHi).as("__hi"))
+    df.join(broadcast(cuts), groupCol)
+      .withColumn("w_value",
+        round(least(greatest(col(valueCol), col("__lo")), col("__hi")), 6))
+      .withColumn("is_clamped",
+        when(col(valueCol) < col("__lo") || col(valueCol) > col("__hi"), 1)
+          .otherwise(0))
+      .drop("__lo", "__hi")
+  }
+
   /** Per-group robust outlier statistics: exact interpolated median,
     * exact MAD (median of absolute deviations from the median), and the
     * count of values with |x − med| > 3·1.4826·mad (the

@@ -487,6 +487,46 @@ object CorpusQueries {
     s"""WITH h AS (SELECT doc_id, ${mixedHashS("CAST(doc_id AS VARCHAR)")} AS hk FROM documents)
        |SELECT doc_id, row_number() OVER (ORDER BY hk, doc_id) AS shuffle_pos FROM h""".stripMargin
 
+  // ---- sp1_rank_corr --------------------------------------------------
+
+  /** Spearman rank correlation between two document quality signals
+    * (t2 mean token length vs ppl1 unigram NLL) — how much two
+    * independent filters agree before you stack them. Ranks come from
+    * the distributed global-rank shape (Dist.globalRank — never a
+    * one-task window) on the ROUNDED signal values with doc_id
+    * tie-break, so both engines rank identically; ρ = 1 − 6Σd²/(n(n²−1))
+    * has an exact integer numerator and denominator, one double
+    * division total. */
+  def sp1RankCorr(s: SparkSession, d: String): DataFrame = {
+    val a = t2Quality(s, d).select(col("doc_id"), col("mean_token_len").as("va"))
+    val b = ppl1UnigramNll(s, d).select(col("doc_id"), col("avg_nll").as("vb"))
+    val ra = graft.Dist.globalRank(a, Seq(col("va").asc, col("doc_id").asc), "rank_a")
+      .select("doc_id", "rank_a")
+    val rb = graft.Dist.globalRank(b, Seq(col("vb").asc, col("doc_id").asc), "rank_b")
+      .select("doc_id", "rank_b")
+    ra.join(rb, "doc_id")
+      .select(((col("rank_a") - col("rank_b"))
+        * (col("rank_a") - col("rank_b"))).as("dd"))
+      .agg(count(lit(1)).as("n"), sum("dd").as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        round(lit(1.0) - (lit(6L) * col("sum_d2")).cast("double")
+          / (col("n") * (col("n") * col("n") - 1)).cast("double"), 6).as("rho"))
+  }
+
+  // lazy: t2Sql/ppl1Sql are declared later in the file — an eager val
+  // here would interpolate null at object-init time
+  lazy val sp1Sql: String =
+    s"""WITH a AS (SELECT doc_id, mean_token_len FROM ($t2Sql)),
+       |b AS (SELECT doc_id, avg_nll FROM ($ppl1Sql)),
+       |ra AS (SELECT doc_id, row_number() OVER (ORDER BY mean_token_len, doc_id) AS rank_a FROM a),
+       |rb AS (SELECT doc_id, row_number() OVER (ORDER BY avg_nll, doc_id) AS rank_b FROM b),
+       |j AS (SELECT (rank_a - rank_b) * (rank_a - rank_b) AS dd
+       |      FROM ra JOIN rb USING (doc_id))
+       |SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dd) AS BIGINT) AS sum_d2,
+       |  round(1.0 - CAST(6 * sum(dd) AS DOUBLE)
+       |        / CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE), 6) AS rho
+       |FROM j""".stripMargin
+
   // ---- wc1_cooccurrence -----------------------------------------------
 
   val CoocWindow = 2

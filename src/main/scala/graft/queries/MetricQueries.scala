@@ -100,6 +100,33 @@ object MetricQueries {
        |GROUP BY d.event_type""".stripMargin
   }
 
+  // ---- m10_winsorize --------------------------------------------------
+
+  /** Per-event-type winsorization at the exact [p05, p95] cuts. */
+  def m10Winsorize(s: SparkSession, d: String): DataFrame =
+    IrMetrics.winsorize(
+      Tables.events(s, d).select("event_id", "event_type", "value"),
+      "event_type", "value", 0.05, 0.95)
+      .select("event_id", "event_type", "value", "w_value", "is_clamped")
+
+  val m10Sql: String = {
+    def raw(q: String) =
+      s"""CASE WHEN (n - 1)::DOUBLE * $q - floor((n - 1)::DOUBLE * $q) = 0.0
+         |  THEN s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1]
+         |  ELSE s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1]
+         |     + (s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 2]
+         |        - s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1])
+         |       * ((n - 1)::DOUBLE * $q - floor((n - 1)::DOUBLE * $q))
+         |  END""".stripMargin
+    s"""WITH g AS (SELECT event_type, list_sort(list(value)) AS s, count(*) AS n
+       |           FROM events GROUP BY 1),
+       |cuts AS (SELECT event_type, ${raw("0.05")} AS lo, ${raw("0.95")} AS hi FROM g)
+       |SELECT e.event_id, e.event_type, e.value,
+       |  round(least(greatest(e.value, c.lo), c.hi), 6) AS w_value,
+       |  CASE WHEN e.value < c.lo OR e.value > c.hi THEN 1 ELSE 0 END AS is_clamped
+       |FROM events e JOIN cuts c USING (event_type)""".stripMargin
+  }
+
   // ---- m2_recall_at_k -------------------------------------------------
 
   def m2Recall(s: SparkSession, d: String): DataFrame =

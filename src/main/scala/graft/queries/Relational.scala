@@ -1302,11 +1302,9 @@ object Relational {
   def ord1GlobalRank(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-      .withColumn("__one", lit(1))
     val ord = Seq(col("l_extendedprice").desc,
       col("l_orderkey").asc, col("l_linenumber").asc)
-    graft.Dist.runningTotal(li, ord, "__one")
-      .withColumnRenamed("__one_end", "global_rank")
+    graft.Dist.globalRank(li, ord, "global_rank")
       .filter(col("global_rank") <= 1000)
       .select(col("global_rank"), col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice"))

@@ -106,4 +106,30 @@ class MetricsSpec extends SparkSpec {
       assert(gn == nOut, s"outlier count mismatch for $t: $gn vs $nOut")
     }
   }
+
+  test("m10 winsorize clamps ~10% of rows to the exact p05/p95 cuts") {
+    def interp(sorted: Array[Double], q: Double): Double = {
+      val pos = (sorted.length - 1) * q
+      val lo = pos.toInt
+      if (pos == lo) sorted(lo)
+      else sorted(lo) + (sorted(lo + 1) - sorted(lo)) * (pos - lo)
+    }
+    val byType = Tables.events(spark, sf).select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (t, rs) => t -> rs.map(_.getDouble(1)).sorted }
+    val rows = MetricQueries.m10Winsorize(spark, sf).collect()
+    assert(rows.length == Tables.events(spark, sf).count())
+    rows.groupBy(_.getString(1)).foreach { case (t, rs) =>
+      val lo = interp(byType(t), 0.05)
+      val hi = interp(byType(t), 0.95)
+      rs.foreach { r =>
+        val (v, w, c) = (r.getDouble(2), r.getDouble(3), r.getInt(4))
+        val expect = math.min(math.max(v, lo), hi)
+        assert(math.abs(w - expect) < 1e-6, s"clamp value for $t")
+        assert((c == 1) == (v < lo || v > hi), s"clamp flag for $t")
+      }
+      // ~10% of each group clamps (within interpolation slack)
+      val frac = rs.count(_.getInt(4) == 1).toDouble / rs.length
+      assert(frac > 0.05 && frac < 0.15, s"clamped fraction $frac for $t")
+    }
+  }
 }

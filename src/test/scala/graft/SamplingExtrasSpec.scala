@@ -106,4 +106,26 @@ class SamplingExtrasSpec extends SparkSpec {
     val top = TextAnalysis.cooccurrence(docs, "text", 2, 1).collect()
     assert(top.length == 1 && top.head.getString(0) == "x" && top.head.getString(1) == "y")
   }
+
+  test("sp1 Spearman rho matches a driver-side recomputation and sits in [-1,1]") {
+    val row = graft.queries.CorpusQueries.sp1RankCorr(spark, sf).head
+    val (n, sumD2, rho) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    assert(n > 0 && rho >= -1.0 && rho <= 1.0)
+    val a = graft.queries.CorpusQueries.t2Quality(spark, sf)
+      .select("doc_id", "mean_token_len").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val b = graft.queries.CorpusQueries.ppl1UnigramNll(spark, sf)
+      .select("doc_id", "avg_nll").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rankA = a.sortBy { case (id, v) => (v, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val rankB = b.toSeq.sortBy { case (id, v) => (v, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val common = rankA.keySet intersect rankB.keySet
+    val sd2 = common.toSeq.map { id =>
+      val d = rankA(id) - rankB(id); d * d }.sum
+    assert(n == common.size.toLong && sumD2 == sd2)
+    val expect = 1.0 - 6.0 * sd2 / (n.toDouble * (n.toDouble * n - 1))
+    assert(math.abs(rho - expect) < 1e-5)
+  }
 }
