@@ -103,4 +103,28 @@ object MultiModal {
       .withColumn("first_frame",
         substring(col("media").cast("string"), 1, frameLen))
   }
+
+  /** Overlapping audio-style framing (STFT shape): `frameLen`-byte
+    * frames every `hop` bytes, one output row per frame with a
+    * per-frame polyhash standing in for the energy/feature computation
+    * (a real pipeline swaps the hash for an FFT over the same rows —
+    * the Spark-side plumbing, offsets, and row shape are what's being
+    * exercised). Payloads shorter than one frame produce no rows, like
+    * an STFT would. Frame explosion is map-side Catalyst arithmetic —
+    * at 100 TB the only cost is the output row count, no shuffle.
+    */
+  def audioFrames(media: DataFrame, frameLen: Int, hop: Int): DataFrame = {
+    val nBytes = length(col("media"))
+    val nFrames = (floor((nBytes - frameLen).cast("double") / hop)
+      .cast("bigint") + 1)
+    media
+      .filter(nBytes >= frameLen)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), nFrames - 1)))
+      .withColumn("frame_off", col("frame_idx") * hop)
+      .withColumn("frame_hash", Embed.tokenHash(
+        col("media").cast("string")
+          .substr((col("frame_idx") * hop + 1).cast("int"), lit(frameLen))))
+      .select(col("id"), col("frame_idx"), col("frame_off"), col("frame_hash"))
+  }
 }

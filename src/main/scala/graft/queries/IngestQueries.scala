@@ -88,4 +88,37 @@ object IngestQueries {
       |  CAST(floor((octet_length(encode(text)) - 1)::DOUBLE / 64) AS BIGINT) + 1 AS n_frames,
       |  substring(text, 1, 16) AS first_frame
       |FROM documents""".stripMargin
+
+  /** mm4: overlapping audio-style framing (32-byte frames, 16-byte
+    * hop) with a per-frame polyhash feature stub — one row per frame,
+    * the STFT row shape. The corpus is ASCII so byte and char offsets
+    * coincide in both engines. */
+  def mm4AudioFrames(s: SparkSession, d: String): DataFrame =
+    MultiModal.audioFrames(MultiModal.mediaTable(Tables.documents(s, d)), 32, 16)
+
+  val mm4Sql: String =
+    s"""WITH m AS (SELECT doc_id AS id, text,
+       |             octet_length(encode(text)) AS nb FROM documents),
+       |f AS (SELECT id, text,
+       |        unnest(range(0, CAST(floor((nb - 32)::DOUBLE / 16) AS BIGINT) + 1)) AS frame_idx
+       |      FROM m WHERE nb >= 32)
+       |SELECT id, frame_idx, frame_idx * 16 AS frame_off,
+       |  ${CorpusQueries.polyhashS("substring(text, CAST(frame_idx * 16 + 1 AS INT), 32)")} AS frame_hash
+       |FROM f""".stripMargin
+
+  /** ing_jsonl: JSON-lines round trip — the raw-crawl interchange
+    * format. Documents are written as partitioned .jsonl files and
+    * read back with an explicit schema (schema-on-read, no inference
+    * job at 100 TB), then aggregated per language as the check. */
+  def ingJsonl(s: SparkSession, d: String): DataFrame = {
+    val path = s"/tmp/graft_jsonl_${graft.Dist.pathTag(d)}"
+    Tables.documents(s, d).write.mode("overwrite").json(path)
+    s.read.schema(csvSchema).json(path)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+  }
+
+  val ingJsonlSql: String =
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1""".stripMargin
 }

@@ -576,12 +576,8 @@ object Relational {
     * twice. The oracle replays the same window algebra with integer
     * epoch-ms floor arithmetic. */
   def e5SlidingWindow(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
-      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
-      .select(col("w.start").as("window_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
+    graft.streaming.EventStream.slidingAgg(
+      Tables.events(spark, sfDir).select("ts", "event_type", "value"))
 
   val e5Sql: String =
     """WITH x AS (

@@ -51,6 +51,19 @@ object EventStream {
       .select("event_id", "user_id", "ts", "click_id", "click_ts")
   }
 
+  /** Sliding-window aggregation (10-minute windows every 5): each event
+    * lands in exactly two windows. Same transform batch or streaming —
+    * the driver's batch parity is e5_sliding_window; streaming state is
+    * bounded by watermark + window retention exactly like hourlyAgg. */
+  def slidingAgg(events: DataFrame): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", Watermark) else events
+    src.groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
   def hourlyAgg(events: DataFrame): DataFrame = {
     val src =
       if (events.isStreaming) events.withWatermark("ts", Watermark) else events

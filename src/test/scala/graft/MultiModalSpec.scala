@@ -42,4 +42,37 @@ class MultiModalSpec extends SparkSpec {
     assert(df.count() == Tables.documents(spark, sf).count())
     assert(df.schema.fieldNames.toSeq == Seq("doc_id", "lang", "source", "n_chars"))
   }
+
+  test("ing_jsonl round-trip aggregates equal the direct parquet aggregate") {
+    val viaJson = IngestQueries.ingJsonl(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = Tables.documents(spark, sf).groupBy("lang")
+      .agg(count(lit(1)), sum("n_chars"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaJson == direct)
+  }
+
+  test("mm4 audio frames: offsets, counts, and hashes replay driver-side framing") {
+    val rows = IngestQueries.mm4AudioFrames(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def polyhash(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % graft.operators.Embed.HashMod)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, fs) =>
+      val t = texts(id)
+      val expectFrames = if (t.length < 32) 0 else (t.length - 32) / 16 + 1
+      assert(fs.length == expectFrames, s"frame count for doc $id")
+      fs.foreach { f =>
+        val idx = f.getLong(1)
+        assert(f.getLong(2) == idx * 16)
+        val frame = t.substring((idx * 16).toInt,
+          math.min((idx * 16).toInt + 32, t.length))
+        assert(f.getLong(3) == polyhash(frame), s"frame hash doc $id idx $idx")
+      }
+    }
+    // docs shorter than one frame emit nothing
+    texts.filter(_._2.length < 32).keys.foreach(id => assert(!byDoc.contains(id)))
+  }
 }

@@ -29,6 +29,29 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming sliding-window agg over MemoryStream matches the batch transform") {
+    val session = spark
+    import session.implicits._
+    val batch = Tables.events(spark, sf).select("ts", "event_type", "value")
+    val rows = batch.as[Ev].collect().toSeq
+
+    val ms = MemoryStream[Ev](spark)
+    ms.addData(rows)
+    val query = EventStream.slidingAgg(ms.toDF())
+      .writeStream.format("memory").queryName("sliding_agg")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("sliding_agg")
+        .orderBy("window_start", "event_type").collect()
+      val batched = EventStream.slidingAgg(batch)
+        .orderBy("window_start", "event_type").collect()
+      assert(streamed.length == batched.length && streamed.sameElements(batched))
+      // every event contributes to exactly two windows
+      assert(streamed.map(_.getLong(2)).sum == 2 * rows.length)
+    } finally query.stop()
+  }
+
   test("streaming dedup drops repeated event ids within the watermark") {
     val session = spark
     import session.implicits._
