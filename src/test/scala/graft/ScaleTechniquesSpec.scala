@@ -49,7 +49,7 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
     // and the scan actually prunes on the day partition column
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pw2_" +
-      java.lang.Integer.toHexString(sf.hashCode)
+      graft.Dist.pathTag(sf)
     val p = spark.read.parquet(dir)
       .filter(col("day").between(lit("2024-01-10"), lit("2024-01-12")))
       .queryExecution.executedPlan.toString
