@@ -1313,6 +1313,63 @@ object Relational {
       |      AS global_rank
       |  FROM lineitem) WHERE global_rank <= 1000""".stripMargin
 
+  /** uv1_unpivot — the melt complement of p1's pivot: the wide
+    * (user_bucket, one column per event type) table back to long
+    * (user_bucket, event_type, n) via Spark's native unpivot
+    * (map-side, no shuffle). pivot∘unpivot round-trips exactly —
+    * the oracle is the same wide CTE melted by UNION ALL. */
+  def uv1Unpivot(spark: SparkSession, sfDir: String): DataFrame =
+    p1Pivot(spark, sfDir).unpivot(
+      Array(col("user_bucket")), PivotTypes.map(col).toArray,
+      "event_type", "n")
+
+  val uv1Sql: String = {
+    val arms = PivotTypes.map(t =>
+      s"""SELECT user_bucket, '$t' AS event_type, "$t" AS n FROM w""")
+      .mkString("\nUNION ALL ")
+    s"""WITH w AS ($p1Sql)
+       |$arms""".stripMargin
+  }
+
+  /** q18_deciles — customer-value decile analysis: per-customer spend
+    * as EXACT decimal sums (order-independent — ranking a
+    * nondeterministic double sum would move boundary customers between
+    * deciles run to run), ranked by the distributed global-rank shape,
+    * decile = ((rank−1)·10) div n in pure integer arithmetic. Per-
+    * decile totals stay decimal-exact until the final cast; avg and
+    * share are one double division each. */
+  def q18Deciles(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("o_custkey").agg(sum("p").as("spend"))
+    val ranked = graft.Dist.globalRank(spend,
+      Seq(col("spend").desc, col("o_custkey").asc), "rnk")
+    val tot = spend.agg(count(lit(1)).as("__n"),
+      sum("spend").cast("double").as("__overall"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("((rnk - 1) * 10) div __n"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("spend").as("__t"),
+        min("__overall").as("__o"))
+      .select(col("decile"), col("n_customers"),
+        col("__t").cast("double").as("total_spend"),
+        round(col("__t").cast("double") / col("n_customers"), 6).as("avg_spend"),
+        round(col("__t").cast("double") / col("__o"), 6).as("share"))
+  }
+
+  val q18Sql: String =
+    """WITH spend AS (SELECT o_custkey, sum(o_totalprice::DECIMAL(18,2)) AS spend
+      |               FROM orders GROUP BY 1),
+      |r AS (SELECT o_custkey, spend,
+      |        row_number() OVER (ORDER BY spend DESC, o_custkey) AS rnk,
+      |        count(*) OVER () AS n FROM spend),
+      |t AS (SELECT CAST(sum(spend) AS DOUBLE) AS overall FROM spend)
+      |SELECT ((rnk - 1) * 10) // n AS decile, count(*) AS n_customers,
+      |  CAST(sum(spend) AS DOUBLE) AS total_spend,
+      |  round(CAST(sum(spend) AS DOUBLE) / count(*), 6) AS avg_spend,
+      |  round(CAST(sum(spend) AS DOUBLE) / overall, 6) AS share
+      |FROM r, t GROUP BY 1, overall""".stripMargin
+
   /** coh1_cohort — weekly cohort retention (the classic growth
     * triangle): cohort = a user's first active week, offset = weeks
     * since cohort, n_users = distinct users from that cohort active at

@@ -94,4 +94,30 @@ class RelationalExtrasSpec extends SparkSpec {
       .select(col("w.start").cast("string").as("s")).collect().map(_.getString(0)).sorted
     assert(one.toSeq == Seq("2024-01-01 10:00:00", "2024-01-01 10:05:00"))
   }
+
+  test("uv1 unpivot melts the pivot back to the direct long aggregate") {
+    val melted = Relational.uv1Unpivot(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val direct = Tables.events(spark, sf)
+      .withColumn("user_bucket", col("user_id") % 10)
+      .groupBy("user_bucket", "event_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // every direct cell appears; melted zeros only where direct has no rows
+    direct.foreach { case (k, v) => assert(melted(k) == v, s"cell $k") }
+    melted.foreach { case (k, v) => assert(v == direct.getOrElse(k, 0L), s"cell $k") }
+    assert(melted.size == 10 * Relational.PivotTypes.size)
+  }
+
+  test("q18 deciles: exhaustive, ordered by spend, shares sum to 1") {
+    val rows = Relational.q18Deciles(spark, sf).collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 9L))
+    val custCount = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == custCount)
+    // decile sizes differ by at most 1 (balanced cut)
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+    // top decile out-spends the bottom on average
+    assert(rows.head.getDouble(3) > rows.last.getDouble(3))
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+  }
 }
