@@ -487,6 +487,51 @@ object CorpusQueries {
     s"""WITH h AS (SELECT doc_id, ${mixedHashS("CAST(doc_id AS VARCHAR)")} AS hk FROM documents)
        |SELECT doc_id, row_number() OVER (ORDER BY hk, doc_id) AS shuffle_pos FROM h""".stripMargin
 
+  // ---- ka1_filter_kappa -----------------------------------------------
+
+  /** Cohen's κ between two binary document filters (t2 quality ≥ 2/3
+    * heuristics vs ppl1 not-tail): agreement beyond chance — the
+    * pipeline question "is my second filter adding signal or just
+    * echoing the first". κ = (n·agree − a₁b₁ − a₀b₀)/(n² − a₁b₁ − a₀b₀)
+    * — every term an exact integer, ONE double division (0 when the
+    * denominator degenerates, both engines alike). */
+  def ka1FilterKappa(s: SparkSession, d: String): DataFrame = {
+    val a = t2Quality(s, d).select(col("doc_id"),
+      (col("quality_score") >= 0.6667).cast("long").as("fa"))
+    val b = ppl1UnigramNll(s, d).select(col("doc_id"),
+      (col("ppl_band") =!= "tail").cast("long").as("fb"))
+    a.join(b, "doc_id")
+      .agg(count(lit(1)).as("n"), sum("fa").as("a1"), sum("fb").as("b1"),
+        sum(when(col("fa") === col("fb"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("n"), col("a1"), col("b1"), col("n_agree"),
+        round(when(
+          col("n") * col("n") - col("a1") * col("b1")
+            - (col("n") - col("a1")) * (col("n") - col("b1")) =!= 0,
+          (col("n") * col("n_agree") - col("a1") * col("b1")
+            - (col("n") - col("a1")) * (col("n") - col("b1"))).cast("double")
+            / (col("n") * col("n") - col("a1") * col("b1")
+              - (col("n") - col("a1")) * (col("n") - col("b1"))).cast("double"))
+          .otherwise(0.0), 6).as("kappa"))
+  }
+
+  lazy val ka1Sql: String =
+    s"""WITH a AS (SELECT doc_id,
+       |             CASE WHEN quality_score >= 0.6667 THEN 1 ELSE 0 END AS fa
+       |           FROM ($t2Sql)),
+       |b AS (SELECT doc_id,
+       |        CASE WHEN ppl_band <> 'tail' THEN 1 ELSE 0 END AS fb
+       |      FROM ($ppl1Sql)),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(fa) AS BIGINT) AS a1,
+       |             CAST(sum(fb) AS BIGINT) AS b1,
+       |             CAST(sum(CASE WHEN fa = fb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+       |      FROM a JOIN b USING (doc_id))
+       |SELECT n, a1, b1, n_agree,
+       |  round(CASE WHEN n * n - a1 * b1 - (n - a1) * (n - b1) <> 0
+       |    THEN CAST(n * n_agree - a1 * b1 - (n - a1) * (n - b1) AS DOUBLE)
+       |         / CAST(n * n - a1 * b1 - (n - a1) * (n - b1) AS DOUBLE)
+       |    ELSE 0.0 END, 6) AS kappa
+       |FROM g""".stripMargin
+
   // ---- sp1_rank_corr --------------------------------------------------
 
   /** Spearman rank correlation between two document quality signals

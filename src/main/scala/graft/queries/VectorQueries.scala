@@ -782,6 +782,65 @@ object VectorQueries {
        |      ORDER BY bit_count(xor(ql, code_lo)) + bit_count(xor(qh, code_hi)) ASC, vec_id ASC) AS rnk
        |  FROM c, q) WHERE rnk <= $K""".stripMargin
 
+  // ---- v17: Hamming shortlist + exact rescore -------------------------
+
+  val HammingShortlist = 20
+
+  /** The binary-tier production recipe (v15's shape one compression
+    * level down): Hamming top-m over 16-byte codes shortlists
+    * candidates — XOR+popcount, integer ranking — then ONLY those m
+    * float vectors are read for the exact cosine top-k. Float I/O is
+    * bounded at m per query regardless of corpus size; the first pass
+    * touches 6% of the bytes a float scan would. */
+  def v17HammingRescore(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val codes = VectorSearch.binaryQuantize(
+      emb.select(col("vec_id"), col("embedding")), "embedding")
+    val q = codes.filter(col("vec_id") < QN)
+      .select(col("vec_id").as("query_id"),
+        col("code_lo").as("ql"), col("code_hi").as("qh"))
+    val c = codes.filter(col("vec_id") >= QN)
+      .select("vec_id", "code_lo", "code_hi")
+    val shortlist = VectorSearch.knnHamming(q, c, HammingShortlist)
+      .select("query_id", "vec_id")
+    val rescored = shortlist
+      .join(emb.select(col("vec_id"), col("embedding").as("v")), "vec_id")
+      .join(broadcast(emb.filter(col("vec_id") < QN)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        "query_id")
+      .withColumn("score", graft.functions.Vec.cosine(col("qv"), col("v")))
+      .select("query_id", "vec_id", "score")
+    graft.plans.TopK.perKey(rescored, Seq("query_id"),
+      Seq(col("score").desc, col("vec_id").asc), K)
+      .withColumn("score", round(col("score"), 6))
+  }
+
+  val v17Sql: String =
+    s"""WITH codes AS (
+       |  SELECT vec_id,
+       |    bit_or(CASE WHEN i < 32 AND embedding[i + 1] > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END) AS code_lo,
+       |    bit_or(CASE WHEN i >= 32 AND embedding[i + 1] > 0 THEN 1::BIGINT << (i - 32) ELSE 0::BIGINT END) AS code_hi
+       |  FROM embeddings, generate_series(0, ${EmbedDim - 1}) t(i)
+       |  GROUP BY vec_id),
+       |cq AS (SELECT vec_id AS query_id, code_lo AS ql, code_hi AS qh FROM codes WHERE vec_id < $QN),
+       |cc AS (SELECT vec_id, code_lo, code_hi FROM codes WHERE vec_id >= $QN),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY bit_count(xor(ql, code_lo)) + bit_count(xor(qh, code_hi)) ASC,
+       |                 vec_id ASC) AS hrnk
+       |    FROM cc, cq) WHERE hrnk <= $HammingShortlist),
+       |$qCte,
+       |cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT query_id, vec_id, round(score, 6) AS score, rnk FROM (
+       |  SELECT s.query_id, s.vec_id, ${cosS("q.qv", "cv.v")} AS score,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY ${cosS("q.qv", "cv.v")} DESC, s.vec_id ASC) AS rnk
+       |  FROM short s JOIN cv ON s.vec_id = cv.vec_id
+       |               JOIN q ON s.query_id = q.query_id)
+       |WHERE rnk <= $K""".stripMargin
+
   // ---- sem1: SemDeDup semantic dedup ----------------------------------
 
   val SemTau = 0.4

@@ -64,4 +64,36 @@ class BinaryQuantSpec extends SparkSpec {
     // (rescore survivors exactly when precision matters)
     assert(mean >= 0.1, s"sign-bit hamming should keep some exact neighbors, got $mean")
   }
+
+  test("v17 rescored scores are true cosines and candidates come from the shortlist") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val codes = packedCodes
+    val res = VectorQueries.v17HammingRescore(spark, sf).collect()
+    assert(res.length == 8 * VectorQueries.K)
+    res.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      // driver-side shortlist: top-m by hamming, ties vec_id
+      val (ql, qh, _) = codes(q)
+      val short = codes.keys.filter(_ >= 8).toSeq
+        .map { c =>
+          val (cl, ch, _) = codes(c)
+          (c, java.lang.Long.bitCount(ql ^ cl) + java.lang.Long.bitCount(qh ^ ch))
+        }.sortBy { case (c, h) => (h, c) }
+        .take(VectorQueries.HammingShortlist).map(_._1).toSet
+      rows.foreach { r =>
+        assert(short.contains(r.getLong(1)), s"candidate outside shortlist q=$q")
+        val expect = cos(vecs(q), vecs(r.getLong(1)))
+        assert(math.abs(r.getDouble(2) - expect) < 1e-6, s"score q=$q c=${r.getLong(1)}")
+      }
+      // and the winners are exactly the best cosines inside the shortlist
+      val best = short.toSeq.map(c => (c, cos(vecs(q), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(VectorQueries.K).map(_._1)
+      assert(rows.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq == best)
+    }
+  }
 }

@@ -128,4 +128,16 @@ class SamplingExtrasSpec extends SparkSpec {
     val expect = 1.0 - 6.0 * sd2 / (n.toDouble * (n.toDouble * n - 1))
     assert(math.abs(rho - expect) < 1e-5)
   }
+
+  test("ka1 kappa matches the textbook formula and degenerate raters hit the guard") {
+    val row = graft.queries.CorpusQueries.ka1FilterKappa(spark, sf).head
+    val (n, a1, b1, agree, kappa) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getDouble(4))
+    assert(n > 0 && agree <= n && a1 <= n && b1 <= n)
+    val po = agree.toDouble / n
+    val pe = (a1.toDouble * b1 + (n - a1).toDouble * (n - b1)) / (n.toDouble * n)
+    val expect = (po - pe) / (1.0 - pe)
+    assert(math.abs(kappa - expect) < 1e-5)
+    assert(kappa >= -1.0 && kappa <= 1.0)
+  }
 }
