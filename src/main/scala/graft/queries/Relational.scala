@@ -1313,6 +1313,80 @@ object Relational {
       |      AS global_rank
       |  FROM lineitem) WHERE global_rank <= 1000""".stripMargin
 
+  /** an1_alert_episodes — gaps-and-islands over hot error hours: an
+    * hour is HOT iff its error count exceeds the corpus-wide hourly
+    * average, tested as the integer cross-product cnt·n_hours >
+    * total_errors (no float threshold); consecutive hot hours merge
+    * into one episode (island id = hour_idx − row_number, computed
+    * over the ALERT SET only — after the hot filter the window input
+    * is incident-sized, not corpus-sized, so the partitionless window
+    * is metadata work at any scale). Output: episode start, length,
+    * total and peak error counts. */
+  def an1AlertEpisodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val hours = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "error")
+      .groupBy(expr("CAST(ts AS LONG) div 3600").as("hour_idx"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = hours.agg(sum("cnt").as("__total"), count(lit(1)).as("__hours"))
+    val hot = hours.crossJoin(broadcast(tot))
+      .filter(col("cnt") * col("__hours") > col("__total"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("hour_idx")
+    hot.withColumn("__grp", col("hour_idx") - row_number().over(w))
+      .groupBy("__grp")
+      .agg(timestamp_seconds(min("hour_idx") * 3600).as("episode_start"),
+        count(lit(1)).as("n_hours"), sum("cnt").as("total_errors"),
+        max("cnt").as("peak_errors"))
+      .drop("__grp")
+  }
+
+  val an1Sql: String =
+    """WITH hours AS (
+      |  SELECT CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS hour_idx,
+      |         count(*) AS cnt
+      |  FROM events WHERE event_type = 'error' GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_hours FROM hours),
+      |hot AS (SELECT hour_idx, cnt FROM hours, tot
+      |        WHERE cnt * n_hours > total),
+      |g AS (SELECT hour_idx, cnt,
+      |        hour_idx - row_number() OVER (ORDER BY hour_idx) AS grp
+      |      FROM hot)
+      |SELECT make_timestamp(min(hour_idx) * 3600 * 1000000) AS episode_start,
+      |  count(*) AS n_hours, CAST(sum(cnt) AS BIGINT) AS total_errors,
+      |  max(cnt) AS peak_errors
+      |FROM g GROUP BY grp""".stripMargin
+
+  /** seq2_transitions — the user-journey Markov transition matrix:
+    * next event type per user via lead() over (ts, event_id), pair
+    * counts, row-normalized probability as ONE double division of two
+    * exact integers. One shuffle on user_id for the ordering window,
+    * one small rollup. */
+  def seq2Transitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val rowTot = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead("from_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .withColumn("prob",
+        round(col("n").cast("double")
+          / sum("n").over(rowTot).cast("double"), 6))
+  }
+
+  val seq2Sql: String =
+    """WITH s AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM s
+      |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  round(CAST(n AS DOUBLE)
+      |        / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob
+      |FROM c""".stripMargin
+
   /** uv1_unpivot — the melt complement of p1's pivot: the wide
     * (user_bucket, one column per event type) table back to long
     * (user_bucket, event_type, n) via Spark's native unpivot

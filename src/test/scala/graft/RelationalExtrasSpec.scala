@@ -120,4 +120,40 @@ class RelationalExtrasSpec extends SparkSpec {
     assert(rows.head.getDouble(3) > rows.last.getDouble(3))
     assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-4)
   }
+
+  test("an1 episodes merge consecutive hot hours on a hand fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("an1spec").toString
+    // hours 0,1,2 hot (burst), hour 5 hot, hours 8..30 one error each
+    // (23 quiet hours drag the mean below the burst counts)
+    val rows = Seq(0 -> 5, 1 -> 4, 2 -> 6, 5 -> 5) ++ (8 to 30).map(_ -> 1)
+    // ts stored as TIMESTAMP(NANOS)-style long, like the real events table
+    val evs = rows.zipWithIndex.flatMap { case ((h, n), i) =>
+      (0 until n).map(j =>
+        (i * 100L + j, h * 3600L * 1000000000L, 1L, "error", 1.0))
+    }
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val eps = Relational.an1AlertEpisodes(spark, dir).collect()
+      .map(r => r.getTimestamp(0).getTime / 3600000L ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // mean errors/hour = 43/27 ≈ 1.6 → hot iff cnt ≥ 2: hours 0-2 and 5
+    assert(eps.keySet == Set(0L, 5L))
+    assert(eps(0L) == ((3L, 15L, 6L)), "burst episode: 3 hours, 15 errors, peak 6")
+    assert(eps(5L) == ((1L, 5L, 5L)))
+  }
+
+  test("seq2 transition probabilities row-normalize and count real successions") {
+    val rows = Relational.seq2Transitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byFrom = rows.groupBy(_.getString(0))
+    byFrom.foreach { case (f, rs) =>
+      val p = rs.map(_.getDouble(3)).sum
+      assert(math.abs(p - 1.0) < 1e-4, s"probs from $f sum to $p")
+    }
+    // total transitions = total events - one per user (last has no successor)
+    val totalEvents = Tables.events(spark, sf).count()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == totalEvents - users)
+  }
 }
