@@ -1313,6 +1313,75 @@ object Relational {
       |      AS global_rank
       |  FROM lineitem) WHERE global_rank <= 1000""".stripMargin
 
+  /** fp1_table_fingerprint — order-independent table checksum for
+    * cross-engine / cross-copy integrity verification: two independent
+    * XOR-folds of a portable per-row polyhash (XOR is commutative,
+    * associative, and overflow-free, so the fingerprint is identical
+    * whatever order 100 TB of partitions aggregate in — a sum-mod
+    * fingerprint would overflow or need modular partials). Map-side
+    * combine all the way; no shuffle beyond the 1-row final merge. */
+  def fp1Fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(graft.operators.Embed.tokenHash(
+        concat_ws(":", col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))).as("rh"))
+      .withColumn("rh2", graft.operators.Embed.tokenHash(
+        col("rh").cast("string")))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(rh)").as("xor_h1"), expr("bit_xor(rh2)").as("xor_h2"))
+
+  val fp1Sql: String = {
+    val rh = graft.queries.CorpusQueries.polyhashS(
+      "concat_ws(':', doc_id, lang, source, n_chars)")
+    s"""WITH h AS (SELECT $rh AS rh FROM documents),
+       |h2 AS (SELECT rh, ${graft.queries.CorpusQueries.polyhashS("CAST(rh AS VARCHAR)")} AS rh2 FROM h)
+       |SELECT count(*) AS n_rows, bit_xor(rh) AS xor_h1, bit_xor(rh2) AS xor_h2
+       |FROM h2""".stripMargin
+  }
+
+  /** dd1_table_diff — row-level diff between two table versions (the
+    * replication / backfill acceptance check): one full outer join on
+    * the key classifies every row as added / removed / changed /
+    * unchanged. The synthetic "new version" drops every 97th key,
+    * bumps the price of every 100th, and inserts re-keyed rows above
+    * max(key) (cdc1's scale-safe re-keying). All four outputs are
+    * exact integer counts. */
+  def dd1TableDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+    val maxK = base.agg(max("k")).head.getLong(0)
+    val kept = base.filter(col("k") % 97 =!= 0)
+      .withColumn("p", when(col("k") % 100 === 0, col("p") + 1.0).otherwise(col("p")))
+    val added = base.filter(col("k") % 101 === 0)
+      .select((col("k") + lit(maxK) + 1L).as("k"), col("p"))
+    val newv = kept.unionByName(added)
+    base.withColumnRenamed("p", "bp").join(
+        newv.withColumnRenamed("p", "np"), Seq("k"), "full_outer")
+      .agg(
+        sum(when(col("bp").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("np").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("bp").isNotNull && col("np").isNotNull
+          && col("bp") =!= col("np"), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("bp").isNotNull && col("np").isNotNull
+          && col("bp") === col("np"), 1L).otherwise(0L)).as("n_same"))
+  }
+
+  val dd1Sql: String =
+    """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+      |mk AS (SELECT max(k) AS mk FROM base),
+      |kept AS (SELECT k, CASE WHEN k % 100 = 0 THEN p + 1.0 ELSE p END AS p
+      |         FROM base WHERE k % 97 <> 0),
+      |added AS (SELECT k + mk + 1 AS k, p FROM base, mk WHERE k % 101 = 0),
+      |newv AS (SELECT * FROM kept UNION ALL SELECT * FROM added),
+      |j AS (SELECT base.p AS bp, newv.p AS np
+      |      FROM base FULL OUTER JOIN newv ON base.k = newv.k)
+      |SELECT
+      |  CAST(sum(CASE WHEN bp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      |  CAST(sum(CASE WHEN np IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  CAST(sum(CASE WHEN bp IS NOT NULL AND np IS NOT NULL AND bp <> np THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(sum(CASE WHEN bp IS NOT NULL AND np IS NOT NULL AND bp = np THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+      |FROM j""".stripMargin
+
   /** an1_alert_episodes — gaps-and-islands over hot error hours: an
     * hour is HOT iff its error count exceeds the corpus-wide hourly
     * average, tested as the integer cross-product cnt·n_hours >

@@ -870,4 +870,35 @@ object VectorQueries {
        |       THEN 1 ELSE 0 END AS is_dup
        |FROM assigned a""".stripMargin
   }
+
+  // ---- ev1: ANN recall evaluation as a first-class query --------------
+
+  /** Recall@k of the v6 IVF index against the exact v1 answer,
+    * computed AS A DISTRIBUTED QUERY (the index-quality regression
+    * check a serving stack runs after every rebuild): per query the
+    * overlap of the two top-k sets over k — integer counts, one
+    * double division. */
+  def ev1AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = v1KnnCos(s, d).select("query_id", "vec_id")
+    val approx = v6KnnIvf(s, d).select(col("query_id"), col("vec_id"))
+      .withColumn("__hit", lit(1L))
+    exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+      .select(col("query_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / K, 6).as("recall"))
+  }
+
+  // defined after v1Sql/v6Sql: interpolating them from an earlier val
+  // would embed null at object-init time (same pitfall as sp1Sql)
+  val ev1Sql: String =
+    s"""WITH exact AS (SELECT query_id, vec_id FROM ($v1Sql)),
+       |approx AS (SELECT query_id, vec_id FROM ($v6Sql)),
+       |j AS (SELECT e.query_id,
+       |        CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |      FROM exact e LEFT JOIN approx a
+       |        ON e.query_id = a.query_id AND e.vec_id = a.vec_id)
+       |SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_overlap,
+       |  round(CAST(sum(hit) AS DOUBLE) / $K, 6) AS recall
+       |FROM j GROUP BY query_id""".stripMargin
 }

@@ -156,4 +156,35 @@ class RelationalExtrasSpec extends SparkSpec {
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
     assert(rows.map(_.getLong(2)).sum == totalEvents - users)
   }
+
+  test("fp1 fingerprint is partition-order independent and row-sensitive") {
+    val a = Relational.fp1Fingerprint(spark, sf).head
+    val b = Relational.fp1Fingerprint(spark, sf).head // independent plan, new shuffle order
+    assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1)
+      && a.getLong(2) == b.getLong(2))
+    // a modified copy fingerprints differently
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fp1spec").toString
+    Tables.documents(spark, sf)
+      .withColumn("n_chars",
+        when(col("doc_id") === 0, col("n_chars") + 1).otherwise(col("n_chars")))
+      .write.parquet(s"$dir/documents.parquet")
+    val c = Relational.fp1Fingerprint(spark, dir).head
+    assert(c.getLong(0) == a.getLong(0))
+    assert(c.getLong(1) != a.getLong(1) || c.getLong(2) != a.getLong(2),
+      "one-row change must move the fingerprint")
+  }
+
+  test("dd1 diff counts partition the key space and match the synthetic edit rule") {
+    val r = Relational.dd1TableDiff(spark, sf).head
+    val base = Tables.orders(spark, sf).select("o_orderkey").collect()
+      .map(_.getLong(0))
+    val added = base.count(_ % 101 == 0).toLong
+    val removed = base.count(_ % 97 == 0).toLong
+    val changed = base.count(k => k % 97 != 0 && k % 100 == 0).toLong
+    assert(r.getLong(0) == added, "added")
+    assert(r.getLong(1) == removed, "removed")
+    assert(r.getLong(2) == changed, "changed")
+    assert(r.getLong(3) == base.length - removed - changed, "same")
+  }
 }

@@ -258,4 +258,19 @@ class VectorSpec extends SparkSpec {
     assert(math.abs(meanLoad - 1.0) < 1e-4)
     rows.foreach(r => assert(r.getLong(1) > 0))
   }
+
+  test("ev1 recall equals a direct overlap of the v1 and v6 results") {
+    val exact = VectorQueries.v1KnnCos(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val approx = VectorQueries.v6KnnIvf(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val got = VectorQueries.ev1AnnRecall(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == exact.keySet)
+    exact.foreach { case (q, ex) =>
+      val overlap = (ex intersect approx.getOrElse(q, Set.empty)).size.toLong
+      assert(got(q)._1 == overlap, s"overlap for query $q")
+      assert(math.abs(got(q)._2 - overlap.toDouble / VectorQueries.K) < 1e-9)
+    }
+  }
 }
