@@ -100,4 +100,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"doc-count should ride in as a broadcast:\n$p")
   }
+
+  test("v16 Hamming kNN broadcasts query codes and runs the custom TopK") {
+    val p = plan(VectorQueries.v16KnnHamming(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query codes not broadcast:\n$p")
+    assert(p.contains("LocalTopK") || p.contains("TopKMerge"),
+      s"ranking did not run on the bounded-heap operator:\n$p")
+  }
+
+  test("dc1 source cap runs bounded heaps, not a per-source sort window") {
+    val p = plan(graft.queries.CorpusQueries.dc1SourceCap(spark, sf))
+    assert(p.contains("LocalTopK") || p.contains("TopKMerge"),
+      s"cap did not run on the bounded-heap operator:\n$p")
+    assert(!p.contains("Window"),
+      s"cap fell back to a window sort:\n$p")
+  }
+
+  test("wc1 pair generation is map-side: exactly the two count shuffles + topk merge") {
+    val p = plan(graft.queries.CorpusQueries.wc1Cooccurrence(spark, sf))
+    assert(!p.contains("SortMergeJoin"),
+      s"pair generation must not self-join the token table:\n$p")
+    // unigram counts ride in as broadcast joins onto the pair counts
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"unigram counts not broadcast:\n$p")
+  }
+
+  test("fp1 fingerprint aggregates map-side with no shuffle before the final merge") {
+    val p = plan(graft.queries.Relational.fp1Fingerprint(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"fingerprint should need only the single-partition final merge:\n$p")
+  }
 }

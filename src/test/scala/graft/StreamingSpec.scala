@@ -52,6 +52,27 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("AvailableNow backfill drains a parquet backlog then self-terminates") {
+    // the standard backfill shape: point the STREAMING pipeline at the
+    // historical files, Trigger.AvailableNow processes everything that
+    // exists and stops — one code path for backfill and live tailing
+    val batch = Tables.events(spark, sf).select("ts", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_backfill").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = EventStream.hourlyAgg(stream)
+      .writeStream.format("memory").queryName("backfill_agg")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow must terminate on its own")
+    val streamed = spark.table("backfill_agg")
+      .orderBy("window_start", "event_type").collect()
+    val batched = EventStream.hourlyAgg(batch)
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.length == batched.length && streamed.sameElements(batched))
+  }
+
   test("streaming dedup drops repeated event ids within the watermark") {
     val session = spark
     import session.implicits._
