@@ -300,6 +300,28 @@ object TextAnalysis {
           .otherwise("tail"))
   }
 
+  /** Per-doc occurrence count of an exact token phrase: a map-side
+    * higher-order fold over the token array — boundary-exact (never
+    * matches inside a longer token the way substring search does), no
+    * join, no shuffle before the output. The single-phrase scan shape;
+    * multi-query lexical retrieval is b2's inverted index. */
+  def phraseCount(docs: DataFrame, textCol: String,
+                  phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty && phrase.forall(_.matches("[A-Za-z0-9]+")),
+      "phrase tokens must be alphanumeric (they are inlined into the plan)")
+    val n = phrase.length
+    // Spark SQL arrays are 0-indexed (tk[i]); the DuckDB oracle's are
+    // 1-indexed — the two formulations are kept aligned by the specs
+    val cond = phrase.zipWithIndex
+      .map { case (t, j) => s"tk[i + $j] = '$t'" }.mkString(" AND ")
+    docs.withColumn("tk", tokens(col(textCol)))
+      .filter(size(col("tk")) >= n)
+      .withColumn("n_occ",
+        expr(s"size(filter(sequence(0, size(tk) - $n), i -> $cond))").cast("long"))
+      .filter(col("n_occ") > 0)
+      .select(col("doc_id"), col("n_occ"))
+  }
+
   /** Corpus co-occurrence statistics: unordered token pairs within a
     * ±`window` token distance, with lift = observed/expected frequency
     * — observed·N / (c₁·c₂), all three counts exact integers so the

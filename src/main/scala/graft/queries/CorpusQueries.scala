@@ -487,6 +487,28 @@ object CorpusQueries {
     s"""WITH h AS (SELECT doc_id, ${mixedHashS("CAST(doc_id AS VARCHAR)")} AS hk FROM documents)
        |SELECT doc_id, row_number() OVER (ORDER BY hk, doc_id) AS shuffle_pos FROM h""".stripMargin
 
+  // ---- b3_phrase_count ------------------------------------------------
+
+  val Phrase = Seq("key", "agg")
+
+  /** Exact-phrase occurrence counts per doc (boundary-exact token
+    * matching, map-side fold — see TextAnalysis.phraseCount). */
+  def b3PhraseCount(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextAnalysis.phraseCount(
+      Tables.documents(s, d).select("doc_id", "text"), "text", Phrase)
+
+  val b3Sql: String = {
+    val n = Phrase.length
+    val cond = Phrase.zipWithIndex
+      .map { case (t, j) => s"tk[i + ${j + 1}] = '$t'" }.mkString(" AND ")
+    s"""WITH $toksCte,
+       |pos AS (SELECT doc_id, tk,
+       |          unnest(range(0, greatest(len(tk) - ${n - 1}, 0))) AS i
+       |        FROM toks)
+       |SELECT doc_id, count(*) AS n_occ FROM pos
+       |WHERE $cond GROUP BY 1""".stripMargin
+  }
+
   // ---- ka1_filter_kappa -----------------------------------------------
 
   /** Cohen's κ between two binary document filters (t2 quality ≥ 2/3

@@ -1313,6 +1313,45 @@ object Relational {
       |      AS global_rank
       |  FROM lineitem) WHERE global_rank <= 1000""".stripMargin
 
+  /** ra1_rolling_active — rolling 7-day active users per day (WAU) +
+    * same-day actives (DAU) + stickiness: the exact-distinct sliding
+    * window, built scale-first — each distinct (day, user) pair
+    * EXPLODES map-side into the ≤7 window-end days it is visible in,
+    * turning the range join into an equi-join on the window day; the
+    * exact distinct count then shuffles once on that day. Stickiness
+    * is one double division of two exact counts. */
+  def ra1RollingActive(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.events(spark, sfDir)
+      .select(expr("datediff(CAST(ts AS DATE), DATE'2024-01-01')").as("day"),
+        col("user_id"))
+      .distinct()
+    val grid = pairs.select(col("day").as("w_day")).distinct()
+    pairs.withColumn("w_day", explode(sequence(col("day"), col("day") + 6)))
+      .join(grid, "w_day")
+      .groupBy("w_day")
+      .agg(
+        countDistinct(when(col("day") === col("w_day"), col("user_id"))).as("dau"),
+        countDistinct("user_id").as("wau"))
+      .select(col("w_day").as("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("stickiness"))
+  }
+
+  val ra1Sql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+      |    user_id
+      |  FROM events),
+      |grid AS (SELECT DISTINCT day AS w_day FROM du),
+      |t AS (SELECT g.w_day, d.day, d.user_id
+      |      FROM du d JOIN grid g ON g.w_day BETWEEN d.day AND d.day + 6)
+      |SELECT w_day AS day,
+      |  count(DISTINCT CASE WHEN day = w_day THEN user_id END) AS dau,
+      |  count(DISTINCT user_id) AS wau,
+      |  round(CAST(count(DISTINCT CASE WHEN day = w_day THEN user_id END) AS DOUBLE)
+      |        / CAST(count(DISTINCT user_id) AS DOUBLE), 6) AS stickiness
+      |FROM t GROUP BY 1""".stripMargin
+
   /** fp1_table_fingerprint — order-independent table checksum for
     * cross-engine / cross-copy integrity verification: two independent
     * XOR-folds of a portable per-row polyhash (XOR is commutative,

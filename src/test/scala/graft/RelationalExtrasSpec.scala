@@ -157,6 +157,23 @@ class RelationalExtrasSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == totalEvents - users)
   }
 
+  test("ra1 rolling actives: wau >= dau, windows accumulate, driver recomputation agrees") {
+    val rows = Relational.ra1RollingActive(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { case (dau, wau) => assert(dau <= wau && dau >= 0) }
+    val pairs = Tables.events(spark, sf)
+      .select(expr("datediff(CAST(ts AS DATE), DATE'2024-01-01')").as("day"),
+        col("user_id")).distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val days = pairs.map(_._1).distinct
+    days.foreach { d =>
+      val wau = pairs.filter(p => p._1 >= d - 6 && p._1 <= d).map(_._2).distinct.length
+      val dau = pairs.filter(_._1 == d).map(_._2).distinct.length
+      assert(rows(d) == ((dau.toLong, wau.toLong)), s"day $d")
+    }
+  }
+
   test("fp1 fingerprint is partition-order independent and row-sensitive") {
     val a = Relational.fp1Fingerprint(spark, sf).head
     val b = Relational.fp1Fingerprint(spark, sf).head // independent plan, new shuffle order

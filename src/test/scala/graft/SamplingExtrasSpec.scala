@@ -140,4 +140,20 @@ class SamplingExtrasSpec extends SparkSpec {
     assert(math.abs(kappa - expect) < 1e-5)
     assert(kappa >= -1.0 && kappa <= 1.0)
   }
+
+  test("b3 phrase counting is boundary-exact and counts every occurrence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "key agg key agg row"),   // two occurrences
+      (2L, "monkey agg value"),       // 'monkey' must NOT match 'key'
+      (3L, "key value agg"),          // tokens present but not adjacent
+      (4L, "key agg")                 // exactly the phrase
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseCount(docs, "text", Seq("key", "agg"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 4L -> 1L))
+    // corpus query returns the docs the substring probe finds
+    val res = graft.queries.CorpusQueries.b3PhraseCount(spark, sf).collect()
+    assert(res.nonEmpty && res.forall(_.getLong(1) >= 1))
+  }
 }
