@@ -72,6 +72,34 @@ object IrMetrics {
       .select(col("query_id"),
         round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("rr"))
 
+  /** Distributed two-sample Kolmogorov–Smirnov test: D = max over the
+    * pooled support of |ECDF_a − ECDF_b|, computed as the EXACT
+    * integer max |cumA·n_b − cumB·n_a| over per-value cumulative
+    * counts (one double division at the end — no float ECDFs to
+    * drift). The cumulative counts run through Dist.runningTotal, so
+    * the ECDF is range-partitioned and parallel, never a one-task
+    * window over the pooled sample. */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+             groupA: String, groupB: String): DataFrame = {
+    val flagged = df
+      .filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .select(col(valueCol).as("v"),
+        when(col(groupCol) === groupA, 1).otherwise(0).as("ca"),
+        when(col(groupCol) === groupB, 1).otherwise(0).as("cb"))
+    val perValue = flagged.groupBy("v")
+      .agg(sum("ca").as("na_v"), sum("cb").as("nb_v"))
+    val c1 = graft.Dist.runningTotal(perValue, Seq(col("v").asc), "na_v")
+    val c2 = graft.Dist.runningTotal(c1, Seq(col("v").asc), "nb_v")
+    val tot = perValue.agg(sum("na_v").as("__na"), sum("nb_v").as("__nb"))
+    c2.crossJoin(broadcast(tot))
+      .agg(min("__na").as("n_a"), min("__nb").as("n_b"),
+        max(abs(col("na_v_end") * col("__nb") - col("nb_v_end") * col("__na")))
+          .as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        round(col("d_num").cast("double")
+          / (col("n_a") * col("n_b")).cast("double"), 6).as("ks"))
+  }
+
   /** Per-row winsorization at the exact interpolated [qLo, qHi]
     * group percentiles: values clamp to the cut points instead of
     * being dropped (the heavy-tail taming that keeps row counts —

@@ -300,6 +300,22 @@ object TextAnalysis {
           .otherwise("tail"))
   }
 
+  /** Text canonicalization before dedup/fingerprinting: lowercase,
+    * non-alphanumerics → space, whitespace collapsed, trimmed — all in
+    * the engine-portable regex subset (t7's policy), map-side only.
+    * Emits the normalized length, a changed flag, and the portable
+    * polyhash of the normalized text (the join key for
+    * canonical-form dedup). */
+  def normalize(docs: DataFrame, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " "))
+    docs.withColumn("__norm", norm)
+      .select(col("doc_id"),
+        length(col("__norm")).as("n_chars_norm"),
+        (col("__norm") =!= col(textCol)).cast("int").as("changed"),
+        tokenHash(col("__norm")).as("norm_hash"))
+  }
+
   /** Per-doc occurrence count of an exact token phrase: a map-side
     * higher-order fold over the token array — boundary-exact (never
     * matches inside a longer token the way substring search does), no

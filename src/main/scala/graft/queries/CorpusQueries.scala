@@ -487,6 +487,24 @@ object CorpusQueries {
     s"""WITH h AS (SELECT doc_id, ${mixedHashS("CAST(doc_id AS VARCHAR)")} AS hk FROM documents)
        |SELECT doc_id, row_number() OVER (ORDER BY hk, doc_id) AS shuffle_pos FROM h""".stripMargin
 
+  // ---- tn1_normalize --------------------------------------------------
+
+  /** Canonical-form text normalization (see TextAnalysis.normalize). */
+  def tn1Normalize(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextAnalysis.normalize(
+      Tables.documents(s, d).select("doc_id", "text"), "text")
+
+  val tn1Sql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, text,
+       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+       |                        ' +', ' ', 'g')) AS norm
+       |  FROM documents)
+       |SELECT doc_id, CAST(length(norm) AS INT) AS n_chars_norm,
+       |  CASE WHEN norm <> text THEN 1 ELSE 0 END AS changed,
+       |  ${polyhashS("norm")} AS norm_hash
+       |FROM n""".stripMargin
+
   // ---- b3_phrase_count ------------------------------------------------
 
   val Phrase = Seq("key", "agg")

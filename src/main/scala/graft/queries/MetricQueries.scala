@@ -127,6 +127,33 @@ object MetricQueries {
        |FROM events e JOIN cuts c USING (event_type)""".stripMargin
   }
 
+  // ---- st2_ks_test ----------------------------------------------------
+
+  /** Two-sample KS statistic between click and view value
+    * distributions (drift detection between cohorts / data versions).
+    * See IrMetrics.ksTest. */
+  def st2KsTest(s: SparkSession, d: String): DataFrame =
+    IrMetrics.ksTest(Tables.events(s, d), "event_type", "value",
+      "click", "view")
+
+  val st2Sql: String =
+    """WITH f AS (
+      |  SELECT value AS v,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ca,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS cb
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |p AS (SELECT v, CAST(sum(ca) AS BIGINT) AS na_v,
+      |        CAST(sum(cb) AS BIGINT) AS nb_v FROM f GROUP BY v),
+      |c AS (SELECT v, sum(na_v) OVER (ORDER BY v) AS ca_c,
+      |        sum(nb_v) OVER (ORDER BY v) AS cb_c FROM p),
+      |t AS (SELECT CAST(sum(na_v) AS BIGINT) AS na,
+      |        CAST(sum(nb_v) AS BIGINT) AS nb FROM p)
+      |SELECT na AS n_a, nb AS n_b,
+      |  CAST(max(abs(ca_c * nb - cb_c * na)) AS BIGINT) AS d_num,
+      |  round(CAST(max(abs(ca_c * nb - cb_c * na)) AS DOUBLE)
+      |        / CAST(na * nb AS DOUBLE), 6) AS ks
+      |FROM c, t GROUP BY na, nb""".stripMargin
+
   // ---- m2_recall_at_k -------------------------------------------------
 
   def m2Recall(s: SparkSession, d: String): DataFrame =

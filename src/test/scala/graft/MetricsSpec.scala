@@ -132,4 +132,29 @@ class MetricsSpec extends SparkSpec {
       assert(frac > 0.05 && frac < 0.15, s"clamped fraction $frac for $t")
     }
   }
+
+  test("st2 KS statistic equals a driver-side ECDF recomputation") {
+    val row = MetricQueries.st2KsTest(spark, sf).head
+    val (na, nb, dNum, ks) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+    val vals = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val a = vals.filter(_._1 == "click").map(_._2).sorted
+    val b = vals.filter(_._1 == "view").map(_._2).sorted
+    assert(na == a.length.toLong && nb == b.length.toLong)
+    val support = (a ++ b).distinct.sorted
+    val expectNum = support.map { v =>
+      math.abs(a.count(_ <= v).toLong * nb - b.count(_ <= v).toLong * na)
+    }.max
+    assert(dNum == expectNum)
+    assert(math.abs(ks - expectNum.toDouble / (na * nb)) < 1e-6)
+    // identical samples give D = 0
+    import spark.implicits._
+    val same = Seq(("x", 1.0), ("x", 2.0), ("y", 1.0), ("y", 2.0))
+      .toDF("g", "value")
+    val r0 = graft.operators.IrMetrics.ksTest(same, "g", "value", "x", "y").head
+    assert(r0.getLong(2) == 0L && r0.getDouble(3) == 0.0)
+  }
 }

@@ -156,4 +156,21 @@ class SamplingExtrasSpec extends SparkSpec {
     val res = graft.queries.CorpusQueries.b3PhraseCount(spark, sf).collect()
     assert(res.nonEmpty && res.forall(_.getLong(1) >= 1))
   }
+
+  test("tn1 normalization canonicalizes case/punct/whitespace, flags changes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!  extra   spaces"),
+      (2L, "already clean text"),
+      (3L, "MiXeD")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.normalize(docs, "text").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    def polyhash(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % graft.operators.Embed.HashMod)
+    assert(got(1L) == ((
+      "hello world extra spaces".length, 1, polyhash("hello world extra spaces"))))
+    assert(got(2L) == (("already clean text".length, 0, polyhash("already clean text"))))
+    assert(got(3L)._2 == 1 && got(3L)._3 == polyhash("mixed"))
+  }
 }
