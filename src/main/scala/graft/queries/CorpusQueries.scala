@@ -487,6 +487,62 @@ object CorpusQueries {
     s"""WITH h AS (SELECT doc_id, ${mixedHashS("CAST(doc_id AS VARCHAR)")} AS hk FROM documents)
        |SELECT doc_id, row_number() OVER (ORDER BY hk, doc_id) AS shuffle_pos FROM h""".stripMargin
 
+  // ---- fs1_chi2_keywords ----------------------------------------------
+
+  val Chi2TopK = 3
+
+  /** χ²-association keyword selection per source: for each (source,
+    * token), the 2×2 occurrence contingency (token-in-source,
+    * token-elsewhere, other-in-source, other-elsewhere) scores
+    * χ² = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) — the classic
+    * feature-selection statistic for "which tokens characterize this
+    * slice". Every cell is an exact integer; the χ² expression is one
+    * fixed-order double evaluation per row (no aggregation of floats),
+    * ranked on the 4-dp-rounded score (t9's policy) via bounded-heap
+    * TopK. */
+  def fs1Chi2Keywords(s: SparkSession, d: String): DataFrame = {
+    val tok = graft.Dist.spread(Tables.documents(s, d).select("source", "text"))
+      .select(col("source"), explode(Embed.tokens(col("text"))).as("token"))
+      .localCheckpoint() // three aggregations read it
+    val st = tok.groupBy("source", "token").agg(count(lit(1)).as("a_cnt"))
+    val t = tok.groupBy("token").agg(count(lit(1)).as("t_cnt"))
+    val sTot = tok.groupBy("source").agg(count(lit(1)).as("s_cnt"))
+    val n = tok.agg(count(lit(1)).as("n_tok"))
+    val scored = st.join(broadcast(t), "token").join(broadcast(sTot), "source")
+      .crossJoin(broadcast(n))
+      .withColumn("chi2", round(expr(
+        """CAST(n_tok AS DOUBLE)
+          |  * CAST(a_cnt * (n_tok - s_cnt - (t_cnt - a_cnt)) - (t_cnt - a_cnt) * (s_cnt - a_cnt) AS DOUBLE)
+          |  * CAST(a_cnt * (n_tok - s_cnt - (t_cnt - a_cnt)) - (t_cnt - a_cnt) * (s_cnt - a_cnt) AS DOUBLE)
+          |  / (CAST(t_cnt AS DOUBLE) * CAST(n_tok - t_cnt AS DOUBLE)
+          |     * CAST(s_cnt AS DOUBLE) * CAST(n_tok - s_cnt AS DOUBLE))""".stripMargin), 4))
+      .select("source", "token", "a_cnt", "chi2")
+    graft.plans.TopK.perKey(scored, Seq("source"),
+      Seq(col("chi2").desc, col("token").asc), Chi2TopK)
+  }
+
+  val fs1Sql: String =
+    s"""WITH $toksCte,
+       |tok AS (SELECT source, unnest(tk) AS token FROM (
+       |          SELECT d.source, t.tk FROM toks t JOIN documents d USING (doc_id))),
+       |st AS (SELECT source, token, count(*) AS a_cnt FROM tok GROUP BY 1, 2),
+       |tt AS (SELECT token, CAST(count(*) AS BIGINT) AS t_cnt FROM tok GROUP BY 1),
+       |stot AS (SELECT source, CAST(count(*) AS BIGINT) AS s_cnt FROM tok GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM tok),
+       |scored AS (
+       |  SELECT source, token, a_cnt,
+       |    round(CAST(n_tok AS DOUBLE)
+       |      * CAST(a_cnt * (n_tok - s_cnt - (t_cnt - a_cnt)) - (t_cnt - a_cnt) * (s_cnt - a_cnt) AS DOUBLE)
+       |      * CAST(a_cnt * (n_tok - s_cnt - (t_cnt - a_cnt)) - (t_cnt - a_cnt) * (s_cnt - a_cnt) AS DOUBLE)
+       |      / (CAST(t_cnt AS DOUBLE) * CAST(n_tok - t_cnt AS DOUBLE)
+       |         * CAST(s_cnt AS DOUBLE) * CAST(n_tok - s_cnt AS DOUBLE)), 4) AS chi2
+       |  FROM st JOIN tt USING (token) JOIN stot USING (source) CROSS JOIN nn)
+       |SELECT source, token, a_cnt, chi2, rnk FROM (
+       |  SELECT source, token, a_cnt, chi2,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY chi2 DESC, token ASC) AS rnk
+       |  FROM scored) WHERE rnk <= $Chi2TopK""".stripMargin
+
   // ---- tn1_normalize --------------------------------------------------
 
   /** Canonical-form text normalization (see TextAnalysis.normalize). */

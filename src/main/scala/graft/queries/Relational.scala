@@ -1313,6 +1313,33 @@ object Relational {
       |      AS global_rank
       |  FROM lineitem) WHERE global_rank <= 1000""".stripMargin
 
+  /** sql1_sql_api — the SQL-text front end: temp views + spark.sql()
+    * running a TPC-H-Q5-shape revenue rollup whose text is (modulo
+    * nothing) the same ANSI SQL the DuckDB oracle runs. Revenue is an
+    * exact DECIMAL sum (order-independent; a double sum rounded at
+    * 2 dp flips boundary cents at 100 TB row counts), cast to double
+    * once at the end. */
+  def sql1SqlApi(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(sql1Text)
+  }
+
+  /** The shared query text — runnable verbatim by Spark AND DuckDB. */
+  val sql1Text: String =
+    """SELECT n_name, count(*) AS n_lineitems,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * CAST(1 - l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  val sql1Sql: String = sql1Text
+
   /** ra1_rolling_active — rolling 7-day active users per day (WAU) +
     * same-day actives (DAU) + stickiness: the exact-distinct sliding
     * window, built scale-first — each distinct (day, user) pair

@@ -174,6 +174,22 @@ class RelationalExtrasSpec extends SparkSpec {
     }
   }
 
+  test("sql1 SQL-text query equals the equivalent DataFrame formulation") {
+    val viaSql = Relational.sql1SqlApi(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val viaDf = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount")).cast("decimal(5,2)"))
+          .cast("double").as("rev"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(viaSql == viaDf)
+  }
+
   test("fp1 fingerprint is partition-order independent and row-sensitive") {
     val a = Relational.fp1Fingerprint(spark, sf).head
     val b = Relational.fp1Fingerprint(spark, sf).head // independent plan, new shuffle order

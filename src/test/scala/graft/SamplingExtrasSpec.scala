@@ -173,4 +173,26 @@ class SamplingExtrasSpec extends SparkSpec {
     assert(got(2L) == (("already clean text".length, 0, polyhash("already clean text"))))
     assert(got(3L)._2 == 1 && got(3L)._3 == polyhash("mixed"))
   }
+
+  test("fs1 chi2 ranks the token planted into one source far above background") {
+    import spark.implicits._
+    // 3 sources x 4 docs of shared vocabulary; srcA additionally says
+    // 'zebra' constantly — chi2 must surface it for srcA only
+    val docs = (0 until 12).map { i =>
+      val src = s"src${i % 3}"
+      val base = "alpha beta gamma delta epsilon"
+      val text = if (i % 3 == 0) s"$base zebra zebra zebra" else base
+      (i.toLong, text, src)
+    }.toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("fs1spec").toString
+    docs.withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val top = graft.queries.CorpusQueries.fs1Chi2Keywords(spark, dir).collect()
+    val bySource = top.groupBy(_.getString(0))
+    assert(bySource("src0").minBy(_.getInt(4)).getString(1) == "zebra",
+      "planted token must top its source")
+    assert(!bySource("src1").exists(_.getString(1) == "zebra")
+      || bySource("src1").find(_.getString(1) == "zebra").get.getInt(4) > 1)
+    top.foreach(r => assert(r.getDouble(3) >= 0.0))
+  }
 }
