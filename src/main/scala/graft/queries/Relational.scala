@@ -1313,6 +1313,94 @@ object Relational {
       |      AS global_rank
       |  FROM lineitem) WHERE global_rank <= 1000""".stripMargin
 
+  /** pc1_period_over_period — weekly revenue with percent change vs
+    * the previous week: revenue is an exact DECIMAL sum per week
+    * (order-independent), weeks are integer day-arithmetic from a
+    * base that precedes the data (mixed-sign integer division
+    * truncates differently across engines). The lag window runs over
+    * the WEEKLY AGGREGATE — period count is calendar-bounded metadata
+    * at any data scale, so the partitionless window is free. */
+  def pc1PeriodOverPeriod(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekly = Tables.orders(spark, sfDir)
+      .select(expr("datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') div 7")
+        .as("week"), col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_orders"), sum("p").cast("double").as("revenue"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("week")
+    weekly.withColumn("prev_revenue", lag("revenue", 1).over(w))
+      .withColumn("pct_change",
+        round((col("revenue") - col("prev_revenue")) / col("prev_revenue"), 6))
+  }
+
+  val pc1Sql: String =
+    """WITH weekly AS (
+      |  SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) // 7 AS week,
+      |    count(*) AS n_orders,
+      |    CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS revenue
+      |  FROM orders GROUP BY 1)
+      |SELECT week, n_orders, revenue,
+      |  lag(revenue) OVER (ORDER BY week) AS prev_revenue,
+      |  round((revenue - lag(revenue) OVER (ORDER BY week))
+      |        / lag(revenue) OVER (ORDER BY week), 6) AS pct_change
+      |FROM weekly""".stripMargin
+
+  /** ab1_ab_test — conversion lift between the two user halves
+    * (user_id parity as the assignment hash): conversion = at least
+    * one purchase event. Counts are exact integers; rates, lift, and
+    * the pooled two-proportion z statistic are ONE fixed-order double
+    * expression each (sqrt is IEEE-correctly-rounded, so even z is
+    * bit-stable — stat1's policy). */
+  def ab1AbTest(spark: SparkSession, sfDir: String): DataFrame = {
+    // conversion = a HIGH-VALUE purchase: plain "any purchase"
+    // saturates to 100% on this fixture (p=1 degenerates the z)
+    val users = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150.0, 1)
+        .otherwise(0)).as("converted"))
+      .withColumn("bucket", col("user_id") % 2)
+    users.groupBy()
+      .agg(
+        sum(when(col("bucket") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("bucket") === 0, col("converted").cast("long"))
+          .otherwise(0L)).as("conv_a"),
+        sum(when(col("bucket") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("bucket") === 1, col("converted").cast("long"))
+          .otherwise(0L)).as("conv_b"))
+      .withColumn("lift", expr(ab1LiftExpr))
+      .withColumn("z", expr(ab1ZExpr))
+  }
+
+  // shared formula text — parsed by Spark AND embedded in the oracle,
+  // so the double operation order is identical by construction
+  val ab1LiftExpr: String =
+    """CASE WHEN conv_a = 0 THEN 0.0 ELSE
+      |round((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |      / (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) - 1, 6) END""".stripMargin
+  val ab1ZExpr: String =
+    """CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0.0 ELSE
+      |round(((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+      |       - (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+      |      / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |             * (1 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |             * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) END""".stripMargin
+
+  val ab1Sql: String =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' AND value > 150.0 THEN 1 ELSE 0 END) AS converted,
+       |    user_id % 2 AS bucket
+       |  FROM events GROUP BY user_id),
+       |g AS (SELECT
+       |  CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |  CAST(sum(CASE WHEN bucket = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+       |  CAST(sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |  CAST(sum(CASE WHEN bucket = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+       |FROM u)
+       |SELECT n_a, conv_a, n_b, conv_b,
+       |  $ab1LiftExpr AS lift,
+       |  $ab1ZExpr AS z
+       |FROM g""".stripMargin
+
   /** sql1_sql_api — the SQL-text front end: temp views + spark.sql()
     * running a TPC-H-Q5-shape revenue rollup whose text is (modulo
     * nothing) the same ANSI SQL the DuckDB oracle runs. Revenue is an

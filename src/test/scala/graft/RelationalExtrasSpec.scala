@@ -174,6 +174,42 @@ class RelationalExtrasSpec extends SparkSpec {
     }
   }
 
+  test("pc1 percent change replays the lag formula over exact weekly revenue") {
+    val rows = Relational.pc1PeriodOverPeriod(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    assert(rows.head.isNullAt(3) && rows.head.isNullAt(4), "first week has no prior")
+    rows.sliding(2).foreach {
+      case Array(prev, cur) =>
+        assert(cur.getDouble(3) == prev.getDouble(2), "prev_revenue chains")
+        val expect = (cur.getDouble(2) - prev.getDouble(2)) / prev.getDouble(2)
+        assert(math.abs(cur.getDouble(4) - expect) < 1e-6)
+      case _ =>
+    }
+    // total orders conserve
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
+  }
+
+  test("ab1 conversion counts, lift, and z agree with a driver-side recomputation") {
+    val r = Relational.ab1AbTest(spark, sf).head
+    val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val users = Tables.events(spark, sf)
+      .select("user_id", "event_type", "value").collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, evs) => u -> evs.exists(e =>
+        e.getString(1) == "purchase" && e.getDouble(2) > 150.0) }
+    assert(na == users.count(_._1 % 2 == 0) && nb == users.count(_._1 % 2 == 1))
+    assert(ca == users.count(kv => kv._1 % 2 == 0 && kv._2))
+    assert(cb == users.count(kv => kv._1 % 2 == 1 && kv._2))
+    val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+    val p = (ca + cb).toDouble / (na + nb)
+    // the fixture must not saturate, or the test exercises only the guard
+    assert(p > 0.0 && p < 1.0, s"degenerate conversion rate $p")
+    val z = (pa - pb) / math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(r.getDouble(4) - (pb / pa - 1)) < 1e-6)
+    assert(math.abs(r.getDouble(5) - z) < 1e-6)
+  }
+
   test("sql1 SQL-text query equals the equivalent DataFrame formulation") {
     val viaSql = Relational.sql1SqlApi(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
