@@ -1313,6 +1313,66 @@ object Relational {
       |      AS global_rank
       |  FROM lineitem) WHERE global_rank <= 1000""".stripMargin
 
+  /** rfm1_rfm_segments — RFM customer segmentation: recency (days
+    * since last order, integer), frequency (order count), monetary
+    * (EXACT decimal spend) each quintiled through the distributed
+    * global-rank shape (quintile = ((rank−1)·5) div n, pure integer
+    * arithmetic; recency ranks ascending so quintile 0 = most recent).
+    * Rolled up to segment level: members + monetary share, one double
+    * division each. The classic CRM cube, built from the same
+    * scale-safe parts as q18. */
+  def rfm1RfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val mx = o.agg(max(col("o_orderdate")).cast("date").as("__md"))
+    val per = o.groupBy("o_custkey")
+      .agg(max(col("o_orderdate")).cast("date").as("__last"),
+        count(lit(1)).as("frequency"), sum("p").as("monetary"))
+      .crossJoin(broadcast(mx))
+      .withColumn("recency", datediff(col("__md"), col("__last")))
+      .drop("__md", "__last")
+    val n = per.count()
+    def quintile(df: DataFrame, ord: Seq[org.apache.spark.sql.Column],
+                 name: String): DataFrame =
+      graft.Dist.globalRank(df, ord, s"__r_$name")
+        .withColumn(s"q_$name", expr(s"((__r_$name - 1) * 5) div $n"))
+        .drop(s"__r_$name")
+    val q3 = quintile(quintile(quintile(per,
+      Seq(col("recency").asc, col("o_custkey").asc), "r"),
+      Seq(col("frequency").desc, col("o_custkey").asc), "f"),
+      Seq(col("monetary").desc, col("o_custkey").asc), "m")
+    val tot = per.agg(sum("monetary").cast("double").as("__total"))
+    q3.crossJoin(broadcast(tot))
+      .groupBy(concat_ws("-", col("q_r"), col("q_f"), col("q_m")).as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum("monetary").cast("double").as("segment_spend"),
+        min("__total").as("__t"))
+      .select(col("segment"), col("n_customers"), col("segment_spend"),
+        round(col("segment_spend") / col("__t"), 6).as("spend_share"))
+  }
+
+  val rfm1Sql: String =
+    """WITH o AS (SELECT o_custkey, o_orderdate,
+      |             o_totalprice::DECIMAL(18,2) AS p FROM orders),
+      |mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS md FROM o),
+      |per AS (SELECT o_custkey,
+      |          datediff('day', CAST(max(o_orderdate) AS DATE), (SELECT md FROM mx)) AS recency,
+      |          count(*) AS frequency, sum(p) AS monetary
+      |        FROM o GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM per),
+      |q AS (SELECT o_custkey, monetary,
+      |        ((row_number() OVER (ORDER BY recency, o_custkey) - 1) * 5) // (SELECT n FROM n) AS q_r,
+      |        ((row_number() OVER (ORDER BY frequency DESC, o_custkey) - 1) * 5) // (SELECT n FROM n) AS q_f,
+      |        ((row_number() OVER (ORDER BY monetary DESC, o_custkey) - 1) * 5) // (SELECT n FROM n) AS q_m
+      |      FROM per),
+      |t AS (SELECT CAST(sum(monetary) AS DOUBLE) AS total FROM per)
+      |SELECT concat_ws('-', q_r, q_f, q_m) AS segment,
+      |  count(*) AS n_customers,
+      |  CAST(sum(monetary) AS DOUBLE) AS segment_spend,
+      |  round(CAST(sum(monetary) AS DOUBLE) / total, 6) AS spend_share
+      |FROM q, t GROUP BY 1, total""".stripMargin
+
   /** pc1_period_over_period — weekly revenue with percent change vs
     * the previous week: revenue is an exact DECIMAL sum per week
     * (order-independent), weeks are integer day-arithmetic from a

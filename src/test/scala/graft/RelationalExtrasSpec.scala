@@ -210,6 +210,23 @@ class RelationalExtrasSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - z) < 1e-6)
   }
 
+  test("rfm1 segments conserve customers and spend; quintiles are balanced") {
+    val rows = Relational.rfm1RfmSegments(spark, sf).collect()
+    val custCount = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == custCount)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    // every segment code is three quintile digits 0-4
+    rows.foreach { r =>
+      val parts = r.getString(0).split("-")
+      assert(parts.length == 3 && parts.forall(p => p.toInt >= 0 && p.toInt <= 4),
+        s"segment ${r.getString(0)}")
+    }
+    // each monetary quintile holds ~n/5 customers (balanced by construction)
+    val mCounts = rows.groupBy(_.getString(0).split("-")(2))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).sum }
+    assert(mCounts.values.max - mCounts.values.min <= 1)
+  }
+
   test("sql1 SQL-text query equals the equivalent DataFrame formulation") {
     val viaSql = Relational.sql1SqlApi(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
