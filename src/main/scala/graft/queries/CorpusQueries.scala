@@ -561,6 +561,37 @@ object CorpusQueries {
        |  ${polyhashS("norm")} AS norm_hash
        |FROM n""".stripMargin
 
+  // ---- d15_canonical_dedup --------------------------------------------
+
+  /** Case/punctuation-insensitive exact dedup: tn1's canonical-form
+    * polyhash as the group key, so "Hello World." and "hello world"
+    * collapse where byte-exact dedup (d1) cannot. Planted variants
+    * (doc_id < 30 re-keyed +2000000, uppercased + trailing period)
+    * must every one fold onto its base doc. Same narrow-key shuffle
+    * shape as d1: groups ship (len, hash), never the text. */
+  def d15CanonicalDedup(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select("doc_id", "text")
+    val variants = base.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(upper(col("text")), lit(".")).as("text"))
+    graft.operators.TextAnalysis.normalize(base.unionByName(variants), "text")
+      .groupBy("n_chars_norm", "norm_hash")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+  }
+
+  val d15Sql: String =
+    s"""WITH dup AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, upper(text) || '.' FROM documents WHERE doc_id < 30),
+       |n AS (SELECT doc_id,
+       |        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+       |                            ' +', ' ', 'g')) AS norm
+       |      FROM dup)
+       |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+       |FROM n GROUP BY length(norm), ${polyhashS("norm")}""".stripMargin
+
   // ---- b3_phrase_count ------------------------------------------------
 
   val Phrase = Seq("key", "agg")

@@ -1313,6 +1313,69 @@ object Relational {
       |      AS global_rank
       |  FROM lineitem) WHERE global_rank <= 1000""".stripMargin
 
+  /** nu1_new_users — growth accounting: per-day first-time users and
+    * the cumulative user count. First-seen day is a min() per user;
+    * the cumulative count is the distributed prefix scan over per-day
+    * arrivals (Dist.runningTotal) — exact integers end to end. */
+  def nu1NewUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val firstSeen = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("datediff(CAST(ts AS DATE), DATE'2024-01-01')").as("day"))
+      .groupBy("user_id").agg(min("day").as("first_day"))
+    val perDay = firstSeen.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    graft.Dist.runningTotal(perDay, Seq(col("day").asc), "new_users")
+      .withColumnRenamed("new_users_end", "cum_users")
+  }
+
+  val nu1Sql: String =
+    """WITH f AS (
+      |  SELECT user_id, min(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))) AS day
+      |  FROM events GROUP BY 1),
+      |p AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+      |SELECT day, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+      |FROM p""".stripMargin
+
+  /** chrn1_churn — weekly churn: a user active in week w churns iff
+    * absent in week w+1. The absence test is a left join against the
+    * NEXT week's membership shifted onto w (equi-join on (user, week),
+    * no inequality join); churn rate = one double division of exact
+    * counts. The final week has no successor and is excluded. */
+  def chrn1Churn(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("datediff(CAST(ts AS DATE), DATE'2024-01-01') div 7").as("week"))
+      .distinct()
+    val nextShift = pairs.select(col("user_id"),
+      (col("week") - 1).as("week"), lit(1).as("__next"))
+    val mx = pairs.agg(max("week").as("__maxw"))
+    pairs.join(nextShift, Seq("user_id", "week"), "left")
+      .crossJoin(broadcast(mx))
+      .filter(col("week") < col("__maxw"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("__next").isNull, 1L).otherwise(0L)).as("n_churned"))
+      .select(col("week"), col("n_active"), col("n_churned"),
+        round(col("n_churned").cast("double") / col("n_active").cast("double"), 6)
+          .as("churn_rate"))
+  }
+
+  val chrn1Sql: String =
+    """WITH p AS (
+      |  SELECT DISTINCT user_id,
+      |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week
+      |  FROM events),
+      |nx AS (SELECT user_id, week - 1 AS week, 1 AS nxt FROM p),
+      |mx AS (SELECT max(week) AS maxw FROM p)
+      |SELECT week, count(*) AS n_active,
+      |  CAST(sum(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+      |  round(CAST(sum(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / CAST(count(*) AS DOUBLE), 6) AS churn_rate
+      |FROM p LEFT JOIN nx USING (user_id, week), mx
+      |WHERE week < maxw
+      |GROUP BY week""".stripMargin
+
   /** rfm1_rfm_segments — RFM customer segmentation: recency (days
     * since last order, integer), frequency (order count), monetary
     * (EXACT decimal spend) each quintiled through the distributed

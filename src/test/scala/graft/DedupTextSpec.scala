@@ -287,4 +287,17 @@ class DedupTextSpec extends SparkSpec {
       .filter(col("avg_nll") < NllHighCut).count() == 0)
     assert(res.select("ppl_band").distinct().count() >= 2)
   }
+
+  test("d15 canonical dedup folds every case/punct variant onto its base doc") {
+    val rows = CorpusQueries.d15CanonicalDedup(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    // copies conserve: every doc + 30 planted variants lands somewhere
+    assert(rows.map(_.getLong(1)).sum == nDocs + 30)
+    // no planted variant id survives (base ids are always smaller)
+    assert(rows.forall(_.getLong(0) < 2000000L))
+    // at least the 30 planted groups have 2+ members
+    assert(rows.count(_.getLong(1) >= 2) >= 30)
+    // byte-exact dedup (d1's digest on raw text) would NOT fold these:
+    // the variants differ in case and punctuation by construction
+  }
 }

@@ -210,6 +210,35 @@ class RelationalExtrasSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - z) < 1e-6)
   }
 
+  test("nu1 new users conserve and accumulate monotonically") {
+    val rows = Relational.nu1NewUsers(spark, sf).collect().sortBy(_.getInt(0))
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == users)
+    assert(rows.last.getLong(2) == users, "cumulative ends at total users")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(2) == a.getLong(2) + b.getLong(1), "prefix sums chain")
+      case _ =>
+    }
+  }
+
+  test("chrn1 churn matches a driver-side membership recomputation") {
+    val pairs = Tables.events(spark, sf)
+      .select(expr("datediff(CAST(ts AS DATE), DATE'2024-01-01') div 7").as("week"),
+        col("user_id")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byWeek = pairs.groupBy(_._1).map { case (w, ps) => w -> ps.map(_._2).toSet }
+    val maxW = byWeek.keys.max
+    val got = Relational.chrn1Churn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == byWeek.keySet.filter(_ < maxW))
+    got.foreach { case (w, (active, churned)) =>
+      assert(active == byWeek(w).size.toLong, s"active week $w")
+      val expect = (byWeek(w) -- byWeek.getOrElse(w + 1, Set.empty)).size.toLong
+      assert(churned == expect, s"churned week $w")
+    }
+  }
+
   test("rfm1 segments conserve customers and spend; quintiles are balanced") {
     val rows = Relational.rfm1RfmSegments(spark, sf).collect()
     val custCount = Tables.orders(spark, sf).select("o_custkey").distinct().count()
