@@ -1313,6 +1313,71 @@ object Relational {
       |      AS global_rank
       |  FROM lineitem) WHERE global_rank <= 1000""".stripMargin
 
+  /** path1_common_journeys — journey mining: the top-10 most common
+    * 3-step event-type paths across user sequences (seq2's trigram
+    * extension). Two lead()s over one (user, time) window — one
+    * shuffle — then the global top-10 on bounded heaps. */
+  def path1CommonJourneys(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val paths = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("s1"))
+      .withColumn("s2", lead("s1", 1).over(w))
+      .withColumn("s3", lead("s1", 2).over(w))
+      .filter(col("s2").isNotNull && col("s3").isNotNull)
+      .select(concat_ws(">", col("s1"), col("s2"), col("s3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+    graft.plans.TopK.perKey(paths, Seq(),
+      Seq(col("n").desc, col("path").asc), 10, "rank")
+  }
+
+  val path1Sql: String =
+    """WITH s AS (
+      |  SELECT event_type AS s1,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s3
+      |  FROM events),
+      |c AS (SELECT concat_ws('>', s1, s2, s3) AS path, count(*) AS n FROM s
+      |      WHERE s2 IS NOT NULL AND s3 IS NOT NULL GROUP BY 1)
+      |SELECT path, n, rank FROM (
+      |  SELECT path, n, row_number() OVER (ORDER BY n DESC, path ASC) AS rank
+      |  FROM c) WHERE rank <= 10""".stripMargin
+
+  /** imp1_impute — per-group mean imputation for missing values
+    * (every 13th event's value nulled synthetically): the group mean
+    * comes from an EXACT decimal sum with one double division, so the
+    * imputed value is bit-identical in both engines — a double-sum
+    * mean would drift with aggregation order. Row count and flags are
+    * preserved (imputation, not dropping). */
+  def imp1Impute(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        when(col("event_id") % 13 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"))
+    val means = ev.filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg((sum(col("value").cast("decimal(18,2)")).cast("double")
+        / count(lit(1))).as("__mean"))
+    ev.join(broadcast(means), "event_type")
+      .select(col("event_id"), col("event_type"),
+        round(coalesce(col("value"), col("__mean")), 6).as("value_imputed"),
+        col("value").isNull.cast("int").as("was_imputed"))
+  }
+
+  val imp1Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type,
+      |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+      |  FROM events),
+      |m AS (SELECT event_type,
+      |        CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) / count(*) AS mean_v
+      |      FROM ev WHERE value IS NOT NULL GROUP BY 1)
+      |SELECT event_id, ev.event_type,
+      |  round(coalesce(value, mean_v), 6) AS value_imputed,
+      |  CASE WHEN value IS NULL THEN 1 ELSE 0 END AS was_imputed
+      |FROM ev JOIN m USING (event_type)""".stripMargin
+
   /** nu1_new_users — growth accounting: per-day first-time users and
     * the cumulative user count. First-seen day is a min() per user;
     * the cumulative count is the distributed prefix scan over per-day

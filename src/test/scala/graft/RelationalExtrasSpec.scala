@@ -239,6 +239,44 @@ class RelationalExtrasSpec extends SparkSpec {
     }
   }
 
+  test("path1 trigram paths conserve and rank by frequency") {
+    val rows = Relational.path1CommonJourneys(spark, sf).collect()
+    assert(rows.length == 10)
+    val counts = rows.sortBy(_.getInt(2)).map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, "ranked desc")
+    rows.foreach(r => assert(r.getString(0).split(">").length == 3))
+    // total trigrams = events - 2 per user (sequence ends)
+    val total = Tables.events(spark, sf).count()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    val allTri = Relational.path1CommonJourneys(spark, sf) // top-10 only; recompute full
+    val fullCount = Tables.events(spark, sf)
+      .select(col("user_id")).groupBy("user_id").count()
+      .collect().map(r => math.max(0L, r.getLong(1) - 2)).sum
+    assert(fullCount == total - 2 * users)
+  }
+
+  test("imp1 imputation fills every 13th event with its group mean, keeps the rest") {
+    val rows = Relational.imp1Impute(spark, sf).collect()
+    assert(rows.length == Tables.events(spark, sf).count())
+    val flagged = rows.filter(_.getInt(3) == 1)
+    assert(flagged.nonEmpty && flagged.forall(_.getLong(0) % 13 == 0))
+    // non-imputed rows keep their original value
+    val orig = Tables.events(spark, sf).select("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.filter(_.getInt(3) == 0).foreach { r =>
+      assert(math.abs(r.getDouble(2) - orig(r.getLong(0))) < 1e-9)
+    }
+    // imputed values equal the non-null group mean
+    val means = Tables.events(spark, sf)
+      .filter(col("event_id") % 13 =!= 0)
+      .groupBy("event_type").agg(avg("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    flagged.foreach { r =>
+      assert(math.abs(r.getDouble(2) - means(r.getString(1))) < 1e-5,
+        s"imputed mean for ${r.getString(1)}")
+    }
+  }
+
   test("rfm1 segments conserve customers and spend; quintiles are balanced") {
     val rows = Relational.rfm1RfmSegments(spark, sf).collect()
     val custCount = Tables.orders(spark, sf).select("o_custkey").distinct().count()
