@@ -149,7 +149,9 @@ object VectorQueries {
   def v6KnnIvf(s: SparkSession, d: String): DataFrame =
     VectorSearch.knnIvf(queryVecs(s, d), ivfCorpus(s, d), centroids(s, d), K, NProbe)
 
-  val v6Sql: String = {
+  /** v6's full IVF SQL with a parameterized probe width — reused by
+    * the v18 tuning curve at nprobe 1..4. */
+  private def ivfSqlWithProbe(nprobe: Int): String = {
     val centCte =
       s"cent AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < $CN)"
     val corpCte =
@@ -166,9 +168,11 @@ object VectorQueries {
        |    SELECT q.query_id, q.qv, cent.cell_id,
        |      row_number() OVER (PARTITION BY q.query_id
        |        ORDER BY ${l2S("q.qv", "cent.cv")} ASC, cent.cell_id ASC) AS crnk
-       |    FROM q, cent) WHERE crnk <= $NProbe)
+       |    FROM q, cent) WHERE crnk <= $nprobe)
        |${topkSql(s"SELECT p.query_id, a.vec_id, ${cosS("p.qv", "a.v")} AS score FROM assigned a JOIN probed p USING (cell_id)", desc = true)}""".stripMargin
   }
+
+  val v6Sql: String = ivfSqlWithProbe(NProbe)
 
   // ---- vq1: int8 scalar quantization -----------------------------------
 
@@ -888,6 +892,41 @@ object VectorQueries {
       .select(col("query_id"), col("n_overlap"),
         round(col("n_overlap").cast("double") / K, 6).as("recall"))
   }
+
+  // ---- v18: nprobe tuning curve ---------------------------------------
+
+  /** Recall@k vs nprobe (1..4) as ONE query — the knob-tuning
+    * measurement behind every IVF deployment: how much recall each
+    * extra probed cell buys. Four IVF runs of increasing width, each
+    * overlapped against the exact answer; the serving system reads
+    * this table to pick its operating point. */
+  def v18TuningCurve(s: SparkSession, d: String): DataFrame = {
+    val exact = v1KnnCos(s, d).select("query_id", "vec_id")
+    (1 to 4).map { p =>
+      val approx = VectorSearch.knnIvf(queryVecs(s, d), ivfCorpus(s, d),
+        centroids(s, d), K, p)
+        .select(col("query_id"), col("vec_id")).withColumn("__hit", lit(1L))
+      exact.join(approx, Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("__n"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+        .select(lit(p.toLong).as("nprobe"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / col("__n").cast("double"), 6)
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  // lazy: interpolates v1Sql (declared above) per arm at first use
+  lazy val v18Sql: String =
+    (1 to 4).map { p =>
+      s"""SELECT $p AS nprobe, CAST(sum(hit) AS BIGINT) AS n_overlap,
+         |  round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+         |FROM (
+         |  WITH exact AS (SELECT query_id, vec_id FROM ($v1Sql)),
+         |  approx AS (SELECT query_id, vec_id FROM (${ivfSqlWithProbe(p)}))
+         |  SELECT CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM exact e LEFT JOIN approx a
+         |    ON e.query_id = a.query_id AND e.vec_id = a.vec_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
 
   // defined after v1Sql/v6Sql: interpolating them from an earlier val
   // would embed null at object-init time (same pitfall as sp1Sql)

@@ -273,4 +273,18 @@ class VectorSpec extends SparkSpec {
       assert(math.abs(got(q)._2 - overlap.toDouble / VectorQueries.K) < 1e-9)
     }
   }
+
+  test("v18 tuning curve: recall is monotone in nprobe and tops out at v6's") {
+    val rows = VectorQueries.v18TuningCurve(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    val recalls = rows.map(_.getDouble(2))
+    recalls.zip(recalls.tail).foreach { case (a, b) =>
+      assert(b >= a, "probing more cells never loses recall") }
+    assert(recalls.last > 0.0)
+    // nprobe=4 arm must equal ev1's v6 measurement
+    val ev1Avg = VectorQueries.ev1AnnRecall(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    assert(rows.last.getLong(1) == ev1Avg)
+  }
 }
