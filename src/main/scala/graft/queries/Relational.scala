@@ -1313,6 +1313,101 @@ object Relational {
       |      AS global_rank
       |  FROM lineitem) WHERE global_rank <= 1000""".stripMargin
 
+  /** wm1_weighted_median — exact quantity-weighted median price: sort
+    * by value, distributed running-weight prefix scan
+    * (Dist.runningTotal — integer weights, never a one-task window),
+    * then the first row where 2·cum ≥ total (integer comparison, no
+    * float quantile math). The weighted complement of m1's exact
+    * percentiles. */
+  def wm1WeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice").as("price"),
+        col("l_quantity").cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+    val ord = Seq(col("price").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val cum = graft.Dist.runningTotal(li, ord, "w")
+    val tot = li.agg(sum("w").as("__tw"))
+    cum.crossJoin(broadcast(tot))
+      .filter(col("w_end") * 2 >= col("__tw"))
+      .agg(min(struct(col("price"), col("l_orderkey"), col("l_linenumber")))
+        .as("__m"), min("__tw").as("total_weight"))
+      .select(col("total_weight"), col("__m.price").as("weighted_median"))
+  }
+
+  val wm1Sql: String =
+    """WITH li AS (SELECT l_extendedprice AS price, CAST(l_quantity AS BIGINT) AS w,
+      |              l_orderkey, l_linenumber FROM lineitem),
+      |c AS (SELECT price, w, l_orderkey, l_linenumber,
+      |        sum(w) OVER (ORDER BY price, l_orderkey, l_linenumber) AS cum
+      |      FROM li),
+      |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM li)
+      |SELECT tw AS total_weight,
+      |  (SELECT min(price) FROM c, t WHERE cum * 2 >= tw) AS weighted_median
+      |FROM t""".stripMargin
+
+  /** st3_anova — one-way ANOVA F across the event-type groups: all
+    * accumulators exact (integer counts, decimal sums scaled to
+    * integers), and the single cross-group float reduction
+    * (Σ S_g²/n_g) runs as an ORDERED sequential fold over the
+    * name-sorted group array — aggregate() here, list_reduce there —
+    * so even that sum has one defined operation order in both
+    * engines. F, SSB, SSW are fixed-order double expressions. */
+  def st3Anova(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value").cast("decimal(18,2)").as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_g"),
+        (sum("v") * 100).cast("long").as("s_g"),
+        (sum(col("v") * col("v")) * 10000).cast("long").as("q_g"))
+    per.agg(collect_list(struct(col("event_type"), col("n_g"), col("s_g"),
+        col("q_g"))).as("gs"))
+      .select(
+        expr("size(gs)").as("k"),
+        expr("aggregate(gs, CAST(0 AS BIGINT), (a, g) -> a + g.n_g)").as("n"),
+        expr("aggregate(gs, CAST(0 AS BIGINT), (a, g) -> a + g.s_g)").as("__s"),
+        expr("aggregate(gs, CAST(0 AS BIGINT), (a, g) -> a + g.q_g)").as("__q"),
+        expr("""aggregate(sort_array(gs), CAST(0 AS DOUBLE), (a, g) ->
+                a + (CAST(g.s_g AS DOUBLE) / 100.0) * (CAST(g.s_g AS DOUBLE) / 100.0)
+                    / CAST(g.n_g AS DOUBLE))""").as("__b"))
+      .select(col("k"), col("n"),
+        round(col("__b") - (col("__s").cast("double") / 100.0)
+          * (col("__s").cast("double") / 100.0) / col("n").cast("double"), 4)
+          .as("ss_between"),
+        round(col("__q").cast("double") / 10000.0 - col("__b"), 4).as("ss_within"),
+        round(((col("__b") - (col("__s").cast("double") / 100.0)
+          * (col("__s").cast("double") / 100.0) / col("n").cast("double"))
+          / (col("k") - 1).cast("double"))
+          / ((col("__q").cast("double") / 10000.0 - col("__b"))
+            / (col("n") - col("k")).cast("double")), 4).as("f_stat"))
+  }
+
+  val st3Sql: String =
+    """WITH per AS (
+      |  SELECT event_type, count(*) AS n_g,
+      |    CAST(sum(value::DECIMAL(18,2)) * 100 AS BIGINT) AS s_g,
+      |    CAST(sum(value::DECIMAL(18,2) * value::DECIMAL(18,2)) * 10000 AS BIGINT) AS q_g
+      |  FROM events GROUP BY 1),
+      |g AS (SELECT list_sort(list(struct_pack(event_type := event_type,
+      |               n_g := n_g, s_g := s_g, q_g := q_g))) AS gs,
+      |        CAST(count(*) AS INT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+      |        CAST(sum(s_g) AS BIGINT) AS s, CAST(sum(q_g) AS BIGINT) AS q
+      |      FROM per),
+      |b AS (SELECT k, n, s, q,
+      |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |          list_transform(gs, g -> (CAST(struct_extract(g, 's_g') AS DOUBLE) / 100.0)
+      |            * (CAST(struct_extract(g, 's_g') AS DOUBLE) / 100.0)
+      |            / CAST(struct_extract(g, 'n_g') AS DOUBLE))),
+      |          (a, x) -> a + x) AS bb
+      |      FROM g)
+      |SELECT k, n,
+      |  round(bb - (CAST(s AS DOUBLE) / 100.0) * (CAST(s AS DOUBLE) / 100.0)
+      |        / CAST(n AS DOUBLE), 4) AS ss_between,
+      |  round(CAST(q AS DOUBLE) / 10000.0 - bb, 4) AS ss_within,
+      |  round(((bb - (CAST(s AS DOUBLE) / 100.0) * (CAST(s AS DOUBLE) / 100.0)
+      |          / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+      |        / ((CAST(q AS DOUBLE) / 10000.0 - bb) / CAST(n - k AS DOUBLE)), 4) AS f_stat
+      |FROM b""".stripMargin
+
   /** path1_common_journeys — journey mining: the top-10 most common
     * 3-step event-type paths across user sequences (seq2's trigram
     * extension). Two lead()s over one (user, time) window — one

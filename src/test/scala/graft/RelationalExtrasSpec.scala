@@ -277,6 +277,39 @@ class RelationalExtrasSpec extends SparkSpec {
     }
   }
 
+  test("wm1 weighted median equals a driver-side weighted-rank scan") {
+    val r = Relational.wm1WeightedMedian(spark, sf).head
+    val li = Tables.lineitem(spark, sf)
+      .select("l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber")
+      .collect()
+      .map(x => (x.getDouble(0), x.getDouble(1).toLong, x.getLong(2), x.getInt(3)))
+      .sortBy { case (p, _, ok, ln) => (p, ok, ln) }
+    val total = li.map(_._2).sum
+    var cum = 0L
+    val med = li.find { row => cum += row._2; cum * 2 >= total }.get._1
+    assert(r.getLong(0) == total)
+    assert(r.getDouble(1) == med)
+  }
+
+  test("st3 ANOVA F matches a driver-side recomputation") {
+    val r = Relational.st3Anova(spark, sf).head
+    val vals = Tables.events(spark, sf).select("event_type", "value").collect()
+      .map(x => x.getString(0) -> x.getDouble(1))
+    val groups = vals.groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2) }
+    val n = vals.length
+    val k = groups.size
+    val grand = vals.map(_._2).sum / n
+    val ssb = groups.values.map { vs =>
+      val m = vs.sum / vs.length; vs.length * (m - grand) * (m - grand) }.sum
+    val ssw = groups.values.map { vs =>
+      val m = vs.sum / vs.length; vs.map(v => (v - m) * (v - m)).sum }.sum
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(r.getInt(0) == k && r.getLong(1) == n.toLong)
+    assert(math.abs(r.getDouble(2) - ssb) < 0.05 * ssb + 1e-3, "ss_between")
+    assert(math.abs(r.getDouble(3) - ssw) < 1e-4 * ssw, "ss_within")
+    assert(math.abs(r.getDouble(4) - f) < 0.06 * math.abs(f) + 1e-3, "F")
+  }
+
   test("rfm1 segments conserve customers and spend; quintiles are balanced") {
     val rows = Relational.rfm1RfmSegments(spark, sf).collect()
     val custCount = Tables.orders(spark, sf).select("o_custkey").distinct().count()
