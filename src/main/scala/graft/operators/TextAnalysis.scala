@@ -309,7 +309,11 @@ object TextAnalysis {
   def normalize(docs: DataFrame, textCol: String): DataFrame = {
     val norm = trim(regexp_replace(
       regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " "))
-    docs.withColumn("__norm", norm)
+    // spread AFTER computing __norm: the Exchange materializes it into
+    // a real row field (Dist scaladoc), so the three consumers below
+    // read it O(1) instead of re-running both regexes per column — and
+    // the downstream hash fold parallelizes off the single-file scan
+    graft.Dist.spread(docs.withColumn("__norm", norm))
       .select(col("doc_id"),
         length(col("__norm")).as("n_chars_norm"),
         (col("__norm") =!= col(textCol)).cast("int").as("changed"),
