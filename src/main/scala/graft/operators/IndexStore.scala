@@ -68,6 +68,36 @@ object IndexStore {
   def currentAssignments(spark: SparkSession, path: String): DataFrame =
     Upsert.lastWriteWins(loadAssignments(spark, path), "vec_id", "version")
 
+  private def tombstonesPath(path: String) = s"$path/tombstones"
+
+  /** Tombstone deletion: record (vec_id, del_version) — metadata-sized,
+    * appended, never rewriting the assignment data (the same
+    * merge-on-read contract as upsert). A row is dead iff its version
+    * ≤ the newest tombstone for its id, so a LATER re-upsert (higher
+    * version) legitimately resurrects the vector. compact() folds the
+    * live view, after which tombstones for purged rows are inert. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+             version: Int): Unit =
+    ids.select(col("vec_id"), lit(version).as("del_version"))
+      .write.mode(SaveMode.Append).parquet(tombstonesPath(path))
+
+  /** currentAssignments minus tombstoned rows (merge-on-read view a
+    * serving query uses). The tombstone table is broadcast — it holds
+    * ids, not vectors. */
+  def liveAssignments(spark: SparkSession, path: String): DataFrame = {
+    val cur = currentAssignments(spark, path)
+    val tp = new org.apache.hadoop.fs.Path(tombstonesPath(path))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tp)) cur
+    else {
+      val ts = spark.read.parquet(tombstonesPath(path))
+        .groupBy("vec_id").agg(max("del_version").as("__del_v"))
+      cur.join(broadcast(ts), Seq("vec_id"), "left")
+        .filter(col("__del_v").isNull || col("version") > col("__del_v"))
+        .drop("__del_v")
+    }
+  }
+
   /** Fold accumulated deltas into a single epoch: rewrite the merged
     * view. Writes to a scratch dir first (Spark cannot overwrite a
     * path it is reading), then swaps: the OLD table is renamed aside
@@ -127,7 +157,7 @@ object IndexStore {
     * first and use queryCompacted. */
   def query(spark: SparkSession, path: String, queries: DataFrame,
             k: Int, nprobe: Int): DataFrame =
-    VectorSearch.knnIvfAssigned(queries, currentAssignments(spark, path),
+    VectorSearch.knnIvfAssigned(queries, liveAssignments(spark, path),
       loadCentroids(spark, path), k, nprobe)
 
   /** Serve from a COMPACTED index with the probe cells as literals:

@@ -893,6 +893,85 @@ object VectorQueries {
         round(col("n_overlap").cast("double") / K, 6).as("recall"))
   }
 
+  // ---- v20: metadata-filtered IVF -------------------------------------
+
+  /** Filtered ANN at scale — v4's metadata predicate composed with the
+    * v6 IVF probe: the label filter applies to the assignment table
+    * BEFORE any scoring (pre-filtering inside the probed cells), so
+    * candidate work is bounded by cell population × selectivity, and a
+    * fully-filtered-out cell costs nothing. The pre-vs-post-filter
+    * choice is THE serving decision for filtered vector search; this
+    * is the pre-filter shape. */
+  def v20FilteredIvf(s: SparkSession, d: String): DataFrame = {
+    val corpusWithLabel = Tables.embeddings(s, d).filter(col("vec_id") >= CN)
+      .select(col("vec_id"), col("embedding").as("v"), col("label"))
+    val assigned = VectorSearch.assignCells(corpusWithLabel, centroids(s, d))
+      .filter(col("label").isin(2, 3, 4))
+    VectorSearch.knnIvfAssigned(queryVecs(s, d), assigned,
+      centroids(s, d), K, NProbe)
+  }
+
+  val v20Sql: String = {
+    val centCte =
+      s"cent AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < $CN)"
+    val corpCte =
+      s"corp AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings WHERE vec_id >= $CN)"
+    s"""WITH $qCte, $centCte, $corpCte,
+       |assigned AS (
+       |  SELECT vec_id, v, cell_id FROM (
+       |    SELECT corp.vec_id, corp.v, corp.label, cent.cell_id,
+       |      row_number() OVER (PARTITION BY corp.vec_id
+       |        ORDER BY ${l2S("corp.v", "cent.cv")} ASC, cent.cell_id ASC) AS crnk
+       |    FROM corp, cent) WHERE crnk = 1 AND label IN (2, 3, 4)),
+       |probed AS (
+       |  SELECT query_id, qv, cell_id FROM (
+       |    SELECT q.query_id, q.qv, cent.cell_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${l2S("q.qv", "cent.cv")} ASC, cent.cell_id ASC) AS crnk
+       |    FROM q, cent) WHERE crnk <= $NProbe)
+       |${topkSql(s"SELECT p.query_id, a.vec_id, ${cosS("p.qv", "a.v")} AS score FROM assigned a JOIN probed p USING (cell_id)", desc = true)}""".stripMargin
+  }
+
+  // ---- del1: index deletion with tombstones ---------------------------
+
+  /** Index lifecycle: build → tombstone-delete every 7th vector →
+    * re-upsert every 14th at a higher version (resurrection). The
+    * merge-on-read live view must show exactly: all non-deleted
+    * version-0 rows plus the resurrected version-2 rows. */
+  def del1IndexDelete(s: SparkSession, d: String): DataFrame = {
+    val path = indexPath(d, "del1")
+    // fresh build each run: stale tombstones from a previous run would
+    // otherwise stack onto the new epoch
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    graft.operators.IndexStore.build(ivfCorpus(s, d), centroids(s, d), path)
+    graft.operators.IndexStore.delete(s, path,
+      ivfCorpus(s, d).filter(col("vec_id") % 7 === 0).select("vec_id"), 1)
+    val resurrect = ivfCorpus(s, d).filter(col("vec_id") % 14 === 0)
+      .select(col("vec_id"), col("v"), lit(2).as("version"))
+    graft.operators.IndexStore.upsert(s, path, resurrect)
+    graft.operators.IndexStore.liveAssignments(s, path)
+      .select("vec_id", "cell_id", "version")
+  }
+
+  val del1Sql: String = {
+    val centCte =
+      s"cent AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < $CN)"
+    val corpCte =
+      s"corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= $CN)"
+    s"""WITH $centCte, $corpCte,
+       |assigned AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT corp.vec_id, cent.cell_id,
+       |      row_number() OVER (PARTITION BY corp.vec_id
+       |        ORDER BY ${l2S("corp.v", "cent.cv")} ASC, cent.cell_id ASC) AS crnk
+       |    FROM corp, cent) WHERE crnk = 1)
+       |SELECT vec_id, cell_id, 0 AS version FROM assigned WHERE vec_id % 7 <> 0
+       |UNION ALL
+       |SELECT vec_id, cell_id, 2 AS version FROM assigned WHERE vec_id % 14 = 0""".stripMargin
+  }
+
   // ---- v18: nprobe tuning curve ---------------------------------------
 
   /** Recall@k vs nprobe (1..4) as ONE query — the knob-tuning

@@ -124,4 +124,40 @@ class IndexStoreSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [") && plan.contains("cell_id"),
       s"no partition filter in scan:\n$plan")
   }
+
+  test("tombstone delete hides rows, re-upsert resurrects, compact purges") {
+    val dpath = java.nio.file.Files.createTempDirectory("graft_del_spec").toString
+    val session = spark
+    import session.implicits._
+    IndexStore.build(
+      VectorQueries.ivfCorpus(spark, sf), VectorQueries.centroids(spark, sf), dpath)
+    val all = IndexStore.liveAssignments(spark, dpath)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val victims = all.toSeq.sorted.take(10)
+    IndexStore.delete(spark, dpath, victims.toDF("vec_id"), version = 1)
+    val afterDel = IndexStore.liveAssignments(spark, dpath)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(afterDel == all -- victims, "deleted ids must disappear")
+    // resurrection: re-upsert two victims at a higher version
+    val back = VectorQueries.ivfCorpus(spark, sf)
+      .filter(col("vec_id").isin(victims.take(2): _*))
+      .select(col("vec_id"), col("v"), lit(2).as("version"))
+    IndexStore.upsert(spark, dpath, back)
+    val afterUp = IndexStore.liveAssignments(spark, dpath)
+      .select("vec_id", "version").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(victims.take(2).forall(v => afterUp.get(v).contains(2)),
+      "higher-version upsert resurrects")
+    assert(victims.drop(2).forall(v => !afterUp.contains(v)))
+    // compact folds the live view; tombstones become inert
+    IndexStore.compact(spark, dpath)
+    val afterCompact = IndexStore.liveAssignments(spark, dpath)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(afterCompact == afterUp.keySet)
+    // query() serves from the live view: no deleted id can be returned
+    val served = IndexStore.query(spark, dpath,
+      VectorQueries.queryVecs(spark, sf), VectorQueries.K, VectorQueries.NProbe)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((served intersect victims.drop(2).toSet).isEmpty)
+  }
 }

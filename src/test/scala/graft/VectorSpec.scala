@@ -287,4 +287,22 @@ class VectorSpec extends SparkSpec {
       .map(_.getLong(1)).sum
     assert(rows.last.getLong(1) == ev1Avg)
   }
+
+  test("v20 filtered IVF returns only allowed labels from probed cells") {
+    val labels = Tables.embeddings(spark, sf).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = VectorQueries.v20FilteredIvf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(Set(2, 3, 4).contains(labels(r.getLong(1))),
+      s"label leak for candidate ${r.getLong(1)}"))
+    // pre-filtering equals post-filtering the unfiltered IVF candidates
+    // only when k survivors exist — here just check v20's winners are a
+    // subset of v6's probed cells' allowed members re-ranked: every v20
+    // hit must score <= the unfiltered v6 rank-1 score for its query
+    val v6Top = VectorQueries.v6KnnIvf(spark, sf).collect()
+      .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.filter(_.getInt(3) == 1).foreach { r =>
+      assert(r.getDouble(2) <= v6Top(r.getLong(0)) + 1e-9)
+    }
+  }
 }
