@@ -1313,6 +1313,33 @@ object Relational {
       |      AS global_rank
       |  FROM lineitem) WHERE global_rank <= 1000""".stripMargin
 
+  /** cg1_cogroup — the TYPED cogroup surface
+    * (KeyValueGroupedDataset.cogroup): both sides grouped on the key,
+    * one function sees each key's two iterators — the escape hatch
+    * for per-key merge logic no join can express (here: paired
+    * order/event counts, trivially verifiable). Shuffles each side
+    * once on the key, like a join, with arbitrary Scala inside. */
+  def cg1Cogroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("key")).as[Long]
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id").as("key")).as[Long]
+    orders.groupByKey(identity)
+      .cogroup(events.groupByKey(identity)) { (k, os, es) =>
+        Iterator((k, os.size.toLong, es.size.toLong))
+      }
+      .toDF("key", "n_orders", "n_events")
+  }
+
+  val cg1Sql: String =
+    """WITH o AS (SELECT o_custkey AS key, count(*) AS n_orders FROM orders GROUP BY 1),
+      |e AS (SELECT user_id AS key, count(*) AS n_events FROM events GROUP BY 1)
+      |SELECT coalesce(o.key, e.key) AS key,
+      |  coalesce(n_orders, 0) AS n_orders,
+      |  coalesce(n_events, 0) AS n_events
+      |FROM o FULL OUTER JOIN e ON o.key = e.key""".stripMargin
+
   /** wm1_weighted_median — exact quantity-weighted median price: sort
     * by value, distributed running-weight prefix scan
     * (Dist.runningTotal — integer weights, never a one-task window),

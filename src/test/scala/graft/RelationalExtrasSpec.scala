@@ -277,6 +277,16 @@ class RelationalExtrasSpec extends SparkSpec {
     }
   }
 
+  test("cg1 typed cogroup counts both sides per key, including one-sided keys") {
+    val rows = Relational.cg1Cogroup(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.values.map(_._1).sum == Tables.orders(spark, sf).count())
+    assert(rows.values.map(_._2).sum == Tables.events(spark, sf).count())
+    // keys present on only one side appear with a zero on the other
+    assert(rows.values.exists { case (o, e) => o > 0 && e == 0 })
+    assert(rows.values.forall { case (o, e) => o > 0 || e > 0 })
+  }
+
   test("wm1 weighted median equals a driver-side weighted-rank scan") {
     val r = Relational.wm1WeightedMedian(spark, sf).head
     val li = Tables.lineitem(spark, sf)
