@@ -566,13 +566,16 @@ object CorpusQueries {
   /** Case/punctuation-insensitive exact dedup: tn1's canonical-form
     * polyhash as the group key, so "Hello World." and "hello world"
     * collapse where byte-exact dedup (d1) cannot. Planted variants
-    * (doc_id < 30 re-keyed +2000000, uppercased + trailing period)
-    * must every one fold onto its base doc. Same narrow-key shuffle
-    * shape as d1: groups ship (len, hash), never the text. */
+    * (doc_id < 30, uppercased + trailing period) are re-keyed above
+    * max(doc_id) — cdc1's scale-safe re-keying; a fixed +2e6 offset
+    * would collide with real ids once the corpus passes 2M docs —
+    * and must every one fold onto its base doc. Same narrow-key
+    * shuffle shape as d1: groups ship (len, hash), never the text. */
   def d15CanonicalDedup(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d).select("doc_id", "text")
+    val maxId = base.agg(max("doc_id")).head.getLong(0)
     val variants = base.filter(col("doc_id") < 30)
-      .select((col("doc_id") + 2000000L).as("doc_id"),
+      .select((col("doc_id") + lit(maxId) + 1L).as("doc_id"),
         concat(upper(col("text")), lit(".")).as("text"))
     graft.operators.TextAnalysis.normalize(base.unionByName(variants), "text")
       .groupBy("n_chars_norm", "norm_hash")
@@ -581,10 +584,11 @@ object CorpusQueries {
   }
 
   val d15Sql: String =
-    s"""WITH dup AS (
+    s"""WITH mk AS (SELECT max(doc_id) + 1 AS mk FROM documents),
+       |dup AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 2000000, upper(text) || '.' FROM documents WHERE doc_id < 30),
+       |  SELECT doc_id + mk, upper(text) || '.' FROM documents, mk WHERE doc_id < 30),
        |n AS (SELECT doc_id,
        |        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
        |                            ' +', ' ', 'g')) AS norm

@@ -1985,7 +1985,10 @@ object Relational {
     * cohorts don't depend on either engine's week-truncation locale;
     * retention is one double division of two exact integers. All
     * per-user work (first week, membership) keys user_id — one shuffle
-    * key end-to-end before the small (cohort, offset) rollup. */
+    * key end-to-end before the small (cohort, offset) rollup.
+    * PRECONDITION (also nu1/chrn1/ra1): the epoch base precedes every
+    * event — a pre-epoch timestamp would hit the floor-vs-truncate
+    * integer-division split between engines on negative days. */
   def coh1Cohort(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"),
