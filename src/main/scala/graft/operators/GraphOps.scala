@@ -163,6 +163,41 @@ object GraphOps {
     pr.select(col("id").as("doc_id"), col("pr"))
   }
 
+  /** BFS hop distances from a set of seed nodes over an undirected
+    * edge list: classic frontier expansion — each round the current
+    * frontier's neighbors that have no distance yet join at dist+1
+    * (one equi-join + one anti-join per round, shuffles on node ids,
+    * lineage cut per round). Rounds = eccentricity of the seed set,
+    * bounded by `maxIter`; unreachable nodes are absent from the
+    * output, exactly like the recursive-CTE oracle. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame,
+              maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var visited = seeds.select(col("doc_id").as("id"))
+      .distinct().withColumn("hops", lit(0L)).localCheckpoint()
+    var frontier = visited
+    var round = 0
+    var grew = true
+    while (grew && round < maxIter) {
+      round += 1
+      val next = sym.join(frontier.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"))
+        .distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .withColumn("hops", lit(round.toLong))
+        .localCheckpoint()
+      grew = next.limit(1).count() > 0
+      if (grew) {
+        visited = visited.unionAll(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    visited
+  }
+
   /** Exact per-node triangle counts over a canonical (id_a < id_b)
     * undirected edge list. A wedge join (e1.id_b = e2.id_a yields
     * ordered a<b<c paths) closed by an equi-join back onto the (a, c)

@@ -1125,6 +1125,31 @@ object CorpusQueries {
        |            UNION ALL SELECT c FROM tri)
        |SELECT doc_id, count(*) AS n_triangles FROM corners GROUP BY 1""".stripMargin
 
+  // ---- g3_bfs_hops ----------------------------------------------------
+
+  /** BFS hop distances from the smallest near-dup-graph node — "how
+    * many similarity steps away is every related doc" (the
+    * neighborhood-radius view the dedup triage UI shows). Frontier
+    * expansion, one equi-join + anti-join per round, rounds bounded by
+    * the component's eccentricity. Unreachable docs are absent. */
+  def g3BfsHops(s: SparkSession, d: String): DataFrame = {
+    val pairs = d2NgramJaccard(s, d).select("id_a", "id_b").localCheckpoint()
+    val seed = pairs.agg(min("id_a").as("doc_id"))
+    graft.operators.GraphOps.bfsHops(pairs, seed)
+      .select(col("id").as("doc_id"), col("hops"))
+  }
+
+  val g3Sql: String =
+    s"""WITH RECURSIVE $pairGraphCtes,
+       |seed AS (SELECT min(id_a) AS s FROM pairs),
+       |reach(id, hops) AS (
+       |  SELECT s, 0 FROM seed
+       |  UNION
+       |  SELECT e.dst, r.hops + 1 FROM reach r JOIN sym e ON r.id = e.src
+       |  WHERE r.hops < 20)
+       |SELECT id AS doc_id, CAST(min(hops) AS BIGINT) AS hops
+       |FROM reach GROUP BY 1""".stripMargin
+
   // ---- d13_containment ------------------------------------------------
 
   val ContainMin = 0.8

@@ -82,4 +82,18 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(t == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("bfsHops: exact layer distances on a path + unreachable component absent") {
+    import spark.implicits._
+    // path 1-2-3-4, separate pair 8-9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L)).toDF("id_a", "id_b")
+    val seeds = Seq(1L).toDF("doc_id")
+    val hops = GraphOps.bfsHops(edges, seeds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hops == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // multi-seed: nearest seed wins
+    val two = GraphOps.bfsHops(edges, Seq(1L, 4L).toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
 }
