@@ -153,6 +153,30 @@ object Demo {
       s"${funnel.getLong(1)} clickers -> ${funnel.getLong(2)} buyers " +
       s"(view->click ${funnel.getDouble(3)}, click->purchase ${funnel.getDouble(4)})")
 
+    // 12. the binary retrieval tier (round 6): 16-byte sign codes,
+    //     XOR+popcount shortlist, exact rescore of only the survivors —
+    //     overlap measured against the exact answer for the SAME queries
+    val binHits = queries.VectorQueries.v17HammingRescore(spark, sfDir)
+    val exactSame = queries.VectorQueries.v1KnnCos(spark, sfDir)
+      .select("query_id", "vec_id")
+    val binOverlap = binHits.select("query_id", "vec_id")
+      .intersect(exactSame).count()
+    println(f"binary tier: Hamming-shortlist+rescore top-5 overlap " +
+      f"${binOverlap.toDouble / exactSame.count()}%.2f (32x smaller scan)")
+
+    // 13. index-quality regression + operating point (round 6)
+    val curve = queries.VectorQueries.v18TuningCurve(spark, sfDir)
+      .orderBy("nprobe").collect()
+      .map(r => s"nprobe=${r.getLong(0)}:${r.getDouble(2)}")
+    println(s"IVF tuning curve: ${curve.mkString("  ")}")
+
+    // 14. canonical-form dedup + source capping: the crawl-hygiene pass
+    val canon = queries.CorpusQueries.d15CanonicalDedup(spark, sfDir)
+    val folded = canon.filter(col("n_copies") >= 2).count()
+    val capped = queries.CorpusQueries.dc1SourceCap(spark, sfDir).count()
+    println(s"crawl hygiene: $folded canonical-dup groups folded; " +
+      s"source cap keeps $capped docs")
+
     println("=" * 70)
     println("demo complete")
     spark.stop()
