@@ -131,4 +131,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       s"fingerprint should need only the single-partition final merge:\n$p")
   }
+
+  test("ord1 global rank serves from checkpointed partials + pid offsets, no window") {
+    val p = plan(graft.queries.Relational.ord1GlobalRank(spark, sf))
+    // the range-partition + per-partition window live inside the
+    // checkpointed sub-plan (Scan ExistingRDD); the SERVING plan is a
+    // pure map: local rank + a codegen'd __pid offset chain — in
+    // particular NO window at all, so nothing funnels into one task
+    assert(p.contains("Scan ExistingRDD"), s"missing checkpointed partials:\n$p")
+    assert(p.contains("__pid"), s"missing partition-offset shift:\n$p")
+    assert(!p.contains("Window"), s"serving plan must not re-window:\n$p")
+  }
+
+  test("q18 deciles rank DECIMAL spend, not a double sum") {
+    val q = graft.queries.Relational.q18Deciles(spark, sf)
+    val analyzed = q.queryExecution.analyzed.toString
+    assert(analyzed.contains("decimal(18,2)"),
+      s"per-customer spend must be an exact decimal:\n$analyzed")
+  }
 }
