@@ -1313,6 +1313,60 @@ object Relational {
       |      AS global_rank
       |  FROM lineitem) WHERE global_rank <= 1000""".stripMargin
 
+  /** mb1_market_basket — association mining over order baskets: for
+    * every unordered part pair co-occurring in an order, support
+    * counts, lift = pair·N/(c_a·c_b), and both directed confidences —
+    * every statistic exact integers with one double division (wc1's
+    * policy, different domain). Pair generation explodes per-order
+    * part sets map-side (baskets are small — pair volume is
+    * Σ|basket|², not N²); the top-20 rides bounded heaps. */
+  def mb1MarketBasket(spark: SparkSession, sfDir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val parts = baskets.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+    val nOrders = baskets.select("l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"), "l_orderkey")
+      .filter(col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("pair_support"))
+    val scored = pairs
+      .join(parts.select(col("l_partkey").as("part_a"), col("c").as("c_a")), "part_a")
+      .join(parts.select(col("l_partkey").as("part_b"), col("c").as("c_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("pair_support"),
+        round((col("pair_support") * col("n_orders")).cast("double")
+          / (col("c_a") * col("c_b")).cast("double"), 6).as("lift"),
+        round(col("pair_support").cast("double") / col("c_a").cast("double"), 6)
+          .as("conf_a_to_b"),
+        round(col("pair_support").cast("double") / col("c_b").cast("double"), 6)
+          .as("conf_b_to_a"))
+    graft.plans.TopK.perKey(scored, Seq(),
+      Seq(col("pair_support").desc, col("part_a").asc, col("part_b").asc),
+      20, "rank")
+  }
+
+  val mb1Sql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p AS (SELECT l_partkey, count(*) AS c FROM b GROUP BY 1),
+      |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),
+      |pr AS (SELECT a.l_partkey AS part_a, bb.l_partkey AS part_b,
+      |         count(*) AS pair_support
+      |       FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey
+      |         AND a.l_partkey < bb.l_partkey
+      |       GROUP BY 1, 2),
+      |s AS (SELECT part_a, part_b, pair_support,
+      |        round(CAST(pair_support * n_orders AS DOUBLE)
+      |              / CAST(ca.c * cb.c AS DOUBLE), 6) AS lift,
+      |        round(CAST(pair_support AS DOUBLE) / CAST(ca.c AS DOUBLE), 6) AS conf_a_to_b,
+      |        round(CAST(pair_support AS DOUBLE) / CAST(cb.c AS DOUBLE), 6) AS conf_b_to_a
+      |      FROM pr JOIN p ca ON pr.part_a = ca.l_partkey
+      |              JOIN p cb ON pr.part_b = cb.l_partkey CROSS JOIN n)
+      |SELECT part_a, part_b, pair_support, lift, conf_a_to_b, conf_b_to_a, rank FROM (
+      |  SELECT *, row_number() OVER (ORDER BY pair_support DESC, part_a, part_b) AS rank
+      |  FROM s) WHERE rank <= 20""".stripMargin
+
   /** cg1_cogroup — the TYPED cogroup surface
     * (KeyValueGroupedDataset.cogroup): both sides grouped on the key,
     * one function sees each key's two iterators — the escape hatch

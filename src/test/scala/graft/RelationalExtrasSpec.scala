@@ -277,6 +277,27 @@ class RelationalExtrasSpec extends SparkSpec {
     }
   }
 
+  test("mb1 market basket: supports and lift agree with a driver-side recount") {
+    val rows = Relational.mb1MarketBasket(spark, sf).collect()
+    assert(rows.length == 20)
+    val baskets = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = baskets.groupBy(_._1).map { case (o, ps) => o -> ps.map(_._2).toSet }
+    val partCount = baskets.groupBy(_._2).map { case (p, os) => p -> os.length.toLong }
+    val nOrders = byOrder.size.toLong
+    rows.foreach { r =>
+      val (a, b, sup) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a < b)
+      val expect = byOrder.values.count(s => s.contains(a) && s.contains(b)).toLong
+      assert(sup == expect, s"support for ($a,$b)")
+      val lift = sup.toDouble * nOrders / (partCount(a) * partCount(b))
+      assert(math.abs(r.getDouble(3) - lift) < 1e-5, s"lift for ($a,$b)")
+      assert(math.abs(r.getDouble(4) - sup.toDouble / partCount(a)) < 1e-6)
+      assert(math.abs(r.getDouble(5) - sup.toDouble / partCount(b)) < 1e-6)
+    }
+  }
+
   test("cg1 typed cogroup counts both sides per key, including one-sided keys") {
     val rows = Relational.cg1Cogroup(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
