@@ -1313,6 +1313,48 @@ object Relational {
       |      AS global_rank
       |  FROM lineitem) WHERE global_rank <= 1000""".stripMargin
 
+  /** cp1_change_point — CUSUM change-point detection over weekly
+    * revenue: the classic "where did the level shift" scan. The CUSUM
+    * at week k is prefix_k − k·mean; multiplying by n_weeks makes it
+    * INTEGER in cents (n·cusum_k = n·prefix_k − k·total), so the
+    * argmax — the detected change week — is exact integer comparison,
+    * no float accumulation anywhere. Weekly prefix sums ride the
+    * distributed prefix scan; the final report normalizes once. */
+  def cp1ChangePoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekly = Tables.orders(spark, sfDir)
+      .select(expr("datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') div 7")
+        .as("week"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy("week").agg(sum("cents").as("rev"))
+    val cum = graft.Dist.runningTotal(weekly, Seq(col("week").asc), "rev")
+    val tot = weekly.agg(sum("rev").as("__total"), count(lit(1)).as("__n"))
+    val scored = graft.Dist.globalRank(cum, Seq(col("week").asc), "__rank")
+      .crossJoin(broadcast(tot))
+      .withColumn("score",
+        abs(col("rev_end") * col("__n") - col("__rank") * col("__total")))
+    graft.plans.TopK.perKey(
+      scored.select("week", "score", "__n", "__total"), Seq(),
+      Seq(col("score").desc, col("week").asc), 1)
+      .select(col("week").as("change_week"), col("score").as("cusum_num"),
+        round(col("score").cast("double")
+          / (col("__n") * lit(100L)).cast("double"), 2).as("cusum_dollars"))
+  }
+
+  val cp1Sql: String =
+    """WITH weekly AS (
+      |  SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) // 7 AS week,
+      |    CAST(sum(CAST(o_totalprice::DECIMAL(18,2) * 100 AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |c AS (SELECT week, rev,
+      |        CAST(sum(rev) OVER (ORDER BY week) AS BIGINT) AS rev_end,
+      |        CAST(row_number() OVER (ORDER BY week) AS BIGINT) AS rnk
+      |      FROM weekly),
+      |t AS (SELECT CAST(sum(rev) AS BIGINT) AS total, count(*) AS n FROM weekly),
+      |s AS (SELECT week, abs(rev_end * n - rnk * total) AS score, n FROM c, t)
+      |SELECT week AS change_week, score AS cusum_num,
+      |  round(CAST(score AS DOUBLE) / CAST(n * 100 AS DOUBLE), 2) AS cusum_dollars
+      |FROM s ORDER BY score DESC, week LIMIT 1""".stripMargin
+
   /** mb1_market_basket — association mining over order baskets: for
     * every unordered part pair co-occurring in an order, support
     * counts, lift = pair·N/(c_a·c_b), and both directed confidences —

@@ -277,6 +277,38 @@ class RelationalExtrasSpec extends SparkSpec {
     }
   }
 
+  test("cp1 change point: argmax CUSUM matches a driver recomputation; planted shift found") {
+    val r = Relational.cp1ChangePoint(spark, sf).head
+    val weekly = Tables.orders(spark, sf)
+      .select(expr("datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') div 7").as("w"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy("w").agg(sum("c").as("rev")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).sortBy(_._1)
+    val total = weekly.map(_._2).sum
+    val n = weekly.length.toLong
+    var cum = 0L
+    val scores = weekly.zipWithIndex.map { case ((wk, rev), i) =>
+      cum += rev
+      (wk, math.abs(cum * n - (i + 1) * total))
+    }
+    val best = scores.minBy { case (wk, s) => (-s, wk) }
+    assert(r.getLong(0) == best._1 && r.getLong(1) == best._2)
+    // a hand series with an obvious level shift pinpoints it
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cp1spec").toString
+    val rows = (0 until 20).map { i =>
+      val wk = java.sql.Timestamp.valueOf(s"1995-01-01 00:00:00").getTime +
+        i.toLong * 7 * 86400000L
+      val price = if (i < 10) 100.0 else 200.0 // shift at week 10
+      (i.toLong, 1L, "O", price, new java.sql.Timestamp(wk), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    rows.write.parquet(s"$dir/orders.parquet")
+    val planted = Relational.cp1ChangePoint(spark, dir).head
+    assert(planted.getLong(0) == 9L,
+      s"CUSUM peaks at the last pre-shift week, got ${planted.getLong(0)}")
+  }
+
   test("mb1 market basket: supports and lift agree with a driver-side recount") {
     val rows = Relational.mb1MarketBasket(spark, sf).collect()
     assert(rows.length == 20)
