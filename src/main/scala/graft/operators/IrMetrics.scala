@@ -72,6 +72,27 @@ object IrMetrics {
       .select(col("query_id"),
         round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("rr"))
 
+  /** Per-group equi-depth quartile banding: rows bucket by the exact
+    * interpolated q25/q50/q75 cuts (UNROUNDED in the comparisons, so
+    * band membership is bit-deterministic), then per-(group, band)
+    * counts — the equi-depth histogram m5's fixed-width version
+    * can't give on skewed values. */
+  def quartileDepth(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val cuts = df.groupBy(groupCol)
+      .agg(array_sort(collect_list(col(valueCol))).as("s"), count(lit(1)).as("n"))
+      .select(col(groupCol), interpRaw(col("s"), col("n"), 0.25).as("__c1"),
+        interpRaw(col("s"), col("n"), 0.50).as("__c2"),
+        interpRaw(col("s"), col("n"), 0.75).as("__c3"))
+    df.join(broadcast(cuts), groupCol)
+      .withColumn("band",
+        when(col(valueCol) <= col("__c1"), 0)
+          .when(col(valueCol) <= col("__c2"), 1)
+          .when(col(valueCol) <= col("__c3"), 2)
+          .otherwise(3))
+      .groupBy(groupCol, "band").agg(count(lit(1)).as("n_rows"))
+  }
+
   /** Distributed two-sample Kolmogorov–Smirnov test: D = max over the
     * pooled support of |ECDF_a − ECDF_b|, computed as the EXACT
     * integer max |cumA·n_b − cumB·n_a| over per-value cumulative

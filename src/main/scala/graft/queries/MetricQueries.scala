@@ -127,6 +127,36 @@ object MetricQueries {
        |FROM events e JOIN cuts c USING (event_type)""".stripMargin
   }
 
+  // ---- qd1_quartile_depth ---------------------------------------------
+
+  /** Equi-depth quartile banding of event values per type. */
+  def qd1QuartileDepth(s: SparkSession, d: String): DataFrame =
+    IrMetrics.quartileDepth(
+      Tables.events(s, d).select("event_type", "value"), "event_type", "value")
+
+  val qd1Sql: String = {
+    def raw(q: String) =
+      s"""CASE WHEN (n - 1)::DOUBLE * $q - floor((n - 1)::DOUBLE * $q) = 0.0
+         |  THEN s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1]
+         |  ELSE s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1]
+         |     + (s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 2]
+         |        - s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1])
+         |       * ((n - 1)::DOUBLE * $q - floor((n - 1)::DOUBLE * $q))
+         |  END""".stripMargin
+    s"""WITH g AS (SELECT event_type, list_sort(list(value)) AS s, count(*) AS n
+       |           FROM events GROUP BY 1),
+       |cuts AS (SELECT event_type, ${raw("0.25")} AS c1, ${raw("0.50")} AS c2,
+       |                ${raw("0.75")} AS c3 FROM g)
+       |SELECT e.event_type,
+       |  CASE WHEN e.value <= c.c1 THEN 0
+       |       WHEN e.value <= c.c2 THEN 1
+       |       WHEN e.value <= c.c3 THEN 2
+       |       ELSE 3 END AS band,
+       |  count(*) AS n_rows
+       |FROM events e JOIN cuts c USING (event_type)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   // ---- st2_ks_test ----------------------------------------------------
 
   /** Two-sample KS statistic between click and view value

@@ -1313,6 +1313,51 @@ object Relational {
       |      AS global_rank
       |  FROM lineitem) WHERE global_rank <= 1000""".stripMargin
 
+  /** hb1_ewma — integer-exact exponential smoothing of weekly revenue
+    * (α = 1/2): sₖ = (sₖ₋₁ + xₖ) div 2 in CENTS — a float-decay EWMA
+    * never hashes across engines, integer halving does. The recurrence
+    * is inherently sequential, but the series is calendar-bounded
+    * metadata: the weekly aggregate collapses to ONE row whose ordered
+    * fold (aggregate() with an array accumulator here, a recursive CTE
+    * there) costs nothing at any data scale — the 100 TB work is the
+    * weekly rollup feeding it. */
+  def hb1Ewma(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekly = Tables.orders(spark, sfDir)
+      .select(expr("datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') div 7")
+        .as("week"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy("week").agg(sum("cents").as("rev"))
+    weekly.agg(sort_array(collect_list(struct(col("week"), col("rev")))).as("ws"))
+      .select(expr(
+        """arrays_zip(ws, aggregate(ws,
+          |  named_struct('s', CAST(0 AS BIGINT),
+          |               'out', CAST(array() AS ARRAY<BIGINT>)),
+          |  (acc, x) -> named_struct(
+          |    's', (acc.s + x.rev) div 2,
+          |    'out', concat(acc.out, array((acc.s + x.rev) div 2))),
+          |  acc -> acc.out))""".stripMargin).as("z"))
+      .select(explode(col("z")).as("r"))
+      .select(col("r.ws.week").as("week"), col("r.ws.rev").as("rev"),
+        col("r.1").as("smoothed"))
+  }
+
+  val hb1Sql: String =
+    """WITH RECURSIVE weekly AS (
+      |  SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) // 7 AS week,
+      |    CAST(sum(CAST(o_totalprice::DECIMAL(18,2) * 100 AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |l AS (SELECT list_sort(list(struct_pack(week := week, rev := rev))) AS ws,
+      |        count(*) AS n FROM weekly),
+      |r(i, s) AS (
+      |  SELECT 1, struct_extract(ws[1], 'rev') // 2 FROM l
+      |  UNION ALL
+      |  SELECT i + 1, (s + struct_extract(ws[i + 1], 'rev')) // 2
+      |  FROM r, l WHERE i < n)
+      |SELECT struct_extract(ws[i], 'week') AS week,
+      |  struct_extract(ws[i], 'rev') AS rev,
+      |  CAST(s AS BIGINT) AS smoothed
+      |FROM r, l""".stripMargin
+
   /** cp1_change_point — CUSUM change-point detection over weekly
     * revenue: the classic "where did the level shift" scan. The CUSUM
     * at week k is prefix_k − k·mean; multiplying by n_weeks makes it

@@ -157,4 +157,16 @@ class MetricsSpec extends SparkSpec {
     val r0 = graft.operators.IrMetrics.ksTest(same, "g", "value", "x", "y").head
     assert(r0.getLong(2) == 0L && r0.getDouble(3) == 0.0)
   }
+
+  test("qd1 quartile bands are equi-depth and conserve every row") {
+    val rows = MetricQueries.qd1QuartileDepth(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      assert(rs.map(_.getInt(1)).toSet == Set(0, 1, 2, 3), s"bands for $t")
+      val counts = rs.map(_.getLong(2))
+      // equi-depth: no band deviates more than a couple rows from n/4
+      assert(counts.max - counts.min <= 3, s"uneven bands for $t: ${counts.toSeq}")
+    }
+  }
 }

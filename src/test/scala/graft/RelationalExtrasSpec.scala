@@ -277,6 +277,19 @@ class RelationalExtrasSpec extends SparkSpec {
     }
   }
 
+  test("hb1 EWMA replays the integer halving recurrence in week order") {
+    val rows = Relational.hb1Ewma(spark, sf).collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    var s = 0L
+    rows.foreach { r =>
+      s = (s + r.getLong(1)) / 2
+      assert(r.getLong(2) == s, s"smoothed at week ${r.getLong(0)}")
+    }
+    // smoothing is bounded by the running max
+    var mx = 0L
+    rows.foreach { r => mx = math.max(mx, r.getLong(1)); assert(r.getLong(2) <= mx) }
+  }
+
   test("cp1 change point: argmax CUSUM matches a driver recomputation; planted shift found") {
     val r = Relational.cp1ChangePoint(spark, sf).head
     val weekly = Tables.orders(spark, sf)
