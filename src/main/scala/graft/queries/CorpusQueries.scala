@@ -954,12 +954,15 @@ object CorpusQueries {
        |      sqrt(list_dot_product(counts, counts)), 6)) AS vec
        |  FROM ${p}c)""".stripMargin
 
-  val v12Sql: String = {
+  /** CTE chain ending in `lexrank` + `vecrank` (v12's two retrieval
+    * arms at HybridArmK) — shared by the v12 fusion oracle and the rk1
+    * rank-agreement oracle. */
+  private def hybridArmCtes: String = {
     val K1 = graft.operators.Bm25.K1
     val B = graft.operators.Bm25.B
     val cos = "list_dot_product(q.vec, d.vec) / " +
       "(sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(d.vec, d.vec)))"
-    s"""WITH $toksCte,
+    s"""$toksCte,
        |freq AS (
        |  SELECT doc_id, tok, count(*) AS freq FROM (
        |    SELECT doc_id, unnest(tk) AS tok FROM toks WHERE doc_id % 10 = 0)
@@ -999,7 +1002,11 @@ object CorpusQueries {
        |  SELECT q.query_id, d.doc_id,
        |    row_number() OVER (PARTITION BY q.query_id
        |      ORDER BY $cos DESC, d.doc_id ASC) AS rnk
-       |  FROM qemb q, demb d) WHERE rnk <= $HybridArmK),
+       |  FROM qemb q, demb d) WHERE rnk <= $HybridArmK)""".stripMargin
+  }
+
+  val v12Sql: String =
+    s"""WITH $hybridArmCtes,
        |contrib AS (
        |  SELECT query_id, doc_id, 1.0 / (${graft.operators.Hybrid.RrfK} + rnk) AS c FROM lexrank
        |  UNION ALL
@@ -1011,6 +1018,67 @@ object CorpusQueries {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY rrf_score DESC, doc_id ASC) AS rnk
        |  FROM fused) WHERE rnk <= $HybridK""".stripMargin
+
+  // ---- rk1_rank_agreement (RBO) ---------------------------------------
+
+  val RboP = 0.9
+  val RboDepth = 5
+
+  /** Per-depth RBO coefficients (1−p)·p^(d−1)/d as decimal literals —
+    * generated ONCE in Scala and inlined into both engines' texts, so
+    * the weighted sum is the identical fixed-order double expression
+    * on exact integer agreement counts. */
+  private val rboCoefs: Seq[String] =
+    (1 to RboDepth).map(dd =>
+      ((1.0 - RboP) * math.pow(RboP, dd - 1) / dd).toString)
+
+  /** Truncated rank-biased overlap (Webber et al.) between the BM25
+    * and embedding arms of v12 — how much the lexical and semantic
+    * rankings agree, weighted toward the top (the metric that says
+    * whether RRF fusion has anything to fuse). Agreement counts are
+    * exact integers; the depth-weighted sum is one fixed-order
+    * expression with shared literal coefficients. */
+  def rk1RankAgreement(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val queries = TextAnalysis.queryGen(docs, "text")
+      .select(col("doc_id").as("query_id"), col("query"))
+    val lex = graft.operators.Bm25.search(docs, "text", queries, "query", HybridArmK)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("lr"))
+      .filter(col("lr") <= RboDepth)
+    val dEmb = Embed.embedDocs(docs, "text", HybridDim)
+      .select(col("doc_id").as("vec_id"), col("embedding").as("v"))
+    val qEmb = Embed.embedDocs(
+      queries.select(col("query_id").as("doc_id"), col("query").as("text")),
+      "text", HybridDim)
+      .select(col("doc_id").as("query_id"), col("embedding").as("qv"))
+    val vec = graft.operators.VectorSearch.knnCosine(qEmb, dEmb, HybridArmK)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rnk").as("vr"))
+      .filter(col("vr") <= RboDepth)
+    val aggs = (1 to RboDepth).map(dd =>
+      sum(when(col("m") <= dd, 1L).otherwise(0L)).as(s"a$dd"))
+    val ag = lex.join(vec, Seq("query_id", "doc_id"))
+      .withColumn("m", greatest(col("lr"), col("vr")))
+      .groupBy("query_id")
+      .agg(aggs.head, aggs.tail: _*)
+    val rboExpr = rboCoefs.zipWithIndex
+      .map { case (c, i) => s"CAST($c AS DOUBLE) * a${i + 1}" }.mkString(" + ")
+    ag.select(col("query_id"), col(s"a$RboDepth").as("n_common"),
+      round(expr(rboExpr), 6).as("rbo"))
+  }
+
+  lazy val rk1Sql: String = {
+    val sums = (1 to RboDepth).map(dd =>
+      s"CAST(sum(CASE WHEN m <= $dd THEN 1 ELSE 0 END) AS BIGINT) AS a$dd")
+      .mkString(", ")
+    val rboExpr = rboCoefs.zipWithIndex
+      .map { case (c, i) => s"CAST($c AS DOUBLE) * a${i + 1}" }.mkString(" + ")
+    s"""WITH $hybridArmCtes,
+       |j AS (SELECT l.query_id, greatest(l.rnk, v.rnk) AS m
+       |      FROM lexrank l JOIN vecrank v USING (query_id, doc_id)
+       |      WHERE l.rnk <= $RboDepth AND v.rnk <= $RboDepth),
+       |ag AS (SELECT query_id, $sums FROM j GROUP BY 1)
+       |SELECT query_id, a$RboDepth AS n_common, round($rboExpr, 6) AS rbo
+       |FROM ag""".stripMargin
   }
 
   // ---- t9_tfidf_keywords ----------------------------------------------

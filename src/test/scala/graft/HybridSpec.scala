@@ -39,4 +39,19 @@ class HybridSpec extends SparkSpec {
     val selfHits = res.filter(col("query_id") === col("doc_id")).count()
     assert(selfHits >= perQ.length / 2, s"only $selfHits/${perQ.length} self-hits")
   }
+
+  test("rk1 RBO: agreement counts bound, rbo within the truncated mass") {
+    val rows = graft.queries.CorpusQueries.rk1RankAgreement(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val maxRbo = (1 to 5).map(d => 0.1 * math.pow(0.9, d - 1)).sum
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 5,
+        s"n_common out of range for query ${r.getLong(0)}")
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= maxRbo + 1e-9,
+        s"rbo out of range for query ${r.getLong(0)}")
+    }
+    // the self-retrieving queries (both arms rank the source doc #1)
+    // must score at least the depth-1 coefficient
+    assert(rows.exists(_.getDouble(2) >= 0.0999))
+  }
 }
