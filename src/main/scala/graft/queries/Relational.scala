@@ -1313,6 +1313,63 @@ object Relational {
       |      AS global_rank
       |  FROM lineitem) WHERE global_rank <= 1000""".stripMargin
 
+  /** acf1_autocorr — lag-1 autocorrelation of weekly revenue ("does a
+    * good week predict the next"): stat1's recipe applied to a time
+    * series. The accumulators (S, Q=Σx², Σx·x₊₁, endpoints) are EXACT
+    * — decimal(38) here, HUGEINT in the oracle — and the expanded
+    * closed form r = (n²Σxy − nS(2S−x₁−xₙ) + (n−1)S²)/(n²Q − nS²)
+    * is evaluated in double in one shared operation order. The lead()
+    * runs over the calendar-bounded weekly aggregate. */
+  def acf1Autocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekly = Tables.orders(spark, sfDir)
+      .select(expr("datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') div 7")
+        .as("week"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("rev"))
+      .groupBy("week").agg(sum("rev").as("rev"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("week")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val g = weekly.agg(
+      count(lit(1)).as("n_weeks"),
+      dec(sum(dec(col("rev")))).cast("double").as("s"),
+      sum(dec(col("rev")) * dec(col("rev"))).cast("double").as("q"),
+      expr("CAST(min_by(rev, week) AS DOUBLE)").as("x1"),
+      expr("CAST(max_by(rev, week) AS DOUBLE)").as("xn"))
+    val xy = weekly.withColumn("nrev", lead("rev", 1).over(w))
+      .filter(col("nrev").isNotNull)
+      .agg(sum(dec(col("rev")) * dec(col("nrev"))).cast("double").as("sxy"))
+    g.crossJoin(broadcast(xy))
+      .select(col("n_weeks"),
+        round(expr(
+          """(CAST(n_weeks AS DOUBLE) * CAST(n_weeks AS DOUBLE) * sxy
+            | - CAST(n_weeks AS DOUBLE) * s * (2 * s - x1 - xn)
+            | + (CAST(n_weeks AS DOUBLE) - 1) * s * s)
+            |/ (CAST(n_weeks AS DOUBLE) * CAST(n_weeks AS DOUBLE) * q
+            |   - CAST(n_weeks AS DOUBLE) * s * s)""".stripMargin), 6)
+          .as("acf_lag1"))
+  }
+
+  val acf1Sql: String =
+    """WITH weekly AS (
+      |  SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) // 7 AS week,
+      |    CAST(sum(CAST(o_totalprice::DECIMAL(18,2) * 100 AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |g AS (SELECT count(*) AS n_weeks,
+      |        CAST(sum(CAST(rev AS HUGEINT)) AS DOUBLE) AS s,
+      |        CAST(sum(CAST(rev AS HUGEINT) * CAST(rev AS HUGEINT)) AS DOUBLE) AS q,
+      |        CAST(min_by(rev, week) AS DOUBLE) AS x1,
+      |        CAST(max_by(rev, week) AS DOUBLE) AS xn
+      |      FROM weekly),
+      |xy AS (SELECT CAST(sum(CAST(rev AS HUGEINT) * CAST(nrev AS HUGEINT)) AS DOUBLE) AS sxy
+      |       FROM (SELECT rev, lead(rev) OVER (ORDER BY week) AS nrev FROM weekly)
+      |       WHERE nrev IS NOT NULL)
+      |SELECT n_weeks,
+      |  round((CAST(n_weeks AS DOUBLE) * CAST(n_weeks AS DOUBLE) * sxy
+      |   - CAST(n_weeks AS DOUBLE) * s * (2 * s - x1 - xn)
+      |   + (CAST(n_weeks AS DOUBLE) - 1) * s * s)
+      |  / (CAST(n_weeks AS DOUBLE) * CAST(n_weeks AS DOUBLE) * q
+      |     - CAST(n_weeks AS DOUBLE) * s * s), 6) AS acf_lag1
+      |FROM g, xy""".stripMargin
+
   /** hb1_ewma — integer-exact exponential smoothing of weekly revenue
     * (α = 1/2): sₖ = (sₖ₋₁ + xₖ) div 2 in CENTS — a float-decay EWMA
     * never hashes across engines, integer halving does. The recurrence

@@ -277,6 +277,25 @@ class RelationalExtrasSpec extends SparkSpec {
     }
   }
 
+  test("acf1 lag-1 autocorrelation matches the textbook centered formula") {
+    val r = Relational.acf1Autocorr(spark, sf).head
+    val weekly = Tables.orders(spark, sf)
+      .select(expr("datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') div 7").as("w"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy("w").agg(sum("c").as("rev")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).sortBy(_._1).map(_._2.toDouble)
+    val n = weekly.length
+    val m = weekly.sum / n
+    val num = weekly.dropRight(1).zip(weekly.tail)
+      .map { case (a, b) => (a - m) * (b - m) }.sum
+    val den = weekly.map(v => (v - m) * (v - m)).sum
+    val expect = num / den
+    assert(r.getLong(0) == n.toLong)
+    assert(math.abs(r.getDouble(1) - expect) < 1e-4,
+      s"acf ${r.getDouble(1)} vs $expect")
+    assert(r.getDouble(1) >= -1.0 && r.getDouble(1) <= 1.0)
+  }
+
   test("hb1 EWMA replays the integer halving recurrence in week order") {
     val rows = Relational.hb1Ewma(spark, sf).collect().sortBy(_.getLong(0))
     assert(rows.nonEmpty)
