@@ -1313,6 +1313,44 @@ object Relational {
       |      AS global_rank
       |  FROM lineitem) WHERE global_rank <= 1000""".stripMargin
 
+  /** jc1_join_cardinality — the join-explosion preflight: for a
+    * planned self-join of events on user_id, the EXACT output
+    * cardinality Σ c(k)² and each key's contribution — the number a
+    * pipeline checks before submitting a join that could melt a
+    * reducer (sk1 profiles input skew; this profiles the join's
+    * OUTPUT). One aggregation + a 1-row rollup + bounded-heap top-5;
+    * exact integers throughout. */
+  def jc1JoinCardinality(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .withColumn("out_rows", col("c") * col("c"))
+    val tot = counts.agg(sum("out_rows").as("__total"),
+      sum("c").as("__in_rows"))
+    val top = graft.plans.TopK.perKey(
+      counts.crossJoin(broadcast(tot)), Seq(),
+      Seq(col("out_rows").desc, col("user_id").asc), 5)
+    top.select(col("rnk").as("rank"), col("user_id"), col("c").as("n_rows"),
+      col("out_rows"),
+      round(col("out_rows").cast("double") / col("__total").cast("double"), 6)
+        .as("share_of_join"),
+      col("__total").as("total_join_rows"), col("__in_rows").as("total_in_rows"))
+  }
+
+  val jc1Sql: String =
+    """WITH c AS (SELECT user_id, count(*) AS c, count(*) * count(*) AS out_rows
+      |           FROM events GROUP BY 1),
+      |t AS (SELECT CAST(sum(out_rows) AS BIGINT) AS total,
+      |        CAST(sum(c) AS BIGINT) AS in_rows FROM c)
+      |SELECT rank, user_id, n_rows, out_rows, share_of_join,
+      |  total AS total_join_rows, in_rows AS total_in_rows
+      |FROM (
+      |  SELECT row_number() OVER (ORDER BY out_rows DESC, user_id) AS rank,
+      |    user_id, c AS n_rows, out_rows,
+      |    round(CAST(out_rows AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share_of_join,
+      |    total, in_rows
+      |  FROM c, t)
+      |WHERE rank <= 5""".stripMargin
+
   /** acf1_autocorr — lag-1 autocorrelation of weekly revenue ("does a
     * good week predict the next"): stat1's recipe applied to a time
     * series. The accumulators (S, Q=Σx², Σx·x₊₁, endpoints) are EXACT

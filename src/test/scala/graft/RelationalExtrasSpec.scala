@@ -277,6 +277,20 @@ class RelationalExtrasSpec extends SparkSpec {
     }
   }
 
+  test("jc1 predicted self-join cardinality equals the actual join size") {
+    val r = Relational.jc1JoinCardinality(spark, sf).collect()
+    assert(r.length == 5)
+    val predicted = r.head.getLong(5)
+    val actual = Tables.events(spark, sf).select("user_id", "event_id").as("a")
+      .join(Tables.events(spark, sf).select("user_id").as("b"), "user_id")
+      .count()
+    assert(predicted == actual, s"predicted $predicted vs actual $actual")
+    assert(r.head.getLong(6) == Tables.events(spark, sf).count())
+    // ranked by per-key contribution
+    val shares = r.sortBy(_.getInt(0)).map(_.getLong(3))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a >= b })
+  }
+
   test("acf1 lag-1 autocorrelation matches the textbook centered formula") {
     val r = Relational.acf1Autocorr(spark, sf).head
     val weekly = Tables.orders(spark, sf)
