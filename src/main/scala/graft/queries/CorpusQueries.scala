@@ -1405,6 +1405,30 @@ object CorpusQueries {
       |            IS NULL THEN 1 ELSE 0 END AS is_current
       |FROM batches""".stripMargin
 
+  // ---- tt1_time_travel ------------------------------------------------
+
+  /** Time-travel read over the u4 SCD2 history: the table AS OF
+    * version 0 is every row whose validity interval covers 0
+    * (version ≤ 0 < valid_to-or-∞) — and it must equal the ORIGINAL
+    * table exactly, which is what the oracle asserts by aggregating
+    * `orders` directly. Sums are exact decimals; the read is a filter
+    * over the history table (no reconstruction join). */
+  def tt1TimeTravel(s: SparkSession, d: String): DataFrame =
+    u4Scd2(s, d)
+      .filter(col("version") <= 0 &&
+        (col("valid_to").isNull || col("valid_to") > 0))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct("o_orderkey").as("n_keys"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+
+  /** The oracle reads the ORIGINAL table — proving the history
+    * reconstruction is exact, not just self-consistent. */
+  val tt1Sql: String =
+    """SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys,
+      |  CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS sum_price
+      |FROM orders""".stripMargin
+
   // ---- d11_dup_spans --------------------------------------------------
 
   val SpanW = 8

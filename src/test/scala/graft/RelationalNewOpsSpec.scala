@@ -196,6 +196,21 @@ class RelationalNewOpsSpec extends SparkSpec {
     assert(top1 == Map(10L -> "zebra", 20L -> "yak", 30L -> "wolf"))
   }
 
+  test("tt1 time-travel to version 0 reproduces the original table exactly") {
+    val r = CorpusQueries.tt1TimeTravel(spark, sf).head
+    val orig = Tables.orders(spark, sf)
+      .agg(count(lit(1)), countDistinct("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")).head
+    assert(r.getLong(0) == orig.getLong(0))
+    assert(r.getLong(1) == orig.getLong(1))
+    assert(r.getDouble(2) == orig.getDouble(2))
+    // and the CURRENT state differs (the v1 updates shifted prices)
+    val current = CorpusQueries.u4Scd2(spark, sf)
+      .filter(col("is_current") === 1)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")).head
+    assert(current.getDouble(0) > r.getDouble(2))
+  }
+
   test("coh1 cohort retention: offset-0 is 1.0, offsets non-negative, totals conserve") {
     val rows = Relational.coh1Cohort(spark, sf).collect()
     assert(rows.nonEmpty)
