@@ -33,6 +33,17 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n)) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // per-query state hygiene: several operators eagerly
+      // localCheckpoint() multi-consumer intermediates (BM25 tf table,
+      // Dist.runningTotal, normalize) and nothing unpersists them, so
+      // checkpointed RDD blocks accumulate across the whole suite in
+      // one JVM and the memory/GC pressure lands on whichever heavy
+      // query runs late. A real deployment runs one query per job —
+      // drop all persisted state between queries so each one is
+      // measured against a clean block manager.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

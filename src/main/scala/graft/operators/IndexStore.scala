@@ -75,7 +75,7 @@ object IndexStore {
     * merge-on-read contract as upsert). A row is dead iff its version
     * ≤ the newest tombstone for its id, so a LATER re-upsert (higher
     * version) legitimately resurrects the vector. compact() folds the
-    * live view, after which tombstones for purged rows are inert. */
+    * live view and purges the then-inert tombstones. */
   def delete(spark: SparkSession, path: String, ids: DataFrame,
              version: Int): Unit =
     ids.select(col("vec_id"), lit(version).as("del_version"))
@@ -98,8 +98,18 @@ object IndexStore {
     }
   }
 
-  /** Fold accumulated deltas into a single epoch: rewrite the merged
-    * view. Writes to a scratch dir first (Spark cannot overwrite a
+  /** Fold accumulated deltas AND tombstones into a single epoch:
+    * rewrite the merged LIVE view (tombstoned rows are physically
+    * dropped), then purge the tombstone table — after the fold every
+    * tombstone is inert, and liveAssignments broadcasts the whole
+    * tombstone table on every read, so leaving them would grow that
+    * broadcast without bound under a sustained delete workload.
+    * Post-purge, ANY later re-upsert of a deleted id resurrects it
+    * (before compaction only a version above the tombstone's did) —
+    * the standard epoch-fold contract: versions are monotone, so a
+    * writer never legitimately re-appends a pre-compaction version.
+    *
+    * Writes to a scratch dir first (Spark cannot overwrite a
     * path it is reading), then swaps: the OLD table is renamed aside
     * before the new one moves in, every rename result is checked, and
     * the old data is deleted only after the new table is live — a
@@ -111,7 +121,7 @@ object IndexStore {
     val hp = (s: String) => new org.apache.hadoop.fs.Path(s)
     val tmp = s"$path/assignments_compacting"
     val old = s"$path/assignments_old"
-    currentAssignments(spark, path)
+    liveAssignments(spark, path)
       .write.mode(SaveMode.Overwrite).partitionBy("cell_id").parquet(tmp)
     // bind to the filesystem OF THE PATH, not the cluster defaultFS —
     // FileSystem.get(conf) would target the wrong FS for an index on
@@ -126,6 +136,11 @@ object IndexStore {
       throw new java.io.IOException(s"compact: cannot promote $tmp")
     }
     fs.delete(hp(old), true)
+    // the new epoch already excludes every tombstoned row — purge the
+    // (now inert) tombstones so the serving-path broadcast stays
+    // genuinely metadata-sized. Runs only after the swap succeeded: a
+    // crash before this line leaves extra-but-correct tombstones.
+    fs.delete(hp(tombstonesPath(path)), true)
   }
 
   /** Maintain the persisted index from a STREAM of vector batches

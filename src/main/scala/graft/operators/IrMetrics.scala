@@ -181,8 +181,7 @@ object IrMetrics {
     * Queries with no relevant results score 0.
     */
   def apPerQuery(ranked: DataFrame, k: Int): DataFrame = {
-    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-    val l = (1L to k.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val l = lcmTo(k)
     val w = Window.partitionBy("query_id").orderBy(col("rnk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked.withColumn("cum", sum("rel").over(w))
@@ -193,6 +192,14 @@ object IrMetrics {
         when(col("r") > 0,
           round(col("num").cast("double") / (col("r") * l).cast("double"), 6))
           .otherwise(0.0).as("ap"))
+  }
+
+  /** lcm(1..k) — the integer scale apPerQuery's numerator uses. Shared
+    * with the m9 oracle text so the two engines can never silently
+    * diverge if k changes. */
+  def lcmTo(k: Int): Long = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1L to k.toLong).reduce((a, b) => a / gcd(a, b) * b)
   }
 
   /** Corpus-level averages with the reference's inclusion rules. */

@@ -42,27 +42,20 @@ object Sampling {
     * mixed hash of the key — the reproducible train-data shuffle (same
     * order on every engine and every run).
     *
-    * Global positions come from range-partition + in-partition sort +
-    * zipWithIndex, NOT a partitionless window (which would drag the
-    * whole dataset through one task). The sort order is total (hash,
-    * key), so positions are engine-independent regardless of how the
-    * range boundaries fall.
+    * Global positions come from Dist.globalRank — range-partition on
+    * the (hash, key) total order, rank per partition in parallel,
+    * shift by driver-prefix-summed offsets — NOT a partitionless
+    * window (which would drag the whole dataset through one task) and
+    * NOT an rdd.zipWithIndex round trip (which drops out of Catalyst:
+    * every row through a Row RDD, no codegen, no columnar scan). The
+    * sort order is total, so positions are engine-independent
+    * regardless of where the range boundaries fall.
     */
-  def deterministicShuffle(df: DataFrame, keyCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df
-      .withColumn("__hk", mixedHash(col(keyCol)))
-      .repartitionByRange(spark.sparkContext.defaultParallelism,
-        col("__hk").asc, col(keyCol).asc)
-      .sortWithinPartitions(col("__hk").asc, col(keyCol).asc)
+  def deterministicShuffle(df: DataFrame, keyCol: String): DataFrame =
+    graft.Dist.globalRank(
+      df.withColumn("__hk", mixedHash(col(keyCol))),
+      Seq(col("__hk").asc, col(keyCol).asc), "shuffle_pos")
       .drop("__hk")
-    val schema = sorted.schema
-      .add(org.apache.spark.sql.types.StructField("shuffle_pos",
-        org.apache.spark.sql.types.LongType, nullable = false))
-    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1)) }
-    spark.createDataFrame(rows, schema)
-  }
 
   /** Per-group frequency cap (domain/source capping in crawl
     * pipelines): keep at most `cap` rows per group, chosen in

@@ -24,12 +24,24 @@ object TextInference {
   case class DocRow(doc_id: Long, text: String)
   case class EmbRow(doc_id: Long, embedding: Array[Double])
 
-  /** Per-partition "model". A real deployment holds weights/sessions
-    * here; construction cost is amortized over the partition.
+  /** The pluggable-encoder seam (the SentenceTransformer contract,
+    * db.py:127-130): one batch of texts in, one optional vector per
+    * text out (None = un-encodable, dropped). Implementations are
+    * constructed ON THE EXECUTOR once per partition via the factory
+    * passed to embedText — that is where a real deployment loads
+    * model weights/sessions; the trait itself must not capture them
+    * (only the factory closure is serialized). */
+  trait TextEncoder {
+    def encode(batch: Seq[String]): Seq[Option[Array[Double]]]
+  }
+
+  /** Per-partition stub "model" (the default encoder). A real
+    * deployment holds weights/sessions here; construction cost is
+    * amortized over the partition.
     * Token-less (or null) texts encode to None — the declarative path
     * drops them too (explode of an empty token array emits no rows),
     * and BigDecimal.valueOf(0/0 = NaN) would otherwise throw. */
-  final class StubModel(dim: Int) {
+  final class StubModel(dim: Int) extends TextEncoder {
     def encode(batch: Seq[String]): Seq[Option[Array[Double]]] = batch.map { text =>
       val counts = new Array[Double](dim)
       var nTokens = 0
@@ -55,14 +67,17 @@ object TextInference {
     }
   }
 
-  /** Batched embedding inference: model init once per partition,
-    * encode in `batchSize` groups. Docs with no tokens are dropped
-    * (parity with Embed.embedDocs). */
-  def embedText(docs: Dataset[DocRow], dim: Int,
-                batchSize: Int = 64): Dataset[EmbRow] = {
+  /** Batched embedding inference: encoder built once per partition
+    * from `mkEncoder` (the weight-load site), texts encoded in
+    * `batchSize` groups. Docs the encoder returns None for are
+    * dropped (parity with Embed.embedDocs). Swapping in a real model
+    * is ONLY a different factory — the plumbing (schema, batching,
+    * per-partition init) is this function and does not change. */
+  def embedText(docs: Dataset[DocRow], dim: Int, batchSize: Int = 64,
+                mkEncoder: Int => TextEncoder = new StubModel(_)): Dataset[EmbRow] = {
     import docs.sparkSession.implicits._
     docs.mapPartitions { rows =>
-      val model = new StubModel(dim) // per-partition weight load
+      val model = mkEncoder(dim) // per-partition weight load
       rows.grouped(batchSize).flatMap { batch =>
         val vecs = model.encode(batch.map(_.text))
         batch.lazyZip(vecs).flatMap((r, v) => v.map(EmbRow(r.doc_id, _)))

@@ -25,7 +25,10 @@ object IngestQueries {
     * Written under /tmp, partitioned like any distributed sink would be.
     */
   def ingCsv(s: SparkSession, d: String): DataFrame = {
-    val path = s"/tmp/graft_csv_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    // per-invocation scratch dir: a fixed path keyed only by the sf dir
+    // races concurrent runs over the same dataset (bench vs tests) —
+    // one reading while the other mode(overwrite)s
+    val path = java.nio.file.Files.createTempDirectory("graft_csv_").toString
     Tables.documents(s, d)
       .write.mode("overwrite").option("header", "true").csv(path)
     s.read.schema(csvSchema).option("header", "true").csv(path)
@@ -111,7 +114,8 @@ object IngestQueries {
     * read back with an explicit schema (schema-on-read, no inference
     * job at 100 TB), then aggregated per language as the check. */
   def ingJsonl(s: SparkSession, d: String): DataFrame = {
-    val path = s"/tmp/graft_jsonl_${graft.Dist.pathTag(d)}"
+    // per-invocation scratch dir — same race rationale as ingCsv
+    val path = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
     Tables.documents(s, d).write.mode("overwrite").json(path)
     s.read.schema(csvSchema).json(path)
       .groupBy("lang")

@@ -240,6 +240,10 @@ object MetricQueries {
   def m9Map(s: SparkSession, d: String): DataFrame =
     IrMetrics.apPerQuery(labeledKnn(s, d), VectorQueries.K)
 
+  // lcm(1..K) computed ONCE and interpolated into the oracle text — a
+  // hardcoded literal would silently diverge from apPerQuery if K changes
+  private val m9Lcm: Long = IrMetrics.lcmTo(VectorQueries.K)
+
   val m9Sql: String =
     s"""WITH $relCtes,
        |cum AS (
@@ -248,8 +252,8 @@ object MetricQueries {
        |  FROM rel)
        |SELECT query_id,
        |  CASE WHEN sum(rel) > 0
-       |    THEN round(CAST(sum(CASE WHEN rel = 1 THEN cum * (60 // rnk) END) AS DOUBLE)
-       |               / CAST(60 * sum(rel) AS DOUBLE), 6)
+       |    THEN round(CAST(sum(CASE WHEN rel = 1 THEN cum * ($m9Lcm // rnk) END) AS DOUBLE)
+       |               / CAST($m9Lcm * sum(rel) AS DOUBLE), 6)
        |    ELSE 0.0 END AS ap
        |FROM cum GROUP BY query_id""".stripMargin
 
@@ -300,4 +304,47 @@ object MetricQueries {
        |  least(5, 1 + CAST(floor(jaccard * 10) AS BIGINT)) AS relevancy_score,
        |  CASE WHEN least(5, 1 + CAST(floor(jaccard * 10) AS BIGINT)) >= 4 THEN 1 ELSE 0 END AS is_relevant
        |FROM pairs""".stripMargin
+
+  // ---- r2_relevancy_judge ---------------------------------------------
+
+  /** The BATCHED-JUDGE relevancy path (queries.py:160-240): the d2
+    * candidate pairs joined back to their texts and scored through the
+    * pluggable Relevancy.scorePairs seam — per-partition judge init,
+    * size-32 request batches, the exact shape an Ollama/LLM endpoint
+    * is driven with; here the default deterministic JaccardScorer (so
+    * DuckDB can replicate it) — a real deployment swaps ONLY the
+    * factory. Distinct-token jaccard banded to 1-5 with all-integer
+    * arithmetic: score = min(5, 1 + (10·|∩|) div |∪|). */
+  def r2RelevancyJudge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val pairs = CorpusQueries.d2NgramJaccard(s, d).select("id_a", "id_b")
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
+      .select("id_a", "id_b", "text_a", "text_b")
+      .as[graft.operators.Relevancy.PairRow]
+    graft.operators.Relevancy.scorePairs(pairs).toDF()
+  }
+
+  val r2Sql: String =
+    s"""WITH pairs AS (SELECT id_a, id_b FROM (${CorpusQueries.d2Sql})),
+       |tk AS (SELECT DISTINCT doc_id, tok FROM (
+       |         SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |         FROM documents) WHERE tok <> ''),
+       |n AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY 1),
+       |i AS (SELECT p.id_a, p.id_b, count(*) AS i
+       |      FROM pairs p
+       |      JOIN tk a ON a.doc_id = p.id_a
+       |      JOIN tk b ON b.doc_id = p.id_b AND b.tok = a.tok
+       |      GROUP BY 1, 2)
+       |SELECT id_a, id_b, relevancy_score,
+       |  CASE WHEN relevancy_score >= 4 THEN 1 ELSE 0 END AS is_relevant
+       |FROM (
+       |  SELECT p.id_a, p.id_b,
+       |    least(5, 1 + (10 * coalesce(i.i, 0))
+       |                 // (na.n + nb.n - coalesce(i.i, 0))) AS relevancy_score
+       |  FROM pairs p
+       |  JOIN n na ON na.doc_id = p.id_a
+       |  JOIN n nb ON nb.doc_id = p.id_b
+       |  LEFT JOIN i ON i.id_a = p.id_a AND i.id_b = p.id_b)""".stripMargin
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Relational / OLAP core (SURVEY §2.7 + §2.1 e1).
@@ -586,7 +586,7 @@ object Relational {
       |                    - 300000 * k.k) * 1000) AS window_start
       |  FROM events, (SELECT unnest([0, 1]) AS k) k)
       |SELECT window_start, event_type, count(*) AS n_events,
-      |  round(sum(value), 2) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM x GROUP BY 1, 2""".stripMargin
 
   /** q13_salted_agg — two-phase salted aggregation (Dist.saltedSum):
@@ -1321,20 +1321,34 @@ object Relational {
     * OUTPUT). One aggregation + a 1-row rollup + bounded-heap top-5;
     * exact integers throughout. */
   def jc1JoinCardinality(spark: SparkSession, sfDir: String): DataFrame = {
+    // square and sum in decimal(38,0): the preflight targets exactly the
+    // hot-key regime (c beyond ~3e9) where a BIGINT square wraps — Spark
+    // wraps SILENTLY while DuckDB raises, so a Long here could "pass"
+    // the check with a garbage prediction at the scale it exists for
     val counts = Tables.events(spark, sfDir)
       .groupBy("user_id").agg(count(lit(1)).as("c"))
-      .withColumn("out_rows", col("c") * col("c"))
-    val tot = counts.agg(sum("out_rows").as("__total"),
+      .withColumn("__out_dec",
+        col("c").cast("decimal(38,0)") * col("c").cast("decimal(38,0)"))
+    val tot = counts.agg(sum("__out_dec").as("__total_dec"),
       sum("c").as("__in_rows"))
     val top = graft.plans.TopK.perKey(
       counts.crossJoin(broadcast(tot)), Seq(),
-      Seq(col("out_rows").desc, col("user_id").asc), 5)
+      Seq(col("__out_dec").desc, col("user_id").asc), 5)
     top.select(col("rnk").as("rank"), col("user_id"), col("c").as("n_rows"),
-      col("out_rows"),
-      round(col("out_rows").cast("double") / col("__total").cast("double"), 6)
+      jc1CheckedLong(col("__out_dec")).as("out_rows"),
+      round(col("__out_dec").cast("double") / col("__total_dec").cast("double"), 6)
         .as("share_of_join"),
-      col("__total").as("total_join_rows"), col("__in_rows").as("total_in_rows"))
+      jc1CheckedLong(col("__total_dec")).as("total_join_rows"),
+      col("__in_rows").as("total_in_rows"))
   }
+
+  /** decimal → BIGINT with a loud per-row failure instead of Spark's
+    * silent non-ANSI wrap/null on overflow. */
+  private def jc1CheckedLong(c: Column): Column =
+    when(c > lit(Long.MaxValue).cast("decimal(38,0)"),
+      raise_error(concat(lit("jc1: join cardinality overflows BIGINT: "),
+        c.cast("string"))).cast("long"))
+      .otherwise(c.cast("long"))
 
   val jc1Sql: String =
     """WITH c AS (SELECT user_id, count(*) AS c, count(*) * count(*) AS out_rows

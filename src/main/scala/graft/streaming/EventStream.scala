@@ -58,8 +58,12 @@ object EventStream {
   def slidingAgg(events: DataFrame): DataFrame = {
     val src =
       if (events.isStreaming) events.withWatermark("ts", Watermark) else events
+    // sum as DECIMAL(18,2), one cast to double at output: a rounded
+    // plain double sum is aggregation-order-dependent, so boundary
+    // cents could flip between engines/partitionings at scale
     src.groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
   }

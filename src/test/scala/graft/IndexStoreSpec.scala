@@ -149,11 +149,21 @@ class IndexStoreSpec extends SparkSpec {
     assert(victims.take(2).forall(v => afterUp.get(v).contains(2)),
       "higher-version upsert resurrects")
     assert(victims.drop(2).forall(v => !afterUp.contains(v)))
-    // compact folds the live view; tombstones become inert
+    // compact folds the live view AND purges the now-inert tombstones
+    // (the serving-path broadcast must stay metadata-sized under a
+    // sustained delete workload)
     IndexStore.compact(spark, dpath)
     val afterCompact = IndexStore.liveAssignments(spark, dpath)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(afterCompact == afterUp.keySet)
+    val tsPath = new org.apache.hadoop.fs.Path(s"$dpath/tombstones")
+    val fs = tsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(tsPath), "compact must purge the tombstone table")
+    // and the physical epoch itself no longer holds the deleted rows
+    val physical = IndexStore.loadAssignments(spark, dpath)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((physical intersect victims.drop(2).toSet).isEmpty,
+      "tombstoned rows must be physically dropped by the fold")
     // query() serves from the live view: no deleted id can be returned
     val served = IndexStore.query(spark, dpath,
       VectorQueries.queryVecs(spark, sf), VectorQueries.K, VectorQueries.NProbe)
