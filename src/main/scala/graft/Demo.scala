@@ -105,14 +105,26 @@ object Demo {
     println(f"IR: avg recall=${summary.getAs[Double]("avg_recall")}%.3f " +
       f"avg ndcg=${summary.getAs[Double]("avg_ndcg")}%.3f")
 
-    // 8. latency percentiles over per-query scoring work (reference:
-    //    metrics.calculate_percentiles — here the event stream stands in)
-    val pcts = operators.IrMetrics
-      .latencyPercentiles(Tables.events(spark, sfDir), "event_type", "value").collect()
-    println("percentile sample (events.value by type):")
-    pcts.sortBy(_.getString(0)).foreach(r =>
-      println(f"  ${r.getString(0)}%-10s P50=${r.getDouble(1)}%8.3f " +
-        f"P95=${r.getDouble(2)}%8.3f P99=${r.getDouble(3)}%8.3f"))
+    // 8. per-query serving latency → percentiles (reference: queries.py
+    //    stamps latency_ms on every served query, metrics.py summarizes):
+    //    each query runs INDIVIDUALLY against the persistent index — the
+    //    interactive request path, measured as the reference measures it —
+    //    and the captured milliseconds feed the exact percentile operator.
+    val session = spark
+    import session.implicits._
+    val qCached = qVecs.cache()
+    val qIds = qCached.select("query_id").orderBy("query_id").limit(20)
+      .collect().map(_.getLong(0)).toSeq
+    val measured = operators.Latency.measure[Long](qIds, qid =>
+      operators.IndexStore.query(spark, idxPath,
+        qCached.filter(col("query_id") === qid), 5, 4).count())
+    val latDf = measured.toDF("query_id", "latency_ms")
+      .withColumn("path", lit("ivf_knn"))
+    val lp = operators.IrMetrics
+      .latencyPercentiles(latDf, "path", "latency_ms").head()
+    println(f"serving latency (${measured.size} individually-served queries): " +
+      f"P50=${lp.getDouble(1)}%.1f ms P95=${lp.getDouble(2)}%.1f ms " +
+      f"P99=${lp.getDouble(3)}%.1f ms")
 
     // 9. the dedup tail (beyond the reference): near-dup pairs →
     //    connected components → survivor per duplicate group

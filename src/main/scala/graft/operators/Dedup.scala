@@ -91,13 +91,26 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
-  /** Posting lists / buckets larger than this many documents are
-    * removed before any self-join. A key shared by f docs contributes
-    * f² candidate pairs to ONE reducer: a single stop-shingle across
-    * 10⁶ docs is 10¹² pairs — the classic dedup scale-killer. A shingle
-    * in >500 docs carries no near-dup signal anyway (it's a stop
-    * phrase), so this is also standard IR practice, not just a guard. */
+  /** Posting lists / buckets hotter than this many documents leave the
+    * PLAIN self-join: a key shared by f docs contributes f² candidate
+    * pairs, and before round 7 everything above this cap was dropped
+    * outright. Now buckets in (DefaultDfCap, DropDfCap] are SALTED
+    * (Dist.saltedJoin) instead — their pairs are still generated, just
+    * spread over HotSalts reducers — and only buckets beyond DropDfCap
+    * are dropped (declared semantics, mirrored in the oracles): a
+    * shingle in >10⁴ docs is stop-phrase boilerplate with no near-dup
+    * signal (standard IR practice), and its pair count is quadratic in
+    * a number nothing downstream wants. */
   val DefaultDfCap = 500
+
+  /** Hard drop fallback: buckets with df beyond this are removed before
+    * any join (the pre-round-7 cap semantics, one order of magnitude
+    * up). This constant is interpolated into every pair oracle. */
+  val DropDfCap: Int = DefaultDfCap * 20
+
+  /** Salt fan-out for hot buckets — a (dfCap, DropDfCap] bucket's
+    * quadratic pair aggregation spreads over this many reducers. */
+  val HotSalts = 8
 
   /** Shingle hashes whose document frequency exceeds the cap — exposed
     * so pipelines can AUDIT what the cap dropped (no silent caps:
@@ -116,7 +129,8 @@ object Dedup {
     * intersection and the per-doc set sizes see the pruned sets.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
-                        dfCap: Int = DefaultDfCap): DataFrame = {
+                        dfCap: Int = DefaultDfCap,
+                        dropCap: Int = DropDfCap): DataFrame = {
     // the inverted-index join is on the 8-byte shingle HASH, not the
     // shingle string — same pairs on both engines (the oracle joins on
     // the same portable hash), far narrower shuffle rows. The shingle
@@ -129,7 +143,7 @@ object Dedup {
     // million-doc bucket (collect_list would OOM; a separate
     // aggregate+anti-join branch raced the other cache consumers into
     // materializing this pipeline twice)
-    pairIntersections(docs, n, dfCap)
+    pairIntersections(docs, n, dfCap, dropCap)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
@@ -138,22 +152,37 @@ object Dedup {
 
   /** Shared exact pair-intersection core of d2/d13: df-capped shingle
     * inverted index → self-join on the hash → (id_a, id_b, inter, na,
-    * nb) with id_a < id_b. */
-  private def pairIntersections(docs: DataFrame, n: Int,
-                                dfCap: Int): DataFrame = {
+    * nb) with id_a < id_b. Buckets with df in (dfCap, dropCap] run
+    * through the SALTED self-join (candidates generated, work spread);
+    * only df > dropCap is dropped. */
+  private def pairIntersections(docs: DataFrame, n: Int, dfCap: Int,
+                                dropCap: Int): DataFrame = {
     val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
     val sh = shingleHashRows(docs, n).select("doc_id", "h")
       .withColumn("__df", count(lit(1)).over(wh))
-      .filter(col("__df") <= dfCap).drop("__df")
+      .filter(col("__df") <= dropCap)
       .cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val a = sh.select(col("doc_id").as("id_a"), col("h"))
-    val b = sh.select(col("doc_id").as("id_b"), col("h"))
-    // shuffled self-join on h with map-side pair combining. A/B-tested
-    // against broadcast-join and per-posting-list combination
-    // enumeration (collect_list + slice/explode): neither beat this —
-    // the cost is the inherent exact-jaccard pair aggregation.
-    a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
+    // cold buckets (the overwhelming majority) self-join plainly;
+    // HOT buckets — df in (dfCap, dropCap] — go through Dist.saltedJoin
+    // so one stop-phrase key's quadratic pair aggregation spreads over
+    // HotSalts reducers instead of melting one (j2's static skew
+    // split). The generated pairs are identical either way — only the
+    // physical plan differs — so the oracle needs no salt awareness.
+    // A/B-tested alternatives for the cold path (broadcast join,
+    // posting-list combination enumeration) never beat the plain
+    // shuffled self-join with map-side pair combining.
+    val cold = sh.filter(col("__df") <= dfCap)
+    val hot = sh.filter(col("__df") > dfCap)
+    val coldPairs = cold.select(col("doc_id").as("id_a"), col("h"))
+      .join(cold.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+      .select("id_a", "id_b")
+    val hotPairs = graft.Dist.saltedJoin(
+        hot.select(col("doc_id").as("id_a"), col("h")),
+        hot.select(col("doc_id").as("id_b"), col("h")), "h", HotSalts)
+      .select("id_a", "id_b")
+    coldPairs.unionAll(hotPairs)
+      .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
       .join(broadcast(counts.select(col("doc_id").as("id_a"), col("nsh").as("na"))), "id_a")
@@ -169,8 +198,9 @@ object Dedup {
     * direction, no new shuffle); emits DIRECTED pairs
     * (id_in, id_out, containment ≥ min). */
   def containmentPairs(docs: DataFrame, n: Int, minContainment: Double,
-                       dfCap: Int = DefaultDfCap): DataFrame = {
-    val p = pairIntersections(docs, n, dfCap)
+                       dfCap: Int = DefaultDfCap,
+                       dropCap: Int = DropDfCap): DataFrame = {
+    val p = pairIntersections(docs, n, dfCap, dropCap)
     val ab = p.select(col("id_a").as("id_in"), col("id_b").as("id_out"),
       (col("inter").cast("double") / col("na")).as("containment"))
     val ba = p.select(col("id_b").as("id_in"), col("id_a").as("id_out"),
@@ -209,13 +239,15 @@ object Dedup {
 
   /** LSH candidate pairs: docs sharing ≥1 identical band. The join is an
     * equi-join on (band_idx, band_key) — the classic MinHash-LSH
-    * bucket-join, linear in bucket populations. Buckets holding more
-    * than dfCap docs are dropped before the self-join (a giant bucket
-    * is quadratic in ONE reducer; a bucket that common is a degenerate
+    * bucket-join, linear in bucket populations. Buckets with more than
+    * dfCap docs run through the SALTED self-join (their candidates are
+    * still generated, spread over HotSalts reducers); only buckets
+    * beyond dropCap are removed (a bucket that common is a degenerate
     * band — e.g. the all-identical-signature of boilerplate docs — and
-    * its members are found by the remaining bands or exact dedup). */
+    * its members are found by exact/canonical dedup). */
   def minhashCandidates(docs: DataFrame, n: Int,
-                        dfCap: Int = DefaultDfCap): DataFrame = {
+                        dfCap: Int = DefaultDfCap,
+                        dropCap: Int = DropDfCap): DataFrame = {
     // bucket-size cap as a window count over the band key — one pass,
     // same shuffle key as the self-join (see ngramJaccardPairs); the
     // result is cached so the banded self-join doesn't run the
@@ -225,11 +257,23 @@ object Dedup {
     val banded = minhashSignatures(shingleHashRows(docs, n))
       .select(col("doc_id"), posexplode(bandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
       .withColumn("__df", count(lit(1)).over(wb))
-      .filter(col("__df") <= dfCap).drop("__df")
+      .filter(col("__df") <= dropCap)
+      // one composite key so the salted path has a single join column
+      .withColumn("__bkey", concat_ws("#", col("band_idx"), col("band_key")))
       .cache()
-    val a = banded.select(col("doc_id").as("id_a"), col("band_idx"), col("band_key"))
-    val b = banded.select(col("doc_id").as("id_b"), col("band_idx"), col("band_key"))
-    a.join(b, Seq("band_idx", "band_key")).filter(col("id_a") < col("id_b"))
+    val cold = banded.filter(col("__df") <= dfCap)
+    val hot = banded.filter(col("__df") > dfCap)
+    val coldPairs = cold
+      .select(col("doc_id").as("id_a"), col("band_idx"), col("band_key"))
+      .join(cold.select(col("doc_id").as("id_b"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .select("id_a", "id_b", "band_idx")
+    val hotPairs = graft.Dist.saltedJoin(
+        hot.select(col("doc_id").as("id_a"), col("band_idx"), col("__bkey")),
+        hot.select(col("doc_id").as("id_b"), col("__bkey")), "__bkey", HotSalts)
+      .select("id_a", "id_b", "band_idx")
+    coldPairs.unionAll(hotPairs)
+      .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(countDistinct("band_idx").as("n_shared_bands"))
   }
@@ -245,10 +289,11 @@ object Dedup {
     * candidates by doc id; the exact side left-joins (a band collision
     * between disjoint shingle sets scores exact 0). */
   def minhashEstimates(docs: DataFrame, n: Int,
-                       dfCap: Int = DefaultDfCap): DataFrame = {
+                       dfCap: Int = DefaultDfCap,
+                       dropCap: Int = DropDfCap): DataFrame = {
     val sigs = minhashSignatures(shingleHashRows(docs, n))
-    val cand = minhashCandidates(docs, n, dfCap).select("id_a", "id_b")
-    val exact = pairIntersections(docs, n, dfCap)
+    val cand = minhashCandidates(docs, n, dfCap, dropCap).select("id_a", "id_b")
+    val exact = pairIntersections(docs, n, dfCap, dropCap)
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .as("xj"))

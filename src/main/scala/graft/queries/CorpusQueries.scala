@@ -110,14 +110,17 @@ object CorpusQueries {
   def d2NgramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, JaccardMin)
 
-  // mirrors Dedup.ngramJaccardPairs incl. the document-frequency cap:
-  // shingle hashes in > DefaultDfCap docs are pruned from the shingle
-  // sets (both intersection AND per-doc sizes) before the self-join
+  // mirrors Dedup.ngramJaccardPairs incl. the document-frequency DROP
+  // cap: shingle hashes in > DropDfCap docs are pruned from the shingle
+  // sets (both intersection AND per-doc sizes) before the self-join.
+  // The SALT threshold (DefaultDfCap) is a Spark physical-plan detail —
+  // salted and plain joins generate identical pairs, so the oracle
+  // only mirrors the drop.
   val d2Sql: String =
     s"""WITH $toksCte, $shingleCte,
        |exs AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
        |ex0 AS (SELECT doc_id, ${polyhashS("s")} AS h FROM exs),
-       |hot AS (SELECT h FROM ex0 GROUP BY h HAVING count(*) > ${Dedup.DefaultDfCap}),
+       |hot AS (SELECT h FROM ex0 GROUP BY h HAVING count(*) > ${Dedup.DropDfCap}),
        |exk AS (SELECT doc_id, h FROM ex0 WHERE h NOT IN (SELECT h FROM hot)),
        |ex AS (SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS nsh FROM exk)
        |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
@@ -149,7 +152,7 @@ object CorpusQueries {
        |              x -> CAST(x AS VARCHAR)), '_') AS band_key
        |          FROM sig, range(0, ${Dedup.NumBands}) r),
        |hotb AS (SELECT band_idx, band_key FROM bands0
-       |         GROUP BY 1, 2 HAVING count(*) > ${Dedup.DefaultDfCap}),
+       |         GROUP BY 1, 2 HAVING count(*) > ${Dedup.DropDfCap}),
        |bands AS (SELECT b.* FROM bands0 b WHERE NOT EXISTS (
        |            SELECT 1 FROM hotb h
        |            WHERE h.band_idx = b.band_idx AND h.band_key = b.band_key))""".stripMargin
@@ -1143,7 +1146,7 @@ object CorpusQueries {
   private def shingleIndexCtes: String =
     s"""exs AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
        |ex0 AS (SELECT doc_id, ${polyhashS("s")} AS h FROM exs),
-       |hot AS (SELECT h FROM ex0 GROUP BY h HAVING count(*) > ${Dedup.DefaultDfCap}),
+       |hot AS (SELECT h FROM ex0 GROUP BY h HAVING count(*) > ${Dedup.DropDfCap}),
        |exk AS (SELECT doc_id, h FROM ex0 WHERE h NOT IN (SELECT h FROM hot)),
        |ex AS (SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS nsh FROM exk)""".stripMargin
 
@@ -1311,7 +1314,7 @@ object CorpusQueries {
     s"""WITH RECURSIVE $toksCte, $shingleCte,
        |exs AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
        |ex0 AS (SELECT doc_id, ${polyhashS("s")} AS h FROM exs),
-       |hot AS (SELECT h FROM ex0 GROUP BY h HAVING count(*) > ${Dedup.DefaultDfCap}),
+       |hot AS (SELECT h FROM ex0 GROUP BY h HAVING count(*) > ${Dedup.DropDfCap}),
        |exk AS (SELECT doc_id, h FROM ex0 WHERE h NOT IN (SELECT h FROM hot)),
        |ex AS (SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS nsh FROM exk),
        |pairs AS (

@@ -40,11 +40,16 @@ class DedupTextSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val hot = graft.operators.Dedup.hotShingleHashes(docs, 3, 50)
     assert(hot.count() == 1, "exactly the planted stop-shingle is hot")
-    // with the cap, the hot shingle leaves every doc's set; remaining
-    // shingles are unique per doc -> zero candidate pairs
-    assert(graft.operators.Dedup.ngramJaccardPairs(docs, 3, 0.05, 50).count() == 0)
+    // with the DROP cap at 50 (the pre-salting semantics), the hot
+    // shingle leaves every doc's set; remaining shingles are unique
+    // per doc -> zero candidate pairs. Since round 7 a bucket above
+    // dfCap but under dropCap is SALTED instead — DedupSaltingSpec
+    // proves those pairs survive.
+    assert(graft.operators.Dedup.ngramJaccardPairs(docs, 3, 0.05,
+      dfCap = 50, dropCap = 50).count() == 0)
     // minhash band buckets dominated by the hot shingle are dropped too
-    assert(graft.operators.Dedup.minhashCandidates(docs, 3, 50).count() < 50000)
+    assert(graft.operators.Dedup.minhashCandidates(docs, 3,
+      dfCap = 50, dropCap = 50).count() < 50000)
   }
 
   test("d4 simhash stays in 30 bits and near-identical docs collide closely") {

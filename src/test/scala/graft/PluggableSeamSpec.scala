@@ -78,6 +78,26 @@ class PluggableSeamSpec extends SparkSpec {
       Seq(5L, 4L, 1L, 1L))
   }
 
+  test("latency capture measures each served query once, feeds m1's percentiles") {
+    val session = spark
+    import session.implicits._
+    val served = scala.collection.mutable.ArrayBuffer[Long]()
+    val lat = graft.operators.Latency.measure[Long](Seq(3L, 1L, 2L), { qid =>
+      served += qid
+      if (qid == 1L) Thread.sleep(5) // a visibly slower query
+    })
+    assert(served.toSeq == Seq(3L, 1L, 2L), "every query served exactly once, in order")
+    assert(lat.map(_._1) == Seq(3L, 1L, 2L))
+    assert(lat.forall(_._2 >= 0.0))
+    assert(lat.find(_._1 == 1L).get._2 >= 5.0, "wall-clock must be captured")
+    // the measured table is exactly what latencyPercentiles consumes
+    val p = graft.operators.IrMetrics.latencyPercentiles(
+      lat.toDF("query_id", "latency_ms").withColumn("path", lit("knn")),
+      "path", "latency_ms").head()
+    assert(p.getDouble(1) <= p.getDouble(2) && p.getDouble(2) <= p.getDouble(3),
+      "P50 <= P95 <= P99")
+  }
+
   test("r2 batched-judge query scores every d2 candidate pair") {
     val r2 = MetricQueries.r2RelevancyJudge(spark, sf)
     val nPairs = graft.queries.CorpusQueries.d2NgramJaccard(spark, sf).count()
