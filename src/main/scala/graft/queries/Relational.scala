@@ -589,6 +589,37 @@ object Relational {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM x GROUP BY 1, 2""".stripMargin
 
+  /** bf1_backfill — the AvailableNow backfill pattern as a DRIVER-
+    * CHECKED row (the streaming specs prove termination; this proves
+    * the VALUES): the STREAMING hourly aggregation — the exact
+    * transform a live tail runs, watermark and all — pointed at a
+    * parquet backlog of historical events, drained by
+    * Trigger.AvailableNow into a sink table that is the result. One
+    * code path for backfill and live tailing; decimal sums make the
+    * streaming partial-state merges order-independent, so the
+    * backfilled aggregate hash-matches the batch oracle exactly. */
+  def bf1Backfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val batch = Tables.events(spark, sfDir).select("ts", "event_type", "value")
+    // per-invocation backlog dir + sink name: concurrent runs never race
+    val dir = java.nio.file.Files.createTempDirectory("graft_bf1_backlog").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val sink = s"bf1_out_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = graft.streaming.EventStream.hourlyAgg(stream)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
+  val bf1Sql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   /** q13_salted_agg — two-phase salted aggregation (Dist.saltedSum):
     * the skew-safe shape for a hot grouping key — partials on
     * (key, salt) spread one hot key over `salts` reducers, then the

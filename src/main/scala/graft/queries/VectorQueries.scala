@@ -213,14 +213,82 @@ object VectorQueries {
   // ---- v10: MMR diversified retrieval ----------------------------------
 
   val MmrLambda = 0.7
+  val MmrK = 3  // small enough to UNROLL the greedy selection in SQL
+  val MmrM = 20
 
-  /** Diversified top-5 from top-20 brute-force candidates. Rows-only
-    * driver check (greedy sequential dependence isn't SQL-expressible);
-    * MmrSpec pins first-pick, dedup, and diversity semantics. */
+  /** Diversified top-3 from top-20 brute-force candidates. Oracle-
+    * checked since round 7: the greedy selection is unrolled into one
+    * CTE per pick (g1's unrolled-PageRank trick) — feasible because
+    * candidate scores are 6dp-rounded and every float expression is
+    * written in one shared operation order; MmrSpec still pins
+    * first-pick, dedup, and diversity semantics. */
   def v10Mmr(s: SparkSession, d: String): DataFrame =
     graft.operators.Mmr.diversifiedKnn(
       queryVecs(s, d), corpusVecs(s, d).select("vec_id", "v"),
-      K, 20, MmrLambda)
+      MmrK, MmrM, MmrLambda)
+      // floor(x·1e6 + 0.5), NOT round(): pick-1 scores are λ·(6dp
+      // score) — decimal products ending exactly in ...5, where
+      // Spark's shortest-decimal HALF_UP and DuckDB's binary round()
+      // disagree by construction; floor is bit-exact on the identical
+      // double (the vq1 trick)
+      .withColumn("mmr_score", floor(col("mmr_score") * 1e6 + lit(0.5)) / 1e6)
+
+  /** Unrolled greedy-MMR oracle: pick_i = argmax over the remaining
+    * candidates of λ·score − (1−λ)·max sim to the already-picked set,
+    * one CTE per pick. The λ coefficients are written as (1 − λ) IN
+    * THE SQL TEXT — 1−0.7 is 0.30000000000000004 in binary, and a
+    * literal 0.3 would diverge. The candidate cosine and the
+    * pair-similarity cosine use the same operation order as
+    * VectorSearch/Mmr.cos (one sqrt of the norm product). */
+  val v10Sql: String = {
+    // ::DOUBLE on the λ literal: a bare 0.7 is DECIMAL in DuckDB, so
+    // (1 - 0.7) would be exactly 0.3 — Scala's (1 - lambda) in double
+    // arithmetic is 0.30000000000000004, two ulps away
+    val L = s"$MmrLambda::DOUBLE"
+    // cos between two normalized lists, matching Mmr.cos bit-for-bit:
+    // d / sqrt(na * nb) — ONE sqrt of the product
+    def simS(a: String, b: String) =
+      s"${dotS(a, b)} / sqrt(${dotS(a, a)} * ${dotS(b, b)})"
+    s"""WITH $qCte, $cCte,
+       |nc AS (SELECT vec_id, v,
+       |         list_transform(v, x -> x / sqrt(${dotS("v", "v")})) AS nv
+       |       FROM c),
+       |cand AS (
+       |  SELECT query_id, vec_id, round(score, 6) AS score, nv FROM (
+       |    SELECT q.query_id, nc.vec_id, ${cosS("qv", "v")} AS score, nc.nv,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosS("qv", "v")} DESC, nc.vec_id ASC) AS crnk
+       |    FROM nc, q) WHERE crnk <= $MmrM),
+       |p1 AS (SELECT query_id, vec_id, score, nv,
+       |         $L * score - (1 - $L) * 0.0 AS mmr_score
+       |       FROM (SELECT cand.*, row_number() OVER (PARTITION BY query_id
+       |               ORDER BY score DESC, vec_id ASC) AS r FROM cand)
+       |       WHERE r = 1),
+       |m2 AS (SELECT c.query_id, c.vec_id, c.score, c.nv,
+       |         $L * c.score - (1 - $L) * (${simS("c.nv", "p.nv")}) AS mmr_score
+       |       FROM cand c JOIN p1 p ON p.query_id = c.query_id
+       |       WHERE c.vec_id <> p.vec_id),
+       |p2 AS (SELECT query_id, vec_id, score, nv, mmr_score FROM (
+       |         SELECT m2.*, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY mmr_score DESC, vec_id ASC) AS r FROM m2)
+       |       WHERE r = 1),
+       |m3 AS (SELECT c.query_id, c.vec_id, c.score,
+       |         $L * c.score - (1 - $L) *
+       |           greatest(${simS("c.nv", "a.nv")}, ${simS("c.nv", "b.nv")}) AS mmr_score
+       |       FROM cand c
+       |       JOIN p1 a ON a.query_id = c.query_id
+       |       JOIN p2 b ON b.query_id = c.query_id
+       |       WHERE c.vec_id <> a.vec_id AND c.vec_id <> b.vec_id),
+       |p3 AS (SELECT query_id, vec_id, score, mmr_score FROM (
+       |         SELECT m3.*, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY mmr_score DESC, vec_id ASC) AS r FROM m3)
+       |       WHERE r = 1)
+       |SELECT query_id, vec_id, score, floor(mmr_score * 1000000 + 0.5) / 1000000 AS mmr_score, 1 AS pick FROM p1
+       |UNION ALL
+       |SELECT query_id, vec_id, score, floor(mmr_score * 1000000 + 0.5) / 1000000 AS mmr_score, 2 AS pick FROM p2
+       |UNION ALL
+       |SELECT query_id, vec_id, score, floor(mmr_score * 1000000 + 0.5) / 1000000 AS mmr_score, 3 AS pick FROM p3""".stripMargin
+  }
 
   // ---- v9 / u3: persistent index + incremental upsert ------------------
 

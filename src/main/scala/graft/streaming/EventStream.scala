@@ -71,8 +71,12 @@ object EventStream {
   def hourlyAgg(events: DataFrame): DataFrame = {
     val src =
       if (events.isStreaming) events.withWatermark("ts", Watermark) else events
+    // decimal sum for the same reason as slidingAgg — and doubly so
+    // here, because bf1 hash-compares the STREAMING result (whose
+    // partial-state merge order is scheduler-dependent) to the oracle
     src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
   }

@@ -17,14 +17,15 @@ class MmrSpec extends SparkSpec {
       .select(col("query_id"), col("vec_id").as("brute_first"))
     assert(firstPicks.join(top1, "query_id")
       .filter(col("mmr_first") =!= col("brute_first")).count() == 0)
-    // exactly K unique picks per query
+    // exactly MmrK unique picks per query
     val per = mmr.groupBy("query_id")
       .agg(count(lit(1)).as("n"), countDistinct("vec_id").as("nd"))
-    assert(per.filter(col("n") =!= VectorQueries.K || col("nd") =!= VectorQueries.K)
+    assert(per.filter(col("n") =!= VectorQueries.MmrK || col("nd") =!= VectorQueries.MmrK)
       .count() == 0)
-    // mmr picks differ from plain top-5 for at least one query
+    // mmr picks differ from the plain top-MmrK for at least one query
     // (diversification does something on this fixture)
-    val plain = brute.select("query_id", "vec_id")
+    val plain = brute.filter(col("rnk") <= VectorQueries.MmrK)
+      .select("query_id", "vec_id")
     assert(mmr.select("query_id", "vec_id").exceptAll(plain).count() > 0)
   }
 
