@@ -272,6 +272,35 @@ object CorpusQueries {
        |  FROM scored) WHERE rnk = 1""".stripMargin
   }
 
+  // ---- t10_langid_eval ------------------------------------------------
+
+  /** Confusion matrix of the t3 language-ID heuristic against the
+    * corpus's labeled lang column — the calibration report a pipeline
+    * reads before trusting a classifier as a filter (which languages
+    * leak into which). Counts are exact integers; per-true-lang share
+    * is one double division over a window on the ALREADY-AGGREGATED
+    * matrix (≤ |langs|² rows — metadata-sized at any corpus scale). */
+  def t10LangidEval(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(t3LangId(s, d).select("doc_id", "predicted_lang"), "doc_id")
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        round(col("n_docs").cast("double")
+          / sum("n_docs").over(w).cast("double"), 6))
+  }
+
+  val t10Sql: String =
+    s"""WITH t3 AS ($t3Sql),
+       |conf AS (SELECT d.lang, t.predicted_lang, count(*) AS n_docs
+       |         FROM documents d JOIN t3 t ON d.doc_id = t.doc_id
+       |         GROUP BY 1, 2)
+       |SELECT lang, predicted_lang, n_docs,
+       |  round(CAST(n_docs AS DOUBLE)
+       |        / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 6) AS share
+       |FROM conf""".stripMargin
+
   // ---- t4_fingerprint -------------------------------------------------
 
   def t4Fingerprint(s: SparkSession, d: String): DataFrame =

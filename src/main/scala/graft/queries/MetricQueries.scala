@@ -67,6 +67,59 @@ object MetricQueries {
        |FROM g""".stripMargin
   }
 
+  // ---- m11_global_pcts ------------------------------------------------
+
+  /** EXACT global P50/P95/P99 over the whole value column — the shape
+    * m1's per-group collect_list cannot take globally (one executor
+    * would hold the entire column) and m4's sketch only approximates:
+    * the column goes through Dist.globalRank (range-partition +
+    * parallel per-partition rank + driver-prefix offsets), then ONLY
+    * the ≤6 rows at the interpolation ranks are fetched; the numpy
+    * interpolation arithmetic (m1's formula) runs on those. Everything
+    * distributed is rank bookkeeping; the driver touches a constant
+    * number of rows regardless of scale. */
+  def m11GlobalPcts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+    val n = ev.count()
+    val ranked = graft.Dist.globalRank(ev,
+      Seq(col("value").asc, col("event_id").asc), "r")
+    val qs = Seq(0.50 -> "p50", 0.95 -> "p95", 0.99 -> "p99")
+    val needed = qs.flatMap { case (q, _) =>
+      val pos = (n - 1).toDouble * q
+      val lo = math.floor(pos).toLong
+      if (pos - lo == 0.0) Seq(lo + 1) else Seq(lo + 1, lo + 2)
+    }.distinct
+    val vals = ranked.filter(col("r").isin(needed: _*))
+      .select("r", "value").collect()
+      .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    val rows = qs.map { case (q, name) =>
+      // numpy-style linear interpolation, the exact double op order of
+      // IrMetrics.interpRaw and the oracle text
+      val pos = (n - 1).toDouble * q
+      val lo = math.floor(pos).toLong
+      val frac = pos - lo
+      val base = vals(lo + 1)
+      (name, if (frac == 0.0) base else base + (vals(lo + 2) - base) * frac)
+    }
+    rows.toDF("pct", "raw").select(col("pct"), round(col("raw"), 6).as("value"))
+  }
+
+  val m11Sql: String = {
+    def interpS(q: Double): String =
+      s"""round(CASE WHEN (n - 1)::DOUBLE * $q - floor((n - 1)::DOUBLE * $q) = 0.0
+         |  THEN s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1]
+         |  ELSE s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1]
+         |     + (s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 2]
+         |        - s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1])
+         |       * ((n - 1)::DOUBLE * $q - floor((n - 1)::DOUBLE * $q))
+         |  END, 6)""".stripMargin
+    s"""WITH g AS (SELECT list_sort(list(value)) AS s, count(*) AS n FROM events)
+       |SELECT 'p50' AS pct, ${interpS(0.50)} AS value FROM g
+       |UNION ALL SELECT 'p95' AS pct, ${interpS(0.95)} AS value FROM g
+       |UNION ALL SELECT 'p99' AS pct, ${interpS(0.99)} AS value FROM g""".stripMargin
+  }
+
   // ---- m7_mad ---------------------------------------------------------
 
   /** Per-event-type robust outliers: exact median, exact MAD, count of

@@ -429,6 +429,42 @@ object Relational {
       |  FROM p JOIN c ON p.user_id = c.user_id AND c.cts >= p.ts)
       |WHERE rn = 1""".stripMargin
 
+  /** a3_asof_tolerance — as-of join with a MAX-GAP tolerance: the
+    * latest click at-or-before each purchase counts only if it is
+    * within 10 minutes; an older one means NO match (not next-best) —
+    * the standard sensor/attribution semantics where a stale reading
+    * is worse than none. Same linear union-carry plan as a1 (the right
+    * ts rides along as a carried column); the tolerance is a post-pass
+    * filter on exact integer epoch-ms deltas, so no extra join and no
+    * float time arithmetic. */
+  def a3AsofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("cts"))
+      .agg(max("event_id").as("click_id"))
+      .select(col("user_id"), col("cts"), col("click_id"),
+        col("cts").as("click_ts"))
+    graft.operators.AsOfJoin
+      .leftAsOf(purchases, clicks, "user_id", "ts", "cts",
+        Seq("click_id", "click_ts"))
+      .filter(col("click_ts").isNotNull)
+      .withColumn("gap_ms", unix_millis(col("ts")) - unix_millis(col("click_ts")))
+      .filter(col("gap_ms") <= 600000L)
+      .select("event_id", "user_id", "ts", "click_id", "gap_ms")
+  }
+
+  val a3Sql: String =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts AS cts, max(event_id) AS click_id
+      |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT event_id, user_id, ts, click_id, gap_ms FROM (
+      |  SELECT p.event_id, p.user_id, p.ts, c.click_id,
+      |    epoch_ms(p.ts) - epoch_ms(c.cts) AS gap_ms
+      |  FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts)
+      |WHERE gap_ms <= 600000""".stripMargin
+
   /** sk1_skew_profile — key-skew diagnostics for shuffle planning (the
     * report that tells you WHICH keys need q13's salting or an AQE
     * skew split): per-key event counts → global top-10 hottest keys
@@ -2082,6 +2118,36 @@ object Relational {
        |h2 AS (SELECT rh, ${graft.queries.CorpusQueries.polyhashS("CAST(rh AS VARCHAR)")} AS rh2 FROM h)
        |SELECT count(*) AS n_rows, bit_xor(rh) AS xor_h1, bit_xor(rh2) AS xor_h2
        |FROM h2""".stripMargin
+  }
+
+  /** fp2_partition_fingerprint — fp1's XOR checksum at PARTITION
+    * granularity (per event day): when two copies of a 100 TB table
+    * disagree, the per-partition fingerprint table (one ~40-byte row
+    * per partition) localizes WHICH partitions to re-replicate — the
+    * anti-entropy companion to dd1's row diff, without a full-table
+    * join. Same two independent XOR-folds per row, map-side combined;
+    * the shuffle carries one partial row per (task, day). */
+  def fp2PartitionFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"),
+        graft.operators.Embed.tokenHash(concat_ws(":",
+          col("event_id"), col("user_id"), col("event_type"))).as("rh"))
+      .withColumn("rh2",
+        graft.operators.Embed.tokenHash(col("rh").cast("string")))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(rh)").as("xor_h1"), expr("bit_xor(rh2)").as("xor_h2"))
+
+  val fp2Sql: String = {
+    val rh = graft.queries.CorpusQueries.polyhashS(
+      "concat_ws(':', event_id, user_id, event_type)")
+    s"""WITH h AS (SELECT CAST(ts AS DATE) AS day, $rh AS rh FROM events),
+       |h2 AS (SELECT day, rh,
+       |         ${graft.queries.CorpusQueries.polyhashS("CAST(rh AS VARCHAR)")} AS rh2
+       |       FROM h)
+       |SELECT day, count(*) AS n_rows,
+       |  bit_xor(rh) AS xor_h1, bit_xor(rh2) AS xor_h2
+       |FROM h2 GROUP BY 1""".stripMargin
   }
 
   /** dd1_table_diff — row-level diff between two table versions (the

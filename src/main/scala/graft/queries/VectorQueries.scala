@@ -1087,4 +1087,91 @@ object VectorQueries {
        |SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_overlap,
        |  round(CAST(sum(hit) AS DOUBLE) / $K, 6) AS recall
        |FROM j GROUP BY query_id""".stripMargin
+
+  // ---- v21: Matryoshka truncated-dimension retrieval --------------------
+
+  val MatDim = 16
+
+  /** Matryoshka-style dimension-truncated retrieval evaluation
+    * (Kusupati et al.): kNN over only the FIRST 16 of 64 dims — 4×
+    * less I/O and compute per candidate, the cheap first tier of a
+    * truncate→rescore serving cascade (the dimension analogue of the
+    * vq3/v16 bit tier) — overlapped per query against the full-
+    * dimension exact answer. The slice happens in the projection, so
+    * the truncated scan never touches the remaining 48 floats. */
+  def v21Matryoshka(s: SparkSession, d: String): DataFrame = {
+    val q16 = queryVecs(s, d)
+      .select(col("query_id"), slice(col("qv"), 1, MatDim).as("qv"))
+    val c16 = corpusVecs(s, d)
+      .select(col("vec_id"), slice(col("v"), 1, MatDim).as("v"))
+    val exact = v1KnnCos(s, d).select("query_id", "vec_id")
+    val approx = VectorSearch.knnCosine(q16, c16, K)
+      .select(col("query_id"), col("vec_id")).withColumn("__hit", lit(1L))
+    exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+      .select(col("query_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / K, 6).as("recall"))
+  }
+
+  lazy val v21Sql: String =
+    s"""WITH $qCte, $cCte,
+       |q16 AS (SELECT query_id, qv[1:$MatDim] AS qv FROM q),
+       |c16 AS (SELECT vec_id, v[1:$MatDim] AS v FROM c),
+       |trunc AS (
+       |${topkSql(s"SELECT query_id, vec_id, ${cosS("qv", "v")} AS score FROM c16, q16", desc = true)}),
+       |exact AS (SELECT query_id, vec_id FROM ($v1Sql)),
+       |j AS (SELECT e.query_id,
+       |        CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |      FROM exact e LEFT JOIN trunc a
+       |        ON e.query_id = a.query_id AND e.vec_id = a.vec_id)
+       |SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_overlap,
+       |  round(CAST(sum(hit) AS DOUBLE) / $K, 6) AS recall
+       |FROM j GROUP BY query_id""".stripMargin
+
+  // ---- emb1: per-dimension embedding statistics --------------------------
+
+  /** Per-dimension corpus statistics of the embedding column — the
+    * drift-detection input (compare per-dim means/variances between
+    * two snapshots to catch encoder or pipeline regressions; a shifted
+    * dimension is invisible to whole-vector norms). Values quantize to
+    * floor(x·1e6) INTEGERS first (declared semantics): the sums become
+    * exact integers — order-independent and mergeable at any scale —
+    * and mean/var are single double divisions at the end (stat1's
+    * recipe without decimal columns; at 100 TB row counts the long
+    * accumulators widen to decimal(38,0)). min/max stay exact doubles
+    * (order-independent by definition). */
+  def emb1DimStats(s: SparkSession, d: String): DataFrame = {
+    val rows = Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim_idx", "x0")))
+      .select(col("dim_idx"), col("x0").cast("double").as("x"))
+      .withColumn("sx", floor(col("x") * 1e6).cast("long"))
+    rows.groupBy("dim_idx")
+      .agg(count(lit(1)).as("n"),
+        round(min("x"), 6).as("min_v"),
+        round(max("x"), 6).as("max_v"),
+        sum("sx").as("__s"),
+        sum(col("sx") * col("sx")).as("__q"))
+      .select(col("dim_idx").cast("long").as("dim_idx"), col("n"),
+        col("min_v"), col("max_v"),
+        round(col("__s").cast("double") / col("n").cast("double") / 1e6, 6)
+          .as("mean_v"),
+        round((col("__q").cast("double") * col("n").cast("double")
+            - col("__s").cast("double") * col("__s").cast("double"))
+          / (col("n").cast("double") * col("n").cast("double")) / 1e12, 6)
+          .as("var_v"))
+  }
+
+  val emb1Sql: String =
+    s"""WITH e AS (SELECT r.range AS dim_idx,
+       |             embedding[CAST(r.range + 1 AS INT)]::DOUBLE AS x
+       |           FROM embeddings, range(0, $EmbedDim) r),
+       |s AS (SELECT dim_idx, x, CAST(floor(x * 1000000.0) AS BIGINT) AS sx FROM e)
+       |SELECT dim_idx, count(*) AS n,
+       |  round(min(x), 6) AS min_v, round(max(x), 6) AS max_v,
+       |  round(CAST(sum(sx) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mean_v,
+       |  round((CAST(sum(sx * sx) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+       |         - CAST(sum(sx) AS DOUBLE) * CAST(sum(sx) AS DOUBLE))
+       |        / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) / 1000000000000.0, 6) AS var_v
+       |FROM s GROUP BY 1""".stripMargin
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.queries.{CorpusQueries, MetricQueries, Relational, VectorQueries}
+import org.apache.spark.sql.functions._
+
+/** Round-7 operator invariants: tolerance as-of (a3), partition
+  * fingerprints (fp2), langid confusion (t10), exact global
+  * percentiles (m11), Matryoshka truncation recall (v21), per-dim
+  * embedding stats (emb1).
+  */
+class Round7OpsSpec extends SparkSpec {
+
+  test("a3: every match within tolerance and a subset of the plain as-of") {
+    val a3 = Relational.a3AsofTolerance(spark, sf).cache()
+    assert(a3.filter(col("gap_ms") < 0 || col("gap_ms") > 600000).count() == 0)
+    // dropping the tolerance column, a3 rows ⊆ a1 rows (same latest-click
+    // semantics, only the stale matches removed)
+    val a1 = Relational.a1Asof(spark, sf).select("event_id", "click_id")
+    assert(a3.select("event_id", "click_id").exceptAll(a1).count() == 0)
+  }
+
+  test("fp2: partition fingerprints are order-independent and conserve rows") {
+    val base = Relational.fp2PartitionFingerprint(spark, sf)
+      .orderBy("day").collect()
+    val evCount = Tables.events(spark, sf).count()
+    assert(base.map(_.getLong(1)).sum == evCount, "per-day counts conserve rows")
+    // recompute over a reshuffled input: XOR folds must not care
+    val again = Relational.fp2PartitionFingerprint(spark, sf)
+      .repartition(7).orderBy("day").collect()
+    assert(base.sameElements(again))
+  }
+
+  test("t10: per-lang shares sum to 1 and docs are conserved") {
+    val conf = CorpusQueries.t10LangidEval(spark, sf).cache()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(conf.agg(sum("n_docs")).head.getLong(0) == nDocs)
+    val shares = conf.groupBy("lang").agg(round(sum("share"), 3).as("s"))
+    assert(shares.filter(abs(col("s") - 1.0) > 0.01).count() == 0)
+  }
+
+  test("m11: exact global percentiles equal a driver-side sort") {
+    val m11 = MetricQueries.m11GlobalPcts(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val vals = Tables.events(spark, sf).select("value")
+      .collect().map(_.getDouble(0)).sorted
+    def interp(q: Double): Double = {
+      val pos = (vals.length - 1).toDouble * q
+      val lo = math.floor(pos).toInt
+      val frac = pos - lo
+      val v = if (frac == 0.0) vals(lo) else vals(lo) + (vals(lo + 1) - vals(lo)) * frac
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(m11("p50") == interp(0.50) && m11("p95") == interp(0.95)
+      && m11("p99") == interp(0.99))
+    assert(m11("p50") <= m11("p95") && m11("p95") <= m11("p99"))
+  }
+
+  test("v21: truncated-dim recall is a valid fraction and beats chance") {
+    val v21 = VectorQueries.v21Matryoshka(spark, sf).cache()
+    assert(v21.filter(col("recall") < 0 || col("recall") > 1).count() == 0)
+    assert(v21.filter(col("n_overlap") > VectorQueries.K).count() == 0)
+    // 16 of 64 dims should retrieve far better than random top-5
+    val mean = v21.agg(avg("recall")).head.getDouble(0)
+    assert(mean > 0.05, s"mean truncated recall $mean suspiciously low")
+  }
+
+  test("emb1: per-dim stats are conserved and internally consistent") {
+    val stats = VectorQueries.emb1DimStats(spark, sf).cache()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(stats.count() == VectorQueries.EmbedDim)
+    assert(stats.filter(col("n") =!= nVecs).count() == 0)
+    // quantization error of the mean is bounded by the 1e-6 grid (plus
+    // the 6dp output rounding on both sides)
+    assert(stats.filter(col("mean_v") < col("min_v") - 1e-5
+      || col("mean_v") > col("max_v") + 1e-5).count() == 0)
+    assert(stats.filter(col("var_v") < -1e-9).count() == 0)
+  }
+}
