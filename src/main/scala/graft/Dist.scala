@@ -65,7 +65,11 @@ object Dist {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val local = sorted.withColumn("__local_end", sum(col(valueCol)).over(w))
       .localCheckpoint() // consumed twice: partition totals + final shift
-    val totals = local.groupBy("__pid").agg(max("__local_end").as("__t"))
+    // partition total = SUM of the values, NOT max(__local_end): with
+    // negative values (e.g. a sweep line's ±1 deltas) the local running
+    // sum is non-monotone, so its max is not its final value — the two
+    // only coincide for non-negative value columns
+    val totals = local.groupBy("__pid").agg(sum(col(valueCol)).as("__t"))
       .collect()
       .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
       .toMap // all-null-valued partition sums to null → contributes 0

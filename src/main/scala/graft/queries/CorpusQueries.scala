@@ -272,6 +272,75 @@ object CorpusQueries {
        |  FROM scored) WHERE rnk = 1""".stripMargin
   }
 
+  // ---- tok1_fertility ---------------------------------------------------
+
+  /** Tokenizer-fertility report per language: chars-per-token from
+    * EXACT integer sums (Σ chars, Σ whitespace tokens) with one double
+    * division — the signal for how expensive each language is to
+    * tokenize (CJK explodes, English doesn't) and the sanity check
+    * before trusting token-count-based quality filters cross-lingually. */
+  def tok1Fertility(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), length(col("text")).as("nc"),
+        size(Embed.tokens(col("text"))).as("nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nc").as("n_chars"),
+        sum("nt").as("n_tokens"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 6))
+
+  val tok1Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+      |  CAST(sum(len(list_filter(string_split(text, ' '), t -> length(t) > 0))) AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(length(text)) AS DOUBLE)
+      |        / CAST(sum(len(list_filter(string_split(text, ' '), t -> length(t) > 0))) AS DOUBLE), 6)
+      |    AS chars_per_token
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---- d16_lsh_curve ----------------------------------------------------
+
+  /** MinHash-LSH S-curve calibration: per exact-jaccard decile band of
+    * the d2 pairs, the OBSERVED fraction that d3's band bucketing
+    * surfaced as candidates, beside the THEORETICAL collision rate
+    * 1−(1−j⁴)⁴ for 16 perms in 4 bands of 4 — the report that tells a
+    * pipeline whether its band/row split matches its dedup threshold
+    * (v18's operating-point measurement, for the LSH knob). Powers are
+    * explicit left-associated multiplications, never libm pow, so both
+    * engines produce identical doubles. */
+  def d16LshCurve(s: SparkSession, d: String): DataFrame = {
+    val exact = d2NgramJaccard(s, d)
+    val cand = d3Minhash(s, d).select(col("id_a"), col("id_b"))
+      .withColumn("__hit", lit(1L))
+    val jm = (col("band").cast("double") + 0.5) / 10.0
+    val j4 = jm * jm * jm * jm
+    val y = lit(1.0) - j4
+    exact.join(cand, Seq("id_a", "id_b"), "left")
+      .withColumn("band", floor(col("jaccard") * 10).cast("long"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_candidates"))
+      .withColumn("observed_rate",
+        round(col("n_candidates").cast("double") / col("n_pairs").cast("double"), 6))
+      .withColumn("theory_rate", round(lit(1.0) - y * y * y * y, 6))
+  }
+
+  val d16Sql: String = {
+    val jm = "((CAST(band AS DOUBLE) + 0.5) / 10.0)"
+    val j4 = s"($jm * $jm * $jm * $jm)"
+    val y = s"(1.0 - $j4)"
+    s"""WITH exact AS (SELECT id_a, id_b, jaccard FROM ($d2Sql)),
+       |cand AS (SELECT id_a, id_b FROM ($d3Sql)),
+       |j AS (SELECT CAST(floor(e.jaccard * 10) AS BIGINT) AS band,
+       |        CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |      FROM exact e LEFT JOIN cand c
+       |        ON e.id_a = c.id_a AND e.id_b = c.id_b)
+       |SELECT band, count(*) AS n_pairs, CAST(sum(hit) AS BIGINT) AS n_candidates,
+       |  round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS observed_rate,
+       |  round(1.0 - $y * $y * $y * $y, 6) AS theory_rate
+       |FROM j GROUP BY 1""".stripMargin
+  }
+
   // ---- t10_langid_eval ------------------------------------------------
 
   /** Confusion matrix of the t3 language-ID heuristic against the

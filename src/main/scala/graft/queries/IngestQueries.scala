@@ -125,4 +125,71 @@ object IngestQueries {
   val ingJsonlSql: String =
     """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1""".stripMargin
+
+  /** mm5_size_pcts — EXACT per-language media-size percentiles
+    * (P50/P95/P99 of payload bytes), the storage-planning histogram a
+    * multimodal corpus is partitioned by. Never sorts rows: sizes are
+    * integers, so the per-group distribution collapses to a VALUE
+    * HISTOGRAM (lang, n_bytes, count) — cardinality = distinct sizes,
+    * not documents — and the percentile ranks are read off the
+    * histogram's running count. The per-lang window runs over that
+    * collapsed histogram (thousands of rows per group at any corpus
+    * size), so this stays exact where m4 would approximate, at any
+    * scale. Interpolation is numpy-style linear, the same double op
+    * order as m1/m11: lo + (hi - lo) * frac, integer subtraction
+    * first. */
+  def mm5SizePcts(s: SparkSession, d: String): DataFrame = {
+    val m = MultiModal.mediaTable(Tables.documents(s, d))
+      .select(col("lang"), length(col("media")).cast("long").as("nb"))
+    val hist = m.groupBy("lang", "nb").agg(count(lit(1)).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("nb").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("lo_cum", col("cum") - col("cnt"))
+      .localCheckpoint() // joined twice below (lo and hi rank probes)
+    val qs = Seq(0.50 -> "p50", 0.95 -> "p95", 0.99 -> "p99")
+    val ranks = hist.groupBy("lang").agg(sum("cnt").as("n"))
+      .select(col("lang"), col("n"), explode(array(qs.map { case (q, nm) =>
+        struct(lit(q).as("q"), lit(nm).as("pct")) }: _*)).as("qq"))
+      .select(col("lang"), col("n"), col("qq.q").as("q"), col("qq.pct").as("pct"))
+      .withColumn("pos", (col("n") - 1).cast("double") * col("q"))
+      .withColumn("lo", floor(col("pos")))
+      .withColumn("frac", col("pos") - col("lo").cast("double"))
+      .withColumn("r_lo", col("lo") + 1)
+      .withColumn("r_hi", col("lo") + when(col("frac") === 0.0, 1).otherwise(2))
+    val loV = ranks.join(cum, Seq("lang"))
+      .filter(col("r_lo") > col("lo_cum") && col("r_lo") <= col("cum"))
+      .select(col("lang"), col("pct"), col("frac"), col("nb").as("v_lo"))
+    val hiV = ranks.join(cum, Seq("lang"))
+      .filter(col("r_hi") > col("lo_cum") && col("r_hi") <= col("cum"))
+      .select(col("lang"), col("pct"), col("nb").as("v_hi"))
+    val interp = loV.join(hiV, Seq("lang", "pct"))
+      .withColumn("v", round(col("v_lo").cast("double")
+        + (col("v_hi") - col("v_lo")).cast("double") * col("frac"), 6))
+    interp.groupBy("lang").agg(
+      max(when(col("pct") === "p50", col("v"))).as("p50"),
+      max(when(col("pct") === "p95", col("v"))).as("p95"),
+      max(when(col("pct") === "p99", col("v"))).as("p99"))
+  }
+
+  val mm5Sql: String = {
+    def interpS(q: Double, as: String): String =
+      s"""round(CASE WHEN (n - 1)::DOUBLE * $q - floor((n - 1)::DOUBLE * $q) = 0.0
+         |  THEN CAST(s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1] AS DOUBLE)
+         |  ELSE s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1]
+         |     + (s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 2]
+         |        - s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1])
+         |       * ((n - 1)::DOUBLE * $q - floor((n - 1)::DOUBLE * $q))
+         |  END, 6) AS $as""".stripMargin
+    s"""WITH g AS (SELECT lang,
+       |             list_sort(list(CAST(octet_length(encode(text)) AS BIGINT))) AS s,
+       |             count(*) AS n
+       |           FROM documents GROUP BY 1)
+       |SELECT lang,
+       |  ${interpS(0.50, "p50")},
+       |  ${interpS(0.95, "p95")},
+       |  ${interpS(0.99, "p99")}
+       |FROM g""".stripMargin
+  }
 }

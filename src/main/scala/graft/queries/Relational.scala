@@ -2368,4 +2368,53 @@ object Relational {
       |        / CAST(max(CASE WHEN week_offset = 0 THEN n_users END)
       |               OVER (PARTITION BY cohort) AS DOUBLE), 6) AS retention
       |FROM cw""".stripMargin
+
+  // ---- ov1_peak_concurrency ------------------------------------------
+
+  /** ov1_peak_concurrency — peak simultaneous activity per event type
+    * via an endpoint-delta sweep line: each event opens a half-open
+    * 5-minute interval [ts, ts+5min); +1/-1 deltas are pre-aggregated
+    * per DISTINCT (type, timestamp) — a +1 and a -1 colliding at t net
+    * to the half-open convention's value, and the aggregation collapses
+    * the row count to distinct endpoints — then one distributed prefix
+    * scan (Dist.runningTotal) ordered by (type, t) yields the live
+    * count at every endpoint. The scan's order crosses type boundaries,
+    * but each type's deltas sum to ZERO (every +1 has its -1), so the
+    * carry into the next type is always 0 — one global scan serves all
+    * types with no per-type repartition. Peak = max live count; ties
+    * resolved to the earliest timestamp. The capacity-planning question
+    * ("how many concurrent sessions must this tier hold?") asked of a
+    * 100 TB event log without ever sorting it through one task. */
+  def ov1PeakConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("event_type"), col("ts"))
+    val pts = ev.select(col("event_type"), col("ts").as("t"), lit(1L).as("d"))
+      .unionAll(ev.select(col("event_type"),
+        (col("ts") + expr("INTERVAL 5 MINUTES")).as("t"), lit(-1L).as("d")))
+    val agg = pts.groupBy("event_type", "t").agg(sum("d").as("d"))
+    val run = graft.Dist.runningTotal(agg,
+      Seq(col("event_type").asc, col("t").asc), "d")
+    val peaks = run.groupBy("event_type")
+      .agg(max("d_end").as("peak_concurrency"))
+    run.join(broadcast(peaks), Seq("event_type"))
+      .filter(col("d_end") === col("peak_concurrency"))
+      .groupBy("event_type", "peak_concurrency")
+      .agg(min(unix_millis(col("t"))).as("peak_ts_ms"))
+  }
+
+  val ov1Sql: String =
+    """WITH pts AS (
+      |  SELECT event_type, ts AS t, 1 AS d FROM events
+      |  UNION ALL
+      |  SELECT event_type, ts + INTERVAL 5 MINUTE AS t, -1 AS d FROM events),
+      |agg AS (SELECT event_type, t, CAST(sum(d) AS BIGINT) AS d
+      |        FROM pts GROUP BY 1, 2),
+      |run AS (SELECT event_type, t,
+      |          CAST(sum(d) OVER (PARTITION BY event_type ORDER BY t
+      |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+      |        FROM agg),
+      |pk AS (SELECT event_type, max(conc) AS peak FROM run GROUP BY 1)
+      |SELECT r.event_type, p.peak AS peak_concurrency,
+      |  min(epoch_ms(r.t)) AS peak_ts_ms
+      |FROM run r JOIN pk p ON r.event_type = p.event_type AND r.conc = p.peak
+      |GROUP BY 1, 2""".stripMargin
 }

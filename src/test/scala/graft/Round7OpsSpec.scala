@@ -75,4 +75,66 @@ class Round7OpsSpec extends SparkSpec {
       || col("mean_v") > col("max_v") + 1e-5).count() == 0)
     assert(stats.filter(col("var_v") < -1e-9).count() == 0)
   }
+
+  test("runningTotal handles negative values (non-monotone local prefix)") {
+    // ±1 sweep deltas: the per-partition running sum is non-monotone, so
+    // the cross-partition shift must use the partition SUM, not the max
+    // of the local running total (the regression ov1 exposed)
+    import spark.implicits._
+    val n = 1000
+    val rows = (0 until n).map(i => (i, if (i % 2 == 0) 1L else -1L)).toDF("k", "v")
+    val run = Dist.runningTotal(rows, Seq(col("k").asc), "v")
+      .orderBy("k").select("v_end").as[Long].collect()
+    val expect = (0 until n).scanLeft(0L)((acc, i) =>
+      acc + (if (i % 2 == 0) 1L else -1L)).tail
+    assert(run.toSeq == expect.toSeq)
+  }
+
+  test("ov1: peak concurrency equals a per-type window baseline") {
+    val ov1 = Relational.ov1PeakConcurrency(spark, sf).cache()
+    // baseline: same endpoint deltas through a plain per-type window
+    val ev = Tables.events(spark, sf).select(col("event_type"), col("ts"))
+    val pts = ev.select(col("event_type"), col("ts").as("t"), lit(1L).as("d"))
+      .unionAll(ev.select(col("event_type"),
+        (col("ts") + expr("INTERVAL 5 MINUTES")).as("t"), lit(-1L).as("d")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      .orderBy(col("t").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val base = pts.groupBy("event_type", "t").agg(sum("d").as("d"))
+      .withColumn("conc", sum("d").over(w))
+      .groupBy("event_type").agg(max("conc").as("peak"))
+    val joined = ov1.join(base, "event_type")
+    assert(joined.filter(col("peak_concurrency") =!= col("peak")).count() == 0)
+    assert(ov1.filter(col("peak_concurrency") < 1).count() == 0)
+  }
+
+  test("tok1: fertility is consistent with exact char/token sums") {
+    val t = queries.CorpusQueries.tok1Fertility(spark, sf).cache()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(t.agg(sum("n_docs")).head.getLong(0) == nDocs)
+    // chars-per-token must be ≥ 1 (every token has ≥1 char) and equal
+    // the quotient of the two exact sums
+    assert(t.filter(col("chars_per_token") < 1.0).count() == 0)
+    assert(t.filter(abs(col("chars_per_token")
+      - round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 6))
+      > 0).count() == 0)
+  }
+
+  test("mm5: per-lang size percentiles are ordered and bracketed") {
+    val m = queries.IngestQueries.mm5SizePcts(spark, sf).cache()
+    assert(m.filter(col("p50") > col("p95") || col("p95") > col("p99")).count() == 0)
+    // percentiles live inside the per-lang min/max size envelope
+    val env = operators.MultiModal.mediaTable(Tables.documents(spark, sf))
+      .select(col("lang"), length(col("media")).cast("long").as("nb"))
+      .groupBy("lang").agg(min("nb").as("lo"), max("nb").as("hi"))
+    val j = m.join(env, "lang")
+    assert(j.filter(col("p50") < col("lo") || col("p99") > col("hi")).count() == 0)
+  }
+
+  test("d16: observed LSH candidate rate is monotone-ish and bounded") {
+    val d = queries.CorpusQueries.d16LshCurve(spark, sf).cache()
+    assert(d.filter(col("observed_rate") < 0 || col("observed_rate") > 1).count() == 0)
+    assert(d.filter(col("theory_rate") < 0 || col("theory_rate") > 1).count() == 0)
+    assert(d.filter(col("n_candidates") > col("n_pairs")).count() == 0)
+  }
 }
