@@ -300,6 +300,40 @@ object TextAnalysis {
           .otherwise("tail"))
   }
 
+  /** Bigram-LM perplexity filter (the KenLM-shaped upgrade of
+    * unigramNll): add-one-smoothed conditional p(w2|w1) =
+    * (c(w1w2)+1)/(c(w1)+V), per-doc mean NLL over its bigrams.
+    * Same scale shape as unigramNll — one tokenize pass → per-doc
+    * bigram tf (map-side combined), global bigram counts DERIVE from
+    * tf, context counts derive from the bigram counts (c(w1) = Σ c12
+    * over bigrams starting w1 — no second corpus pass), vocab size
+    * rides in as a broadcast scalar. Scoring joins key the bigram and
+    * its head token — posting-list-bounded, never per-pair. 4-dp
+    * rounding absorbs ln()'s last ulp (ppl1's policy). */
+  def bigramNll(docs: DataFrame, textCol: String): DataFrame = {
+    val base = graft.Dist.spread(
+        docs.select(col("doc_id"), tokens(col(textCol)).as("tk")))
+      .filter(size(col("tk")) >= 2)
+      .localCheckpoint() // consumed twice: bigram tf + vocab size
+    val bf = base.select(col("doc_id"), explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // consumed twice: c12 + per-doc scoring
+    val c12 = bf.groupBy("b").agg(sum("tf").as("c12"))
+      .withColumn("w1", element_at(split(col("b"), " "), 1))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val voc = base.select(explode(col("tk")).as("t"))
+      .agg(countDistinct("t").as("vsz"))
+    bf.join(c12, "b").join(c1, "w1").crossJoin(broadcast(voc))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        round(sum(-log((col("c12") + 1).cast("double")
+            / (col("c1") + col("vsz")).cast("double")) * col("tf"))
+          / sum("tf"), 4).as("avg_nll"))
+  }
+
   /** Text canonicalization before dedup/fingerprinting: lowercase,
     * non-alphanumerics → space, whitespace collapsed, trimmed — all in
     * the engine-portable regex subset (t7's policy), map-side only.

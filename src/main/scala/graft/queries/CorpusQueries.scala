@@ -910,6 +910,33 @@ object CorpusQueries {
        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
        |FROM h""".stripMargin
 
+  // ---- ws1_weighted_sample --------------------------------------------
+
+  /** ws1_weighted_sample — deterministic WEIGHTED (importance)
+    * sampling: keep each doc with probability proportional to its
+    * length, p = min(n_chars, 2000)/2000, decided by the portable
+    * mixed hash of the doc id against an integer threshold (keep iff
+    * h % 10000 < 5·min(n_chars, 2000)) — reproducible on any engine,
+    * any run, any partitioning; no RNG state. Emits the Horvitz-
+    * Thompson inverse weight 1/p so downstream aggregates stay
+    * unbiased (the upsample-high-quality / downsample-boilerplate
+    * primitive; s1 is the uniform special case). Map-side only: no
+    * shuffle, no join, filter pushes to the scan. */
+  def ws1WeightedSample(s: SparkSession, d: String): DataFrame = {
+    val thr = least(col("n_chars"), lit(2000L)) * 5
+    Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      .filter((graft.operators.Sampling.mixedHash(col("doc_id")) % 10000) < thr)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(lit(10000.0) / thr.cast("double"), 6).as("inv_weight"))
+  }
+
+  val ws1Sql: String =
+    s"""SELECT doc_id, lang, n_chars,
+       |  round(10000.0 / CAST(5 * least(n_chars, 2000) AS DOUBLE), 6) AS inv_weight
+       |FROM documents
+       |WHERE (${mixedHashS("CAST(doc_id AS VARCHAR)")}) % 10000
+       |      < 5 * least(n_chars, 2000)""".stripMargin
+
   // ---- s4_mixture -----------------------------------------------------
 
   /** Per-source mixture weights: even sources kept at 0.8, odd at 0.25,
@@ -1592,6 +1619,34 @@ object CorpusQueries {
   def ppl1UnigramNll(s: SparkSession, d: String): DataFrame =
     TextAnalysis.unigramNll(Tables.documents(s, d).select("doc_id", "text"),
       "text")
+
+  // ---- ppl2_bigram_nll ------------------------------------------------
+
+  /** Bigram-LM perplexity filter (add-one smoothing) — see
+    * TextAnalysis.bigramNll. */
+  def ppl2BigramNll(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bigramNll(Tables.documents(s, d).select("doc_id", "text"),
+      "text")
+
+  val ppl2Sql: String =
+    s"""WITH $toksCte,
+       |t2 AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 2),
+       |bgx AS (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(tk)),
+       |            i -> tk[i] || ' ' || tk[i+1])) AS b
+       |        FROM t2),
+       |bf AS (SELECT doc_id, b, count(*) AS tf FROM bgx GROUP BY 1, 2),
+       |c12 AS (SELECT b, CAST(sum(tf) AS BIGINT) AS c12,
+       |          string_split(b, ' ')[1] AS w1
+       |        FROM bf GROUP BY 1),
+       |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+       |voc AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS vsz
+       |        FROM (SELECT unnest(tk) AS t FROM t2))
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       |  round(sum(-ln((c12 + 1)::DOUBLE / (c1 + vsz)::DOUBLE) * tf)
+       |        / sum(tf), 4) AS avg_nll
+       |FROM bf JOIN c12 USING (b) JOIN c1 USING (w1) CROSS JOIN voc
+       |GROUP BY 1""".stripMargin
 
   val ppl1Sql: String =
     s"""WITH $toksCte,

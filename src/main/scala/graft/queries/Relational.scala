@@ -2401,6 +2401,109 @@ object Relational {
       .agg(min(unix_millis(col("t"))).as("peak_ts_ms"))
   }
 
+  // ---- iv1_interval_join ----------------------------------------------
+
+  /** iv1_interval_join — interval-OVERLAP join without a theta join:
+    * each event spans [ts, ts+5min); count, per unordered event-type
+    * pair, the same-user event pairs whose intervals overlap. The
+    * scale shape: intervals are emitted into each 5-minute time BUCKET
+    * they cover (≤2 buckets for an interval exactly one bucket wide),
+    * the self-join runs on the (user, bucket) EQUI key, and the range
+    * predicate only filters within buckets — candidate volume is
+    * bounded by per-(user, bucket) occupancy, never |A|×|B|. A pair
+    * overlapping in two shared buckets would double-count, so a pair
+    * is counted ONLY in the bucket containing its overlap start
+    * (greatest(sa, sb) div W) — dedup by arithmetic, no distinct. All
+    * time math on exact integer epoch millis. */
+  def iv1IntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 300000L // 5-minute intervals and buckets
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("st"))
+      .withColumn("en", col("st") + W)
+      .withColumn("bkt", explode(array_distinct(
+        array(expr(s"st div $W"), expr(s"(en - 1) div $W")))))
+    val a = ev.select(col("user_id"), col("bkt"), col("event_id").as("id_a"),
+      col("event_type").as("ta"), col("st").as("sa"), col("en").as("ea"))
+    val b = ev.select(col("user_id"), col("bkt"), col("event_id").as("id_b"),
+      col("event_type").as("tb"), col("st").as("sb"), col("en").as("eb"))
+    a.join(b, Seq("user_id", "bkt"))
+      .filter(col("id_a") < col("id_b") && col("ta") =!= col("tb")
+        && col("sa") < col("eb") && col("sb") < col("ea")
+        && col("bkt") === expr(s"greatest(sa, sb) div $W"))
+      .groupBy(least(col("ta"), col("tb")).as("type_a"),
+        greatest(col("ta"), col("tb")).as("type_b"))
+      .agg(count(lit(1)).as("n_overlaps"))
+  }
+
+  val iv1Sql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |              epoch_ms(ts) AS st, epoch_ms(ts) + 300000 AS en
+      |            FROM events)
+      |SELECT least(a.event_type, b.event_type) AS type_a,
+      |       greatest(a.event_type, b.event_type) AS type_b,
+      |       count(*) AS n_overlaps
+      |FROM ev a JOIN ev b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND a.event_type <> b.event_type
+      | AND a.st < b.en AND b.st < a.en
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---- bl1_benford ----------------------------------------------------
+
+  /** bl1_benford — leading-significant-digit distribution of line-item
+    * prices against Benford's law, the classic synthetic/corrupt-data
+    * screen (a generated or truncated feed skews the first-digit
+    * histogram long before summary stats move). Digit extraction never
+    * touches float formatting: prices go through the exact
+    * decimal-cents cast (cp1's pattern) and the leading digit is the
+    * first character of the INTEGER's string form — engine-unambiguous
+    * where double→text is not (×100 preserves the leading significant
+    * digit). Expected shares are the log10(1+1/d) constants, emitted
+    * as 6-dp literals in BOTH engines so no libm log runs anywhere.
+    * One map-side digit extraction + a 9-row aggregate. */
+  def bl1Benford(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = Tables.lineitem(spark, sfDir)
+      .select((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("c"))
+    val counts = cents
+      .groupBy(substring(col("c").cast("string"), 1, 1).as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("tot"))
+    val expected = BenfordShares.foldLeft(lit(0.0)) { case (acc, (d, p)) =>
+      when(col("digit") === d.toString, p).otherwise(acc) }
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6)
+          .as("observed_share"),
+        expected.as("expected_share"))
+      .withColumn("abs_dev",
+        round(abs(col("observed_share") - col("expected_share")), 6))
+  }
+
+  /** log10(1 + 1/d) for d = 1..9, rounded to 6 dp — literals on both
+    * engines (no runtime log). */
+  val BenfordShares: Seq[(Int, Double)] = Seq(
+    1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.096910,
+    5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+    9 -> 0.045757)
+
+  val bl1Sql: String = {
+    val caseExp = BenfordShares.map { case (d, p) =>
+      s"WHEN digit = '$d' THEN $p" }.mkString("CASE ", " ", " ELSE 0.0 END")
+    s"""WITH c AS (SELECT substring(CAST(CAST(l_extendedprice::DECIMAL(18,2) * 100
+       |             AS BIGINT) AS VARCHAR), 1, 1) AS digit
+       |           FROM lineitem),
+       |g AS (SELECT digit, count(*) AS n FROM c GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
+       |SELECT digit, n,
+       |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS observed_share,
+       |  $caseExp AS expected_share,
+       |  round(abs(round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+       |            - $caseExp), 6) AS abs_dev
+       |FROM g, t""".stripMargin
+  }
+
   val ov1Sql: String =
     """WITH pts AS (
       |  SELECT event_type, ts AS t, 1 AS d FROM events

@@ -137,4 +137,58 @@ class Round7OpsSpec extends SparkSpec {
     assert(d.filter(col("theory_rate") < 0 || col("theory_rate") > 1).count() == 0)
     assert(d.filter(col("n_candidates") > col("n_pairs")).count() == 0)
   }
+
+  test("iv1: bucketed interval join equals the direct theta join") {
+    val iv1 = Relational.iv1IntervalJoin(spark, sf)
+    // brute-force baseline: the theta join iv1's bucketing avoids
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_millis(col("ts")).as("st"))
+      .withColumn("en", col("st") + 300000L)
+    val a = ev.select(col("user_id"), col("event_id").as("ia"),
+      col("event_type").as("ta"), col("st").as("sa"), col("en").as("ea"))
+    val b = ev.select(col("user_id"), col("event_id").as("ib"),
+      col("event_type").as("tb"), col("st").as("sb"), col("en").as("eb"))
+    val brute = a.join(b, "user_id")
+      .filter(col("ia") < col("ib") && col("ta") =!= col("tb")
+        && col("sa") < col("eb") && col("sb") < col("ea"))
+      .groupBy(least(col("ta"), col("tb")).as("type_a"),
+        greatest(col("ta"), col("tb")).as("type_b"))
+      .agg(count(lit(1)).as("n_brute"))
+    val j = iv1.join(brute, Seq("type_a", "type_b"), "full")
+    assert(j.filter(col("n_overlaps").isNull || col("n_brute").isNull
+      || col("n_overlaps") =!= col("n_brute")).count() == 0)
+  }
+
+  test("bl1: Benford digit shares sum to ~1 and cover digits 1-9") {
+    val b = Relational.bl1Benford(spark, sf).cache()
+    assert(b.count() <= 9)
+    assert(b.filter(!col("digit").isin((1 to 9).map(_.toString): _*)).count() == 0)
+    val obs = b.agg(sum("observed_share")).head.getDouble(0)
+    assert(math.abs(obs - 1.0) < 1e-4, s"observed shares sum to $obs")
+    val exp = b.agg(sum("expected_share")).head.getDouble(0)
+    assert(exp <= 1.0 + 1e-9)
+  }
+
+  test("ppl2: bigram NLL bounded below by ln-of-denominator floor and finite") {
+    val p = queries.CorpusQueries.ppl2BigramNll(spark, sf).cache()
+    val nDocs = Tables.documents(spark, sf)
+      .filter(size(operators.Embed.tokens(col("text"))) >= 2).count()
+    assert(p.count() == nDocs)
+    // add-one smoothing keeps every probability in (0, 1] → NLL ≥ 0
+    assert(p.filter(col("avg_nll") < 0).count() == 0)
+    assert(p.filter(col("n_bigrams") < 1).count() == 0)
+  }
+
+  test("ws1: weighted sample keeps exactly the hash-thresholded docs") {
+    val w = queries.CorpusQueries.ws1WeightedSample(spark, sf).cache()
+    // every kept doc satisfies the threshold, and long docs (p = 1
+    // bucket) are kept at a higher rate than short ones
+    val docs = Tables.documents(spark, sf)
+      .withColumn("h", operators.Sampling.mixedHash(col("doc_id")) % 10000)
+      .withColumn("thr", least(col("n_chars"), lit(2000L)) * 5)
+    val expect = docs.filter(col("h") < col("thr")).count()
+    assert(w.count() == expect)
+    assert(w.filter(col("inv_weight") < 1.0).count() == 0,
+      "inverse weight is 1/p >= 1")
+  }
 }
