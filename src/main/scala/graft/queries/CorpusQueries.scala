@@ -1620,6 +1620,62 @@ object CorpusQueries {
     TextAnalysis.unigramNll(Tables.documents(s, d).select("doc_id", "text"),
       "text")
 
+  // ---- pmi1_collocations ----------------------------------------------
+
+  /** pmi1_collocations — pointwise mutual information collocation
+    * extraction: PMI(w1,w2) = ln(T·c12/(c1·c2)) over adjacent-token
+    * bigrams with c12 ≥ 5 (the min-count guard against PMI's
+    * rare-pair bias). The products T·c12 and c1·c2 are computed in
+    * DECIMAL(38,0) — at 100 TB token counts c1·c2 overflows a BIGINT
+    * (jc1's lesson) — then cast to double for the single ln; 4-dp
+    * rounding absorbs the last ulp (ppl1's policy). Counts all derive
+    * from one tokenize pass; the scoring join keys the head/tail
+    * token — posting-list-bounded. */
+  def pmi1Collocations(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Dist.spread(
+        Tables.documents(s, d).select(col("doc_id"),
+          graft.operators.Embed.tokens(col("text")).as("tk")))
+      .filter(size(col("tk")) >= 2)
+      .localCheckpoint() // consumed twice: bigram and unigram counts
+    val bg = base.select(explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5)
+      .withColumn("w1", element_at(split(col("b"), " "), 1))
+      .withColumn("w2", element_at(split(col("b"), " "), 2))
+    val uni = base.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // joined twice (head + tail token)
+    val tot = uni.agg(sum("c").as("t"))
+    bg.join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("b").as("bigram"), col("c12"),
+        round(log((col("t").cast("decimal(38,0)") * col("c12")).cast("double")
+          / (col("c1").cast("decimal(38,0)") * col("c2")).cast("double")), 4)
+          .as("pmi"))
+  }
+
+  val pmi1Sql: String =
+    s"""WITH $toksCte,
+       |t2 AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 2),
+       |bg AS (SELECT b, count(*) AS c12,
+       |         string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2
+       |       FROM (SELECT unnest(list_transform(range(1, len(tk)),
+       |               i -> tk[i] || ' ' || tk[i+1])) AS b FROM t2)
+       |       GROUP BY 1 HAVING count(*) >= 5),
+       |uni AS (SELECT w, count(*) AS c
+       |        FROM (SELECT unnest(tk) AS w FROM t2) GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni)
+       |SELECT bg.b AS bigram, bg.c12,
+       |  round(ln(CAST(CAST(t AS DECIMAL(38,0)) * c12 AS DOUBLE)
+       |           / CAST(CAST(u1.c AS DECIMAL(38,0)) * u2.c AS DOUBLE)), 4) AS pmi
+       |FROM bg JOIN uni u1 ON bg.w1 = u1.w
+       |        JOIN uni u2 ON bg.w2 = u2.w
+       |        CROSS JOIN tot""".stripMargin
+
   // ---- ppl2_bigram_nll ------------------------------------------------
 
   /** Bigram-LM perplexity filter (add-one smoothing) — see

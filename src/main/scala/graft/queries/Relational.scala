@@ -2369,6 +2369,110 @@ object Relational {
       |               OVER (PARTITION BY cohort) AS DOUBLE), 6) AS retention
       |FROM cw""".stripMargin
 
+  // ---- gs1_grouping_sets ----------------------------------------------
+
+  /** gs1_grouping_sets — GROUPING SETS completes the multi-granularity
+    * family (q6 ROLLUP, c1 CUBE): exactly the four granularities a
+    * revenue dashboard needs — (region), (nation), (region, nation),
+    * () — in ONE pass over the join, with GROUPING() flags
+    * disambiguating real NULLs from subtotal rows. Shares its query
+    * TEXT verbatim with the oracle (sql1's pattern): Spark parses,
+    * plans and partially-aggregates the same ANSI SQL DuckDB runs.
+    * Revenue is an exact DECIMAL sum cast to double once at the end. */
+  def gs1GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.region(spark, sfDir).createOrReplaceTempView("region")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    spark.sql(gs1Text)
+  }
+
+  /** Shared query text — runnable verbatim by Spark AND DuckDB. */
+  val gs1Text: String =
+    """SELECT r_name, n_name,
+      |  GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY GROUPING SETS ((r_name), (n_name), (r_name, n_name), ())""".stripMargin
+
+  val gs1Sql: String = gs1Text
+
+  // ---- ed1_edit_distance_join -----------------------------------------
+
+  /** ed1_edit_distance_join — ALL-PAIRS edit-distance-1 join via
+    * deletion neighborhoods (FastSS): each word emits itself plus its
+    * |w| single-character deletions; two words are within Levenshtein 1
+    * ONLY IF their neighborhoods share a member, so candidates form in
+    * an EQUI-join on the variant string and one exact levenshtein()
+    * verify per distinct candidate pair removes the false positives
+    * (e.g. transpositions). Work is bounded by variant-bucket
+    * occupancy — never the W² theta join fj1's oracle runs, and unlike
+    * fj1's first-char blocking it misses nothing (a first-char typo
+    * escapes prefix blocking but not its deletion neighborhood). The
+    * typo-clustering primitive for vocab normalization at corpus
+    * scale. */
+  def ed1EditDistanceJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = Tables.part(spark, sfDir)
+      .select(explode(split(col("p_name"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    val variants = words.select(col("w"), explode(concat(
+      array(col("w")),
+      transform(sequence(lit(1), length(col("w"))), i =>
+        concat(col("w").substr(lit(1), i - lit(1)),
+          col("w").substr(i + lit(1), length(col("w"))))))).as("vr"))
+    val cand = variants.select(col("vr"), col("w").as("word_a"))
+      .join(variants.select(col("vr"), col("w").as("word_b")), "vr")
+      .filter(col("word_a") < col("word_b"))
+      .select("word_a", "word_b").distinct()
+    cand.withColumn("dist", levenshtein(col("word_a"), col("word_b")))
+      .filter(col("dist") <= 1)
+  }
+
+  val ed1Sql: String =
+    """WITH wds AS (
+      |  SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w
+      |  FROM part)
+      |SELECT a.w AS word_a, b.w AS word_b, levenshtein(a.w, b.w) AS dist
+      |FROM wds a JOIN wds b ON a.w < b.w
+      |WHERE levenshtein(a.w, b.w) <= 1""".stripMargin
+
+  // ---- udc1_user_capped_agg -------------------------------------------
+
+  /** udc1_user_capped_agg — contribution-capped aggregation, the
+    * sensitivity-bounding step differential privacy (and any
+    * robust-to-whales metric) needs BEFORE noise is even considered:
+    * each user's per-type contribution is clamped at 100.00 units, so
+    * no single user can move the aggregate by more than the cap. Two
+    * narrow aggregations on the same (user, type) shuffle key; sums in
+    * exact integer cents end-to-end, one terminal double division. */
+  def udc1UserCappedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val CapCents = 10000L
+    val per = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy("event_type", "user_id").agg(sum("cents").as("user_cents"))
+    per.groupBy("event_type").agg(
+        count(lit(1)).as("n_users"),
+        sum((col("user_cents") > CapCents).cast("long")).as("n_capped"),
+        sum(least(col("user_cents"), lit(CapCents))).as("capped_cents"))
+      .select(col("event_type"), col("n_users"), col("n_capped"),
+        round(col("capped_cents").cast("double") / 100.0, 2).as("capped_sum"))
+  }
+
+  val udc1Sql: String =
+    """WITH per AS (
+      |  SELECT event_type, user_id,
+      |    CAST(sum(CAST(value::DECIMAL(18,2) * 100 AS BIGINT)) AS BIGINT) AS user_cents
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, count(*) AS n_users,
+      |  CAST(sum(CASE WHEN user_cents > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+      |  round(CAST(sum(least(user_cents, 10000)) AS DOUBLE) / 100.0, 2) AS capped_sum
+      |FROM per GROUP BY 1""".stripMargin
+
   // ---- ov1_peak_concurrency ------------------------------------------
 
   /** ov1_peak_concurrency — peak simultaneous activity per event type

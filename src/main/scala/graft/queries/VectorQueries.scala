@@ -482,6 +482,50 @@ object VectorQueries {
        |  GROUP BY 1, 2)
        |WHERE score >= $NearDupMinCos""".stripMargin
 
+  // ---- kg1_knn_graph --------------------------------------------------
+
+  val KnnGraphK = 3
+
+  /** kg1_knn_graph — the corpus-wide k-NN GRAPH (top-3 neighbors per
+    * vector), the substrate SemDeDup clustering, hard-negative mining
+    * and graph-based curation all start from. Built the 100 TB way:
+    * candidate pairs come from d6's LSH bucket equi-join (scored ONCE
+    * per undirected pair — volume bounded by bucket occupancy, never
+    * N²), mirrored into both directions, then per-source top-3 through
+    * the bounded-heap TopKPerKey operator. Ranking on the 6-dp-rounded
+    * score with dst tie-break, so both engines rank identical values. */
+  def kg1KnnGraph(s: SparkSession, d: String): DataFrame = {
+    val pairs = VectorSearch.nearDupPairsLshRp(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v")),
+      -1.0, rpWeightsPair) // no threshold: every scored candidate pair
+    val directed = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("score"))
+      .unionAll(pairs
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("score")))
+    graft.plans.TopK.perKey(directed, Seq("src"),
+      Seq(col("score").desc, col("dst").asc), KnnGraphK)
+      .select("src", "dst", "score", "rnk")
+  }
+
+  val kg1Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |w(tbl, bit, wv) AS (VALUES
+       |    $rpWeightRowsPairS),
+       |${rpBucketCteS("b", "e", "vec_id", "v")},
+       |cand AS (SELECT id_a, id_b, round(max(score), 6) AS score FROM (
+       |    SELECT a.vec_id AS id_a, b2.vec_id AS id_b, ${cosS("a.v", "b2.v")} AS score
+       |    FROM b a JOIN b b2
+       |      ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |  GROUP BY 1, 2),
+       |dir AS (SELECT id_a AS src, id_b AS dst, score FROM cand
+       |        UNION ALL
+       |        SELECT id_b AS src, id_a AS dst, score FROM cand)
+       |SELECT src, dst, score, rnk FROM (
+       |  SELECT src, dst, score,
+       |    row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rnk
+       |  FROM dir)
+       |WHERE rnk <= $KnnGraphK""".stripMargin
+
   // ---- vq2 / v11: product quantization (8 subspaces × 16 codes) -------
 
   private def pqCorpus(s: SparkSession, d: String): DataFrame =

@@ -179,6 +179,66 @@ class Round7OpsSpec extends SparkSpec {
     assert(p.filter(col("n_bigrams") < 1).count() == 0)
   }
 
+  test("gs1: grouping-set granularities are mutually consistent") {
+    val g = Relational.gs1GroupingSets(spark, sf).cache()
+    // the grand total row equals the sum of the (region) rows
+    val grand = g.filter(col("g_region") === 1 && col("g_nation") === 1)
+      .agg(sum("n_orders")).head.getLong(0)
+    val byRegion = g.filter(col("g_region") === 0 && col("g_nation") === 1)
+      .agg(sum("n_orders")).head.getLong(0)
+    val byPair = g.filter(col("g_region") === 0 && col("g_nation") === 0)
+      .agg(sum("n_orders")).head.getLong(0)
+    assert(grand == byRegion && grand == byPair)
+  }
+
+  test("ed1: deletion-neighborhood join equals the quadratic baseline") {
+    import spark.implicits._
+    val ed1 = Relational.ed1EditDistanceJoin(spark, sf)
+    val words = Tables.part(spark, sf)
+      .select(explode(split(col("p_name"), " ")).as("w")).distinct()
+      .as[String].collect()
+    val brute = (for {
+      a <- words; b <- words if a < b
+      d = org.apache.commons.text.similarity.LevenshteinDistance
+        .getDefaultInstance.apply(a, b).toInt if d <= 1
+    } yield (a, b, d)).toSet
+    val got = ed1.collect().map(r => (r.getString(0), r.getString(1),
+      r.getInt(2))).toSet
+    assert(got == brute, s"got=$got brute=$brute")
+  }
+
+  test("udc1: capped sum never exceeds n_users x cap and counts whales") {
+    val u = Relational.udc1UserCappedAgg(spark, sf).cache()
+    assert(u.filter(col("capped_sum") > col("n_users") * 100.0).count() == 0)
+    assert(u.filter(col("n_capped") > col("n_users")).count() == 0)
+    // capping can only lower the total vs the raw sum
+    val raw = Tables.events(spark, sf).groupBy("event_type")
+      .agg(round(sum(col("value").cast("decimal(18,2)")), 2)
+        .cast("double").as("raw_sum"))
+    assert(u.join(raw, "event_type")
+      .filter(col("capped_sum") > col("raw_sum") + 0.001).count() == 0)
+  }
+
+  test("pmi1: collocation PMI respects min count and symmetric formula") {
+    val p = queries.CorpusQueries.pmi1Collocations(spark, sf).cache()
+    assert(p.filter(col("c12") < 5).count() == 0)
+    // PMI of an adjacent bigram with add-nothing counts is finite
+    assert(p.filter(col("pmi").isNull).count() == 0)
+  }
+
+  test("kg1: knn graph has <= k neighbors per node, ranked by score") {
+    val g = VectorQueries.kg1KnnGraph(spark, sf).cache()
+    val byCnt = g.groupBy("src").agg(count(lit(1)).as("deg"),
+      max("rnk").as("mx"))
+    assert(byCnt.filter(col("deg") > VectorQueries.KnnGraphK).count() == 0)
+    assert(byCnt.filter(col("deg") =!= col("mx")).count() == 0)
+    // symmetric construction: if (a,b) scored, b appears as a source
+    assert(g.select("dst").distinct().join(g.select("src").distinct(),
+      col("dst") === col("src"), "left_anti").count() == 0)
+    // no self edges
+    assert(g.filter(col("src") === col("dst")).count() == 0)
+  }
+
   test("ws1: weighted sample keeps exactly the hash-thresholded docs") {
     val w = queries.CorpusQueries.ws1WeightedSample(spark, sf).cache()
     // every kept doc satisfies the threshold, and long docs (p = 1
