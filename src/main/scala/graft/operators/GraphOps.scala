@@ -163,6 +163,44 @@ object GraphOps {
     pr.select(col("id").as("doc_id"), col("pr"))
   }
 
+  /** Fixed-round k-core peeling over an undirected edge list: each
+    * round drops every node with degree < k and all its edges, a
+    * bounded number of times — the density filter separating template
+    * CLIQUES (every member keeps degree ≥ k through every peel) from
+    * stars and chains (which dissolve: removing leaves strips the hub).
+    * Full k-core needs peeling to a fixpoint (unbounded rounds); the
+    * FIXED round count is the declared, oracle-replicable semantics
+    * (g1's unrolled-iterations pattern) and in practice 3 rounds
+    * separates the regimes. Per round: one degree aggregation + two
+    * semi-joins, all keyed on node ids; lineage cut per round.
+    * Returns every node with the number of peels it survived and the
+    * final membership flag.
+    */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var cur = sym
+    var surv = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(0L).as("rounds_survived"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val alive = cur.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("id"))
+        .localCheckpoint()
+      cur = cur.join(alive.select(col("id").as("src")), "src")
+        .join(alive.select(col("id").as("dst")), "dst")
+        .select("src", "dst").localCheckpoint()
+      surv = surv.join(alive.withColumn("__a", lit(1L)), Seq("id"), "left")
+        .select(col("id"), (col("rounds_survived")
+          + coalesce(col("__a"), lit(0L))).as("rounds_survived"))
+        .localCheckpoint()
+    }
+    surv.select(col("id").as("doc_id"), col("rounds_survived"))
+      .withColumn("in_core",
+        (col("rounds_survived") === rounds).cast("int"))
+  }
+
   /** BFS hop distances from a set of seed nodes over an undirected
     * edge list: classic frontier expansion — each round the current
     * frontier's neighbors that have no distance yet join at dist+1

@@ -300,6 +300,39 @@ object TextAnalysis {
           .otherwise("tail"))
   }
 
+  /** Compression-ratio quality signal (the Gopher/MassiveText filter):
+    * deflate each document once per partition and report
+    * compressed/original bytes — highly repetitive boilerplate
+    * compresses far below prose, and the ratio is a cheap,
+    * tokenizer-free repetition score (t8's n-gram view, through a
+    * general-purpose codec). Runs in batched mapPartitions with ONE
+    * Deflater per partition, reset per row — the codec-init shape
+    * mm1-mm4 use for media. DETERMINISTIC for a fixed JDK zlib but not
+    * SQL-expressible → rows-only (no DuckDB oracle), spec-bounded:
+    * planted repetitive docs must score far below planted
+    * high-entropy docs. */
+  def compressionRatio(docs: DataFrame, textCol: String): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val in = graft.Dist.spread(docs.select(col("doc_id"), col(textCol)))
+      .as[(Long, String)]
+    in.mapPartitions { rows =>
+      val deflater = new java.util.zip.Deflater(6)
+      val buf = new Array[Byte](1 << 16)
+      rows.map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        deflater.reset()
+        deflater.setInput(bytes)
+        deflater.finish()
+        var out = 0L
+        while (!deflater.finished()) out += deflater.deflate(buf)
+        (id, bytes.length.toLong, out)
+      }
+    }.toDF("doc_id", "n_bytes", "n_deflate")
+      .withColumn("ratio", round(col("n_deflate").cast("double")
+        / col("n_bytes").cast("double"), 6))
+  }
+
   /** Bigram-LM perplexity filter (the KenLM-shaped upgrade of
     * unigramNll): add-one-smoothed conditional p(w2|w1) =
     * (c(w1w2)+1)/(c(w1)+V), per-doc mean NLL over its bigrams.

@@ -1425,6 +1425,92 @@ object CorpusQueries {
        |SELECT id AS doc_id, pr FROM p$PrIters""".stripMargin
   }
 
+  // ---- kc1_kcore ------------------------------------------------------
+
+  val KcoreK = 2
+  val KcoreRounds = 3
+
+  /** kc1_kcore — fixed-round 2-core peeling over the d2 near-dup graph
+    * (see GraphOps.kcorePeel): separates template cliques from loose
+    * stars/chains for dedup triage. 3 declared rounds, oracle = the
+    * same peels unrolled as CTEs (g1's pattern). */
+  def kc1Kcore(s: SparkSession, d: String): DataFrame =
+    graft.operators.GraphOps.kcorePeel(
+      d2NgramJaccard(s, d).select("id_a", "id_b"), KcoreK, KcoreRounds)
+
+  val kc1Sql: String = {
+    val rounds = (1 to KcoreRounds).map { i =>
+      s"""a$i AS (SELECT src AS id FROM e${i - 1}
+         |        GROUP BY 1 HAVING count(*) >= $KcoreK),
+         |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+         |        JOIN a$i x ON e.src = x.id
+         |        JOIN a$i y ON e.dst = y.id)""".stripMargin
+    }.mkString(",\n")
+    val survived = (1 to KcoreRounds).map(i =>
+      s"CASE WHEN n.id IN (SELECT id FROM a$i) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $pairGraphCtes,
+       |alln AS (SELECT DISTINCT src AS id FROM sym),
+       |e0 AS (SELECT src, dst FROM sym),
+       |$rounds
+       |SELECT n.id AS doc_id,
+       |  CAST($survived AS BIGINT) AS rounds_survived,
+       |  CASE WHEN n.id IN (SELECT id FROM a$KcoreRounds)
+       |       THEN 1 ELSE 0 END AS in_core
+       |FROM alln n""".stripMargin
+  }
+
+  // ---- tv1_source_shift -----------------------------------------------
+
+  /** tv1_source_shift — total-variation distance between the SOURCE
+    * distributions of two corpus halves (doc_id parity — deterministic
+    * balanced split): the mixture-drift alarm a pipeline checks before
+    * blending a new crawl batch. TV = Σ|ca·Tb − cb·Ta| / (2·Ta·Tb):
+    * the numerator is an EXACT integer sum (no per-source double
+    * division whose addition order could flip bits), products in
+    * DECIMAL(38,0) — counts at 100 TB overflow a BIGINT product — and
+    * ONE terminal double division. */
+  def tv1SourceShift(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .groupBy("source").agg(
+        sum((col("doc_id") % 2 === 0).cast("long")).as("ca"),
+        sum((col("doc_id") % 2 === 1).cast("long")).as("cb"))
+    val tot = per.agg(sum("ca").as("ta"), sum("cb").as("tb"))
+    per.crossJoin(broadcast(tot))
+      .agg(max("ta").as("ta"), max("tb").as("tb"),
+        count(lit(1)).as("n_sources"),
+        sum(abs(col("ca").cast("decimal(38,0)") * col("tb")
+          - col("cb").cast("decimal(38,0)") * col("ta"))).as("__num"))
+      .select(col("ta"), col("tb"), col("n_sources"),
+        round(col("__num").cast("double")
+          / (lit(2.0) * col("ta").cast("double") * col("tb").cast("double")), 6)
+          .as("tv_distance"))
+  }
+
+  val tv1Sql: String =
+    """WITH per AS (
+      |  SELECT source,
+      |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+      |               CAST(sum(cb) AS BIGINT) AS tb FROM per)
+      |SELECT ta, tb, count(*) AS n_sources,
+      |  round(CAST(sum(abs(CAST(ca AS DECIMAL(38,0)) * tb
+      |                     - CAST(cb AS DECIMAL(38,0)) * ta)) AS DOUBLE)
+      |        / (2.0 * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 6) AS tv_distance
+      |FROM per, tot GROUP BY ta, tb""".stripMargin
+
+  // ---- cmp1_compression_ratio (rows-only) -----------------------------
+
+  /** Compression-ratio quality signal — see
+    * TextAnalysis.compressionRatio. Rows-only: deflate output is not
+    * SQL-expressible; CompressionSpec bounds planted repetitive vs
+    * high-entropy docs. */
+  def cmp1Compression(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.compressionRatio(
+      Tables.documents(s, d).select("doc_id", "text"), "text")
+
   // ---- d9_survivors ---------------------------------------------------
 
   /** Survivor per near-dup component: keep the longest doc (n_chars),

@@ -138,40 +138,12 @@ object IngestQueries {
     * scale. Interpolation is numpy-style linear, the same double op
     * order as m1/m11: lo + (hi - lo) * frac, integer subtraction
     * first. */
-  def mm5SizePcts(s: SparkSession, d: String): DataFrame = {
-    val m = MultiModal.mediaTable(Tables.documents(s, d))
-      .select(col("lang"), length(col("media")).cast("long").as("nb"))
-    val hist = m.groupBy("lang", "nb").agg(count(lit(1)).as("cnt"))
-    val wCum = org.apache.spark.sql.expressions.Window.partitionBy("lang")
-      .orderBy(col("nb").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = hist.withColumn("cum", sum("cnt").over(wCum))
-      .withColumn("lo_cum", col("cum") - col("cnt"))
-      .localCheckpoint() // joined twice below (lo and hi rank probes)
-    val qs = Seq(0.50 -> "p50", 0.95 -> "p95", 0.99 -> "p99")
-    val ranks = hist.groupBy("lang").agg(sum("cnt").as("n"))
-      .select(col("lang"), col("n"), explode(array(qs.map { case (q, nm) =>
-        struct(lit(q).as("q"), lit(nm).as("pct")) }: _*)).as("qq"))
-      .select(col("lang"), col("n"), col("qq.q").as("q"), col("qq.pct").as("pct"))
-      .withColumn("pos", (col("n") - 1).cast("double") * col("q"))
-      .withColumn("lo", floor(col("pos")))
-      .withColumn("frac", col("pos") - col("lo").cast("double"))
-      .withColumn("r_lo", col("lo") + 1)
-      .withColumn("r_hi", col("lo") + when(col("frac") === 0.0, 1).otherwise(2))
-    val loV = ranks.join(cum, Seq("lang"))
-      .filter(col("r_lo") > col("lo_cum") && col("r_lo") <= col("cum"))
-      .select(col("lang"), col("pct"), col("frac"), col("nb").as("v_lo"))
-    val hiV = ranks.join(cum, Seq("lang"))
-      .filter(col("r_hi") > col("lo_cum") && col("r_hi") <= col("cum"))
-      .select(col("lang"), col("pct"), col("nb").as("v_hi"))
-    val interp = loV.join(hiV, Seq("lang", "pct"))
-      .withColumn("v", round(col("v_lo").cast("double")
-        + (col("v_hi") - col("v_lo")).cast("double") * col("frac"), 6))
-    interp.groupBy("lang").agg(
-      max(when(col("pct") === "p50", col("v"))).as("p50"),
-      max(when(col("pct") === "p95", col("v"))).as("p95"),
-      max(when(col("pct") === "p99", col("v"))).as("p99"))
-  }
+  def mm5SizePcts(s: SparkSession, d: String): DataFrame =
+    graft.operators.Pcts.groupedExact(
+      MultiModal.mediaTable(Tables.documents(s, d))
+        .select(col("lang"), length(col("media")).cast("long").as("nb")),
+      "lang", "nb")
+      .select("lang", "p50", "p95", "p99")
 
   val mm5Sql: String = {
     def interpS(q: Double, as: String): String =

@@ -2369,6 +2369,57 @@ object Relational {
       |               OVER (PARTITION BY cohort) AS DOUBLE), 6) AS retention
       |FROM cw""".stripMargin
 
+  // ---- e6_interarrival ------------------------------------------------
+
+  /** e6_interarrival — per-type inter-arrival-time percentiles (the
+    * arrival-rate profile capacity planning reads next to ov1's peak):
+    * exact integer epoch-ms gaps between consecutive events within
+    * each (type, DAY) — the day key bounds every sort to one day's
+    * events per type (a per-type-only window drags the full history
+    * through one task at 100 TB; the boundary gap dropped per day is
+    * the declared cost) — then EXACT P50/P95/P99 per type via the
+    * value-histogram percentile operator (Pcts.groupedExact — never
+    * sorts rows, m1's interpolation). */
+  def e6Interarrival(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts").cast("date").as("day"),
+        unix_millis(col("ts")).as("st"), col("event_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type", "day")
+      .orderBy(col("st").asc, col("event_id").asc)
+    val gaps = ev.withColumn("gap", col("st") - lag("st", 1).over(w))
+      .filter(col("gap").isNotNull)
+    graft.operators.Pcts.groupedExact(gaps.select(col("event_type"),
+      col("gap")), "event_type", "gap")
+      .select(col("event_type"), col("n").as("n_gaps"),
+        col("p50"), col("p95"), col("p99"))
+  }
+
+  val e6Sql: String = {
+    def interpS(q: Double, as: String): String =
+      s"""round(CASE WHEN (n - 1)::DOUBLE * $q - floor((n - 1)::DOUBLE * $q) = 0.0
+         |  THEN CAST(s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1] AS DOUBLE)
+         |  ELSE s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1]
+         |     + (s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 2]
+         |        - s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1])
+         |       * ((n - 1)::DOUBLE * $q - floor((n - 1)::DOUBLE * $q))
+         |  END, 6) AS $as""".stripMargin
+    s"""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |              epoch_ms(ts) AS st, event_id FROM events),
+       |g AS (SELECT event_type,
+       |        st - lag(st) OVER (PARTITION BY event_type, day
+       |                           ORDER BY st, event_id) AS gap
+       |      FROM ev),
+       |gg AS (SELECT event_type, list_sort(list(gap)) AS s,
+       |         CAST(count(*) AS BIGINT) AS n
+       |       FROM g WHERE gap IS NOT NULL GROUP BY 1)
+       |SELECT event_type, n AS n_gaps,
+       |  ${interpS(0.50, "p50")},
+       |  ${interpS(0.95, "p95")},
+       |  ${interpS(0.99, "p99")}
+       |FROM gg""".stripMargin
+  }
+
   // ---- gs1_grouping_sets ----------------------------------------------
 
   /** gs1_grouping_sets — GROUPING SETS completes the multi-granularity

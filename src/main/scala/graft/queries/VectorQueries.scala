@@ -482,6 +482,59 @@ object VectorQueries {
        |  GROUP BY 1, 2)
        |WHERE score >= $NearDupMinCos""".stripMargin
 
+  // ---- dft1_embedding_drift -------------------------------------------
+
+  /** dft1_embedding_drift — per-dimension mean drift between two
+    * corpus snapshots (vec_id parity split — deterministic, balanced):
+    * the alarm a serving stack diffs after re-embedding with a new
+    * model build (emb1 gives one snapshot's profile; this compares
+    * two). The drift mean_b − mean_a is computed EXACTLY:
+    * (sb·na − sa·nb) is an integer numerator over the 1e-6-quantized
+    * grid (emb1's trick), products in DECIMAL(38,0) — snapshot sums at
+    * 100 TB overflow a BIGINT product — one terminal double division.
+    * One explode pass, one (dim) aggregation with map-side combine. */
+  def dft1EmbeddingDrift(s: SparkSession, d: String): DataFrame = {
+    val rows = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim_idx", "x0")))
+      .select(col("vec_id"), col("dim_idx"),
+        floor(col("x0").cast("double") * 1e6).cast("long").as("sx"))
+    rows.groupBy("dim_idx")
+      .agg(
+        sum(when(col("vec_id") % 2 === 0, col("sx")).otherwise(0L)).as("sa"),
+        sum((col("vec_id") % 2 === 0).cast("long")).as("na"),
+        sum(when(col("vec_id") % 2 === 1, col("sx")).otherwise(0L)).as("sb"),
+        sum((col("vec_id") % 2 === 1).cast("long")).as("nb"))
+      .select(col("dim_idx").cast("long").as("dim_idx"),
+        col("na"), col("nb"),
+        round(col("sa").cast("double") / col("na").cast("double") / 1e6, 6)
+          .as("mean_a"),
+        round(col("sb").cast("double") / col("nb").cast("double") / 1e6, 6)
+          .as("mean_b"),
+        round((col("sb").cast("decimal(38,0)") * col("na")
+            - col("sa").cast("decimal(38,0)") * col("nb")).cast("double")
+          / (col("na").cast("double") * col("nb").cast("double")) / 1e6, 6)
+          .as("drift"))
+  }
+
+  val dft1Sql: String =
+    s"""WITH e AS (SELECT vec_id, r.range AS dim_idx,
+       |             CAST(floor(embedding[CAST(r.range + 1 AS INT)]::DOUBLE
+       |                        * 1000000.0) AS BIGINT) AS sx
+       |           FROM embeddings, range(0, $EmbedDim) r),
+       |g AS (SELECT dim_idx,
+       |        CAST(sum(CASE WHEN vec_id % 2 = 0 THEN sx ELSE 0 END) AS BIGINT) AS sa,
+       |        CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |        CAST(sum(CASE WHEN vec_id % 2 = 1 THEN sx ELSE 0 END) AS BIGINT) AS sb,
+       |        CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+       |      FROM e GROUP BY 1)
+       |SELECT dim_idx, na, nb,
+       |  round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1000000.0, 6) AS mean_a,
+       |  round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 1000000.0, 6) AS mean_b,
+       |  round(CAST(CAST(sb AS DECIMAL(38,0)) * na
+       |             - CAST(sa AS DECIMAL(38,0)) * nb AS DOUBLE)
+       |        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 1000000.0, 6) AS drift
+       |FROM g""".stripMargin
+
   // ---- kg1_knn_graph --------------------------------------------------
 
   val KnnGraphK = 3

@@ -239,6 +239,71 @@ class Round7OpsSpec extends SparkSpec {
     assert(g.filter(col("src") === col("dst")).count() == 0)
   }
 
+  test("kcorePeel: K4 clique survives every peel, star dissolves") {
+    import spark.implicits._
+    // K4 (nodes 1-4) + a star centered at 10 with leaves 11..15
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val star = (11L to 15L).map(l => (10L, l))
+    val edges = (k4 ++ star).toDF("id_a", "id_b")
+    val out = operators.GraphOps.kcorePeel(edges, 2, 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    (1L to 4L).foreach { n => assert(out(n) == ((3L, 1)), s"clique node $n") }
+    // leaves die in peel 1 (deg 1); the hub's edges vanish with them,
+    // so it dies in peel 2 having survived one round
+    (11L to 15L).foreach { n => assert(out(n) == ((0L, 0)), s"leaf $n") }
+    assert(out(10L) == ((1L, 0)), "star hub survives exactly one peel")
+  }
+
+  test("tv1: total variation is in [0,1] and equals a driver recompute") {
+    val t = queries.CorpusQueries.tv1SourceShift(spark, sf).head()
+    val tv = t.getAs[Double]("tv_distance")
+    assert(tv >= 0.0 && tv <= 1.0)
+    val per = Tables.documents(spark, sf).groupBy("source").agg(
+      sum((col("doc_id") % 2 === 0).cast("long")).as("ca"),
+      sum((col("doc_id") % 2 === 1).cast("long")).as("cb"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val ta = per.map(_._1).sum; val tb = per.map(_._2).sum
+    val num = per.map { case (ca, cb) => math.abs(ca * tb - cb * ta) }.sum
+    val expect = BigDecimal(num.toDouble / (2.0 * ta * tb))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(tv == expect)
+  }
+
+  test("cmp1: repetitive text compresses far below high-entropy text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam " * 400),                                  // one token repeated
+      (2L, (1 to 400).map(i => s"w${i * 7919 % 9973}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = operators.TextAnalysis.compressionRatio(docs, "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("ratio")).toMap
+    assert(out(1L) < 0.05, s"repetitive ratio ${out(1L)}")
+    assert(out(2L) > 0.2, s"high-entropy ratio ${out(2L)}")
+    assert(out.values.forall(r => r > 0.0 && r < 1.5))
+  }
+
+  test("dft1: split sizes conserve vectors and drift matches the means") {
+    val dft = VectorQueries.dft1EmbeddingDrift(spark, sf).cache()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(dft.count() == VectorQueries.EmbedDim)
+    assert(dft.filter(col("na") + col("nb") =!= nVecs).count() == 0)
+    // drift ≈ mean_b − mean_a within the two roundings' slack
+    assert(dft.filter(abs(col("drift") - (col("mean_b") - col("mean_a")))
+      > 2e-6).count() == 0)
+  }
+
+  test("e6: gap percentiles are ordered, non-negative, and counted") {
+    val e6 = Relational.e6Interarrival(spark, sf).cache()
+    assert(e6.filter(col("p50") < 0).count() == 0)
+    assert(e6.filter(col("p50") > col("p95") || col("p95") > col("p99"))
+      .count() == 0)
+    val evPerType = Tables.events(spark, sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n_ev"))
+    // gaps = events − (types × days with ≥1 event): bounded above
+    assert(e6.join(evPerType, "event_type")
+      .filter(col("n_gaps") >= col("n_ev")).count() == 0)
+  }
+
   test("ws1: weighted sample keeps exactly the hash-thresholded docs") {
     val w = queries.CorpusQueries.ws1WeightedSample(spark, sf).cache()
     // every kept doc satisfies the threshold, and long docs (p = 1
