@@ -149,4 +149,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(analyzed.contains("decimal(18,2)"),
       s"per-customer spend must be an exact decimal:\n$analyzed")
   }
+
+  test("iv1 interval join is an equi-join on (user, bucket), never a theta join") {
+    val p = plan(graft.queries.Relational.iv1IntervalJoin(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to a theta join:\n$p")
+    // the hash-join keys must include both the user and the time bucket
+    // (the range predicate rides along as the join condition's filter)
+    val joinLine = p.split("\n").find(_.contains("HashJoin")).getOrElse("")
+    assert(joinLine.contains("user_id") && joinLine.contains("bkt"),
+      s"equi keys must be (user_id, bkt):\n$joinLine")
+  }
+
+  test("ed1 candidate generation joins on the deletion variant, verify is a filter") {
+    val p = plan(graft.queries.Relational.ed1EditDistanceJoin(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"deletion-neighborhood join degenerated to all-pairs:\n$p")
+    assert(p.contains("levenshtein"), s"missing exact verify filter:\n$p")
+  }
 }
