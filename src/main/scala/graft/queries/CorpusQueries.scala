@@ -1706,6 +1706,96 @@ object CorpusQueries {
     TextAnalysis.unigramNll(Tables.documents(s, d).select("doc_id", "text"),
       "text")
 
+  // ---- nb1_naive_bayes ------------------------------------------------
+
+  /** nb1_naive_bayes — a TRAINED classifier as one distributed query:
+    * multinomial Naive Bayes language ID, trained on the labeled
+    * corpus and evaluated on it (the learned upgrade of t3's fixed
+    * marker list), reported as a confusion matrix. The determinism
+    * trick that makes a float-log model hash-comparable: every log
+    * term — prior ln(D_l/D) and add-one likelihood ln((c+1)/(T_l+V)) —
+    * is QUANTIZED ONCE to floor(ln·1e6) (an integer "millinat" grid);
+    * per-doc scores are then INTEGER sums Σ tf·llq, immune to
+    * addition order, and argmax ties break on lang name. Train =
+    * two aggregations off one tokenize pass; score = doc-tf × L langs
+    * left-joined to the count table (unseen tokens coalesce to the
+    * smoothing floor) — work is L·Σtf, never corpus × vocab. */
+  def nb1NaiveBayes(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      graft.operators.Embed.tokens(col("text")).as("tk"))
+    val tf = graft.Dist.spread(docs).select(col("doc_id"), col("lang"),
+        explode(col("tk")).as("t"))
+      .groupBy("doc_id", "lang", "t").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // consumed by training counts AND scoring
+    val cLT = tf.groupBy("lang", "t").agg(sum("tf").as("c"))
+    val tL = cLT.groupBy("lang").agg(sum("c").as("tl"))
+    val vocab = cLT.select("t").distinct().agg(count(lit(1)).as("v"))
+    val dL = docs.groupBy("lang").agg(count(lit(1)).as("dl"))
+    val dTot = dL.agg(sum("dl").as("dtot"))
+    // quantized log tables (small: L rows and L×V rows)
+    val priors = dL.crossJoin(broadcast(dTot))
+      .select(col("lang").as("ml"),
+        floor(log(col("dl").cast("double") / col("dtot").cast("double"))
+          * 1e6).cast("long").as("prior_q"))
+    val lik = cLT.join(tL, "lang").crossJoin(broadcast(vocab))
+      .select(col("lang").as("ml"), col("t"),
+        floor(log((col("c") + 1).cast("double")
+          / (col("tl") + col("v")).cast("double")) * 1e6).cast("long")
+          .as("llq"))
+    val floorQ = tL.crossJoin(broadcast(vocab))
+      .select(col("lang").as("ml"),
+        floor(log(lit(1.0) / (col("tl") + col("v")).cast("double")) * 1e6)
+          .cast("long").as("floor_q"))
+    // score every doc against every model lang
+    val scored = tf.crossJoin(broadcast(floorQ))
+      .join(broadcast(lik), Seq("ml", "t"), "left")
+      .withColumn("term", col("tf") * coalesce(col("llq"), col("floor_q")))
+      .groupBy("doc_id", "lang", "ml").agg(sum("term").as("ll"))
+      .join(broadcast(priors), "ml")
+      .withColumn("score", col("ll") + col("prior_q"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("ml").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("lang"), col("ml").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val nb1Sql: String =
+    s"""WITH $toksCte,
+       |tf AS (SELECT doc_id, lang, t, count(*) AS tf
+       |       FROM (SELECT tk0.doc_id, dd.lang, unnest(tk0.tk) AS t
+       |             FROM toks tk0 JOIN documents dd USING (doc_id)) x
+       |       GROUP BY 1, 2, 3),
+       |clt AS (SELECT lang, t, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1, 2),
+       |tl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tl FROM clt GROUP BY 1),
+       |voc AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM clt),
+       |dl AS (SELECT lang, count(*) AS dl FROM documents GROUP BY 1),
+       |dtot AS (SELECT CAST(sum(dl) AS BIGINT) AS dtot FROM dl),
+       |priors AS (SELECT lang AS ml,
+       |             CAST(floor(ln(CAST(dl AS DOUBLE) / CAST(dtot AS DOUBLE))
+       |                        * 1000000.0) AS BIGINT) AS prior_q
+       |           FROM dl, dtot),
+       |lik AS (SELECT clt.lang AS ml, t,
+       |          CAST(floor(ln(CAST(c + 1 AS DOUBLE) / CAST(tl + v AS DOUBLE))
+       |                     * 1000000.0) AS BIGINT) AS llq
+       |        FROM clt JOIN tl USING (lang), voc),
+       |flr AS (SELECT lang AS ml,
+       |          CAST(floor(ln(1.0 / CAST(tl + v AS DOUBLE)) * 1000000.0) AS BIGINT) AS floor_q
+       |        FROM tl, voc),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.lang, f.ml,
+       |    CAST(sum(tf.tf * coalesce(l.llq, f.floor_q)) AS BIGINT) + any_value(p.prior_q) AS score
+       |  FROM tf CROSS JOIN flr f
+       |  LEFT JOIN lik l ON l.ml = f.ml AND l.t = tf.t
+       |  JOIN priors p ON p.ml = f.ml
+       |  GROUP BY 1, 2, 3),
+       |pred AS (SELECT doc_id, lang, ml AS pred_lang,
+       |           row_number() OVER (PARTITION BY doc_id
+       |                              ORDER BY score DESC, ml ASC) AS rn
+       |         FROM scored)
+       |SELECT lang, pred_lang, count(*) AS n_docs
+       |FROM pred WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+
   // ---- pmi1_collocations ----------------------------------------------
 
   /** pmi1_collocations — pointwise mutual information collocation

@@ -2369,6 +2369,73 @@ object Relational {
       |               OVER (PARTITION BY cohort) AS DOUBLE), 6) AS retention
       |FROM cw""".stripMargin
 
+  // ---- reg1_trend -----------------------------------------------------
+
+  /** reg1_trend — ordinary-least-squares revenue trend (slope,
+    * intercept, r²) over daily order totals, from EXACT integer sums
+    * only: Σd, Σd², Σc, Σc², Σdc accumulate as integers (cents ×
+    * day-index), the OLS closed forms are ratios of integer products
+    * (DECIMAL(38,0) — at 100 TB Σc·Σd overflows BIGINT), and each
+    * output is ONE terminal double division. No per-partition float
+    * accumulation anywhere, so the fit is independent of partitioning
+    * and engine — a regression you can hash-compare. One narrow
+    * day-level aggregate feeds a single-row reduction. */
+  def reg1Trend(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .select(expr("datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01')")
+        .cast("long").as("d"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy("d").agg(sum("c").as("c"))
+    val s = daily.agg(
+      count(lit(1)).as("n"), sum("d").as("sd"),
+      sum(col("d") * col("d")).as("sdd"),
+      sum("c").as("sc"),
+      sum(col("c").cast("decimal(38,0)") * col("c")).as("scc"),
+      sum(col("d").cast("decimal(38,0)") * col("c")).as("sdc"))
+    val dec = (name: String) => col(name).cast("decimal(38,0)")
+    s.select(col("n").as("n_days"),
+        (dec("n") * col("sdc") - dec("sd") * col("sc")).as("__num"),
+        (dec("n") * col("sdd") - dec("sd") * col("sd")).as("__den"),
+        (dec("n") * col("scc") - dec("sc") * col("sc")).as("__syy"),
+        col("sd"), col("sc"))
+      .select(col("n_days"),
+        round(col("__num").cast("double")
+          / (col("__den").cast("double") * 100.0), 6).as("slope_dollars_per_day"),
+        round((col("sc").cast("decimal(38,0)") * col("__den")
+            - col("__num") * col("sd")).cast("double")
+          / (col("n_days").cast("double") * col("__den").cast("double") * 100.0), 6)
+          .as("intercept_dollars"),
+        round((col("__num") * col("__num")).cast("double")
+          / (col("__den").cast("double") * col("__syy").cast("double")), 6)
+          .as("r2"))
+  }
+
+  val reg1Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+      |    CAST(sum(CAST(o_totalprice::DECIMAL(18,2) * 100 AS BIGINT)) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(d) AS BIGINT) AS sd, CAST(sum(d * d) AS BIGINT) AS sdd,
+      |        CAST(sum(c) AS BIGINT) AS sc,
+      |        CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS scc,
+      |        CAST(sum(CAST(d AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS sdc
+      |      FROM daily),
+      |t AS (SELECT n AS n_days, sd, sc,
+      |        CAST(n AS DECIMAL(38,0)) * sdc - CAST(sd AS DECIMAL(38,0)) * sc AS num,
+      |        CAST(n AS DECIMAL(38,0)) * sdd - CAST(sd AS DECIMAL(38,0)) * sd AS den,
+      |        CAST(n AS DECIMAL(38,0)) * scc - CAST(sc AS DECIMAL(38,0)) * sc AS syy
+      |      FROM s)
+      |SELECT n_days,
+      |  round(CAST(num AS DOUBLE) / (CAST(den AS DOUBLE) * 100.0), 6)
+      |    AS slope_dollars_per_day,
+      |  round(CAST(CAST(sc AS DECIMAL(38,0)) * den - num * sd AS DOUBLE)
+      |        / (CAST(n_days AS DOUBLE) * CAST(den AS DOUBLE) * 100.0), 6)
+      |    AS intercept_dollars,
+      |  round(CAST(num * num AS DOUBLE)
+      |        / (CAST(den AS DOUBLE) * CAST(syy AS DOUBLE)), 6) AS r2
+      |FROM t""".stripMargin
+
   // ---- e6_interarrival ------------------------------------------------
 
   /** e6_interarrival — per-type inter-arrival-time percentiles (the

@@ -482,6 +482,54 @@ object VectorQueries {
        |  GROUP BY 1, 2)
        |WHERE score >= $NearDupMinCos""".stripMargin
 
+  // ---- ml1_knn_classify -----------------------------------------------
+
+  /** ml1_knn_classify — k-NN majority-vote label prediction over the
+    * kg1 graph, evaluated against the true labels (the lazy-learning
+    * classifier a curation stack gets for free once the neighbor graph
+    * exists): each vector's top-3 neighbors vote their label, majority
+    * wins (ties: more votes first, then smaller label), reported as
+    * per-true-label accuracy. Votes are INTEGER counts over kg1's
+    * already-bounded edges — the expensive part (the graph) is built
+    * once and shared; the vote is two narrow aggregations. */
+  def ml1KnnClassify(s: SparkSession, d: String): DataFrame = {
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val votes = kg1KnnGraph(s, d)
+      .join(labels.select(col("vec_id").as("dst"),
+        col("label").as("n_label")), "dst")
+      .groupBy("src", "n_label").agg(count(lit(1)).as("n_votes"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+      .orderBy(col("n_votes").desc, col("n_label").asc)
+    val pred = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("src").as("vec_id"), col("n_label").as("pred"))
+    pred.join(labels, "vec_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((col("pred") === col("label")).cast("long")).as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_vecs").cast("double"), 6))
+  }
+
+  // lazy: composes kg1Sql, which initializes later in this object
+  lazy val ml1Sql: String =
+    s"""WITH knn AS ($kg1Sql),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |votes AS (SELECT k.src, l.label AS n_label, count(*) AS n_votes
+       |          FROM knn k JOIN lab l ON k.dst = l.vec_id
+       |          GROUP BY 1, 2),
+       |pred AS (SELECT src AS vec_id, n_label AS pred FROM (
+       |    SELECT src, n_label,
+       |      row_number() OVER (PARTITION BY src
+       |                         ORDER BY n_votes DESC, n_label ASC) AS rn
+       |    FROM votes) WHERE rn = 1)
+       |SELECT l.label, count(*) AS n_vecs,
+       |  CAST(sum(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  round(CAST(sum(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / CAST(count(*) AS DOUBLE), 6) AS accuracy
+       |FROM pred p JOIN lab l ON p.vec_id = l.vec_id
+       |GROUP BY 1""".stripMargin
+
   // ---- dft1_embedding_drift -------------------------------------------
 
   /** dft1_embedding_drift — per-dimension mean drift between two

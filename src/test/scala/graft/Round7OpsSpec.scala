@@ -304,6 +304,48 @@ class Round7OpsSpec extends SparkSpec {
       .filter(col("n_gaps") >= col("n_ev")).count() == 0)
   }
 
+  test("nb1: confusion matrix conserves docs and beats the prior baseline") {
+    val conf = queries.CorpusQueries.nb1NaiveBayes(spark, sf).cache()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(conf.agg(sum("n_docs")).head.getLong(0) == nDocs)
+    // trained-on-self NB must beat always-predict-majority-lang
+    val correct = conf.filter(col("lang") === col("pred_lang"))
+      .agg(sum("n_docs")).head.getLong(0)
+    val majority = Tables.documents(spark, sf).groupBy("lang").count()
+      .agg(max("count")).head.getLong(0)
+    assert(correct >= majority,
+      s"NB accuracy $correct/$nDocs below majority baseline $majority")
+  }
+
+  test("ml1: per-label accuracy is a valid fraction over all vectors") {
+    val m = VectorQueries.ml1KnnClassify(spark, sf).cache()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(m.agg(sum("n_vecs")).head.getLong(0) == nVecs,
+      "every vector gets a prediction (kg1 covers all nodes)")
+    assert(m.filter(col("n_correct") > col("n_vecs")).count() == 0)
+    assert(m.filter(col("accuracy") < 0 || col("accuracy") > 1).count() == 0)
+  }
+
+  test("reg1: OLS matches a driver-side double fit within rounding") {
+    val r = Relational.reg1Trend(spark, sf).head()
+    val daily = Tables.orders(spark, sf)
+      .select(expr("datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01')")
+        .cast("long").as("d"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy("d").agg(sum("c").as("c"))
+      .collect().map(row => (row.getLong(0).toDouble, row.getLong(1).toDouble / 100.0))
+    val n = daily.length.toDouble
+    val sx = daily.map(_._1).sum; val sy = daily.map(_._2).sum
+    val sxx = daily.map(p => p._1 * p._1).sum
+    val sxy = daily.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    assert(math.abs(r.getAs[Double]("slope_dollars_per_day") - slope) < 1e-3)
+    assert(math.abs(r.getAs[Double]("intercept_dollars") - icept) < 1e-2)
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+  }
+
   test("ws1: weighted sample keeps exactly the hash-thresholded docs") {
     val w = queries.CorpusQueries.ws1WeightedSample(spark, sf).cache()
     // every kept doc satisfies the threshold, and long docs (p = 1
