@@ -2235,6 +2235,155 @@ object Relational {
       |  max(cnt) AS peak_errors
       |FROM g GROUP BY grp""".stripMargin
 
+  // ---- mk1_markov_eval ------------------------------------------------
+
+  /** mk1_markov_eval — next-event prediction accuracy of the
+    * first-order Markov model seq2 trains: the model's argmax row
+    * (most frequent successor per from_type, INTEGER counts, ties to
+    * the smaller type name) is broadcast back over every observed
+    * transition and scored — "how predictable are the journeys" as a
+    * per-type accuracy table. Train and eval share one (user-keyed)
+    * lead() pass; the model is |types|² rows, metadata-sized at any
+    * corpus scale. */
+  def mk1MarkovEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead("from_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // consumed twice: model argmax + eval totals
+    val wArg = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+      .orderBy(col("n").desc, col("to_type").asc)
+    val model = trans.withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .select(col("from_type"), col("to_type").as("pred_type"))
+    trans.join(broadcast(model), "from_type")
+      .groupBy("from_type")
+      .agg(sum("n").as("n_transitions"),
+        sum(when(col("to_type") === col("pred_type"), col("n"))
+          .otherwise(0L)).as("n_correct"),
+        max("pred_type").as("pred_type"))
+      .withColumn("accuracy", round(col("n_correct").cast("double")
+        / col("n_transitions").cast("double"), 6))
+  }
+
+  val mk1Sql: String =
+    """WITH s AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM s
+      |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |m AS (SELECT from_type, to_type AS pred_type FROM (
+      |    SELECT from_type, to_type,
+      |      row_number() OVER (PARTITION BY from_type
+      |                         ORDER BY n DESC, to_type ASC) AS rn
+      |    FROM c) WHERE rn = 1)
+      |SELECT c.from_type, CAST(sum(n) AS BIGINT) AS n_transitions,
+      |  CAST(sum(CASE WHEN c.to_type = m.pred_type THEN n ELSE 0 END) AS BIGINT)
+      |    AS n_correct,
+      |  any_value(m.pred_type) AS pred_type,
+      |  round(CAST(sum(CASE WHEN c.to_type = m.pred_type THEN n ELSE 0 END) AS DOUBLE)
+      |        / CAST(sum(n) AS DOUBLE), 6) AS accuracy
+      |FROM c JOIN m USING (from_type)
+      |GROUP BY 1""".stripMargin
+
+  // ---- anon1_k_anonymity ----------------------------------------------
+
+  /** anon1_k_anonymity — k-anonymity audit (the re-identification
+    * screen run before events leave the trust boundary; udc1 bounds
+    * contribution, this bounds uniqueness): group users by their
+    * quasi-identifier tuple (event_type, day, value decile-bucket) and
+    * count equivalence classes below k=5 distinct users — every such
+    * class is a re-identification risk. Value bucketing is integer
+    * cents DIV, day is integer date arithmetic: the quasi-identifier
+    * is engine-exact. One (quasi-id) shuffle + a small rollup.
+    * PRECONDITION (coh1's class): value ≥ 0 — negative cents would hit
+    * the truncate-vs-floor integer-division split between engines. */
+  def anon1KAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = 5L
+    val cls = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts").cast("date").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 1000")
+          .as("bucket"),
+        col("user_id"))
+      .groupBy("event_type", "day", "bucket")
+      .agg(countDistinct("user_id").as("n_users"))
+    cls.groupBy("event_type").agg(
+        count(lit(1)).as("n_classes"),
+        sum((col("n_users") < K).cast("long")).as("n_risky"),
+        min("n_users").as("min_class_size"))
+      .withColumn("risky_share", round(col("n_risky").cast("double")
+        / col("n_classes").cast("double"), 6))
+  }
+
+  val anon1Sql: String =
+    """WITH cls AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(value::DECIMAL(18,2) * 100 AS BIGINT) // 1000 AS bucket,
+      |    count(DISTINCT user_id) AS n_users
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT event_type, count(*) AS n_classes,
+      |  CAST(sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky,
+      |  CAST(min(n_users) AS BIGINT) AS min_class_size,
+      |  round(CAST(sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / CAST(count(*) AS DOUBLE), 6) AS risky_share
+      |FROM cls GROUP BY 1""".stripMargin
+
+  // ---- late1_lateness -------------------------------------------------
+
+  /** late1_lateness — event-time LATENESS profile, the measurement
+    * that picks a streaming watermark (EventStream's withWatermark
+    * durations are exactly this distribution's tail): per (type, DAY),
+    * each event's lateness = running max of arrival-order timestamps
+    * minus its own — 0 for in-order arrivals — then exact per-type
+    * P50/P95/P99 lateness via the shared value-histogram percentile
+    * operator. Arrival order is the event_id sequence (the synthetic
+    * corpus's ingest order); the day key bounds every window sort
+    * (e6's pattern). */
+  def late1Lateness(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts").cast("date").as("day"),
+        unix_millis(col("ts")).as("st"), col("event_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type", "day")
+      .orderBy(col("event_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val late = ev.withColumn("late_ms", max("st").over(w) - col("st"))
+    graft.operators.Pcts.groupedExact(
+      late.select(col("event_type"), col("late_ms")), "event_type", "late_ms")
+      .select(col("event_type"), col("n").as("n_events"),
+        col("p50"), col("p95"), col("p99"))
+  }
+
+  val late1Sql: String = {
+    def interpS(q: Double, as: String): String =
+      s"""round(CASE WHEN (n - 1)::DOUBLE * $q - floor((n - 1)::DOUBLE * $q) = 0.0
+         |  THEN CAST(s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1] AS DOUBLE)
+         |  ELSE s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1]
+         |     + (s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 2]
+         |        - s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1])
+         |       * ((n - 1)::DOUBLE * $q - floor((n - 1)::DOUBLE * $q))
+         |  END, 6) AS $as""".stripMargin
+    s"""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |              epoch_ms(ts) AS st, event_id FROM events),
+       |l AS (SELECT event_type,
+       |        max(st) OVER (PARTITION BY event_type, day ORDER BY event_id
+       |                      ROWS UNBOUNDED PRECEDING) - st AS late_ms
+       |      FROM ev),
+       |gg AS (SELECT event_type, list_sort(list(late_ms)) AS s,
+       |         CAST(count(*) AS BIGINT) AS n
+       |       FROM l GROUP BY 1)
+       |SELECT event_type, n AS n_events,
+       |  ${interpS(0.50, "p50")},
+       |  ${interpS(0.95, "p95")},
+       |  ${interpS(0.99, "p99")}
+       |FROM gg""".stripMargin
+  }
+
   /** seq2_transitions — the user-journey Markov transition matrix:
     * next event type per user via lead() over (ts, event_id), pair
     * counts, row-normalized probability as ONE double division of two

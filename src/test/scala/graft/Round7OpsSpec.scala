@@ -346,6 +346,32 @@ class Round7OpsSpec extends SparkSpec {
     assert(r2 >= 0.0 && r2 <= 1.0)
   }
 
+  test("mk1: markov accuracy >= uniform chance and conserves transitions") {
+    val m = Relational.mk1MarkovEval(spark, sf).cache()
+    val totalTrans = Relational.seq2Transitions(spark, sf)
+      .agg(sum("n")).head.getLong(0)
+    assert(m.agg(sum("n_transitions")).head.getLong(0) == totalTrans)
+    assert(m.filter(col("n_correct") > col("n_transitions")).count() == 0)
+    // argmax of a 5-type row can't be below 1/5 of its row mass
+    assert(m.filter(col("accuracy") < 0.2 - 1e-9).count() == 0)
+  }
+
+  test("anon1: risky classes are counted against the full class count") {
+    val a = Relational.anon1KAnonymity(spark, sf).cache()
+    assert(a.filter(col("n_risky") > col("n_classes")).count() == 0)
+    assert(a.filter(col("min_class_size") < 1).count() == 0)
+    assert(a.filter(col("risky_share") < 0 || col("risky_share") > 1).count() == 0)
+  }
+
+  test("late1: lateness is non-negative with ordered percentiles") {
+    val l = Relational.late1Lateness(spark, sf).cache()
+    assert(l.filter(col("p50") < 0).count() == 0)
+    assert(l.filter(col("p50") > col("p95") || col("p95") > col("p99")).count() == 0)
+    val nEv = Tables.events(spark, sf).count()
+    assert(l.agg(sum("n_events")).head.getLong(0) == nEv,
+      "every event gets a lateness value (first-of-day is 0)")
+  }
+
   test("ws1: weighted sample keeps exactly the hash-thresholded docs") {
     val w = queries.CorpusQueries.ws1WeightedSample(spark, sf).cache()
     // every kept doc satisfies the threshold, and long docs (p = 1
