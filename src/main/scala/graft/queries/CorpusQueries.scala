@@ -1039,6 +1039,79 @@ object CorpusQueries {
        |  FROM sc) WHERE rnk <= $Bm25K""".stripMargin
   }
 
+  // ---- qe1_prf --------------------------------------------------------
+
+  /** qe1_prf — pseudo-relevance-feedback query expansion (Rocchio's
+    * useful half): for each q0 query, BM25's top-3 documents are
+    * assumed relevant and the terms most frequent in them — excluding
+    * the query's own terms — become the top-2 expansion terms. The
+    * ranking signal is the INTEGER feedback term frequency with a term
+    * tie-break (no float mixing weights to diverge on), so the whole
+    * IR loop — generate → retrieve → expand — is hash-exact. Cost: the
+    * b2 retrieval (posting-list-bounded) + one tf join against the
+    * 3·Q feedback docs — the expansion step is feedback-sized, not
+    * corpus-sized. */
+  def qe1Prf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val queries = TextAnalysis.queryGen(docs, "text")
+      .select(col("doc_id").as("query_id"), col("query"))
+    val fb = graft.operators.Bm25.search(docs, "text", queries, "query", Bm25K)
+      .filter(col("rnk") <= 3).select("query_id", "doc_id")
+    val tf = graft.Dist.spread(
+        docs.select(col("doc_id"), Embed.tokens(col("text")).as("tk")))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), explode(col("tk")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val qt = queries.select(col("query_id"),
+      explode(array_distinct(Embed.tokens(col("query")))).as("term"))
+    val cand = fb.join(tf, "doc_id")
+      .join(qt, Seq("query_id", "term"), "left_anti")
+      .groupBy("query_id", "term").agg(sum("tf").as("fb_tf"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("fb_tf").desc, col("term").asc)
+    cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 2)
+  }
+
+  lazy val qe1Sql: String =
+    s"""WITH fb AS (SELECT query_id, doc_id FROM ($b2Sql) WHERE rnk <= 3),
+       |$toksCte,
+       |tf2 AS (SELECT doc_id, t AS term, count(*) AS tf FROM (
+       |          SELECT doc_id, unnest(tk) AS t FROM toks WHERE len(tk) > 0)
+       |        GROUP BY 1, 2),
+       |qt AS (SELECT doc_id AS query_id,
+       |         unnest(list_distinct(list_filter(string_split(query, ' '),
+       |           __qe -> length(__qe) > 0))) AS term
+       |       FROM ($q0Sql)),
+       |cand AS (SELECT f.query_id, t.term, CAST(sum(t.tf) AS BIGINT) AS fb_tf
+       |         FROM fb f JOIN tf2 t ON t.doc_id = f.doc_id
+       |         LEFT JOIN qt ON qt.query_id = f.query_id AND qt.term = t.term
+       |         WHERE qt.term IS NULL
+       |         GROUP BY 1, 2)
+       |SELECT query_id, term, fb_tf, rnk FROM (
+       |  SELECT query_id, term, fb_tf,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY fb_tf DESC, term ASC) AS rnk
+       |  FROM cand) WHERE rnk <= 2""".stripMargin
+
+  // ---- cd1_cluster_profile --------------------------------------------
+
+  /** cd1_cluster_profile — duplicate-cluster SIZE DISTRIBUTION from the
+    * d8 components (the dedup report a pipeline reads before choosing
+    * survivors: a fat tail of giant clusters means template spam, many
+    * pairs means crawl overlap): components → sizes → histogram, all
+    * integer counts over the already-bounded component table. */
+  def cd1ClusterProfile(s: SparkSession, d: String): DataFrame =
+    d8DedupGroups(s, d)
+      .groupBy("group_size")
+      .agg(countDistinct("component").as("n_components"),
+        count(lit(1)).as("n_docs"))
+
+  lazy val cd1Sql: String =
+    s"""WITH cmp AS ($d8Sql)
+       |SELECT group_size, count(DISTINCT component) AS n_components,
+       |  count(*) AS n_docs
+       |FROM cmp GROUP BY 1""".stripMargin
+
   // ---- v12_hybrid_search ----------------------------------------------
 
   val HybridArmK = 10

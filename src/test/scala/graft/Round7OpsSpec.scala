@@ -372,6 +372,30 @@ class Round7OpsSpec extends SparkSpec {
       "every event gets a lateness value (first-of-day is 0)")
   }
 
+  test("qe1: expansion terms exclude query terms, <=2 per query") {
+    val q = queries.CorpusQueries.qe1Prf(spark, sf).cache()
+    assert(q.groupBy("query_id").count()
+      .filter(col("count") > 2).count() == 0)
+    // no expansion term may be one of the query's own terms
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val qt = operators.TextAnalysis.queryGen(docs, "text")
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(operators.Embed.tokens(col("query")))).as("term"))
+    assert(q.join(qt, Seq("query_id", "term")).count() == 0)
+    assert(q.filter(col("fb_tf") < 1).count() == 0)
+  }
+
+  test("cd1: cluster histogram is consistent with the component table") {
+    val cd = queries.CorpusQueries.cd1ClusterProfile(spark, sf).cache()
+    val comp = queries.CorpusQueries.d8DedupGroups(spark, sf)
+    assert(cd.agg(sum("n_docs")).head.getLong(0) == comp.count())
+    assert(cd.filter(col("n_docs")
+      =!= col("group_size") * col("n_components")).count() == 0,
+      "docs per size bucket == size x components")
+    assert(cd.filter(col("group_size") < 2).count() == 0,
+      "singletons are not components")
+  }
+
   test("ws1: weighted sample keeps exactly the hash-thresholded docs") {
     val w = queries.CorpusQueries.ws1WeightedSample(spark, sf).cache()
     // every kept doc satisfies the threshold, and long docs (p = 1
