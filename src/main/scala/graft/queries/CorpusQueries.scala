@@ -1039,6 +1039,38 @@ object CorpusQueries {
        |  FROM sc) WHERE rnk <= $Bm25K""".stripMargin
   }
 
+  // ---- fh1_hash_collisions --------------------------------------------
+
+  /** fh1_hash_collisions — feature-hashing collision report for the
+    * v0 embedder: per 64-dim bucket, how many DISTINCT tokens fold
+    * into it and how much tf mass they carry — the diagnostic that
+    * says whether the hashing dimension is large enough for the vocab
+    * (collided buckets conflate unrelated tokens and blur every
+    * downstream cosine). Token hashed ONCE, two integer aggregations,
+    * 64-row output at any corpus size. */
+  def fh1HashCollisions(s: SparkSession, d: String): DataFrame = {
+    val perTok = graft.Dist.spread(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(explode(Embed.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("tf"))
+      .select((Embed.tokenHash(col("t")) % VectorQueries.EmbedDim)
+        .cast("long").as("bucket"), col("t"), col("tf"))
+    perTok.groupBy("bucket")
+      .agg(countDistinct("t").as("n_tokens"), sum("tf").as("tf_mass"))
+      .withColumn("collided", (col("n_tokens") > 1).cast("int"))
+  }
+
+  val fh1Sql: String =
+    s"""WITH $toksCte,
+       |tok AS (SELECT unnest(tk) AS t FROM toks),
+       |tf AS (SELECT t, count(*) AS tf FROM tok GROUP BY 1),
+       |b AS (SELECT ${polyhashS("t")} % ${VectorQueries.EmbedDim} AS bucket,
+       |        t, tf FROM tf)
+       |SELECT bucket, count(DISTINCT t) AS n_tokens,
+       |  CAST(sum(tf) AS BIGINT) AS tf_mass,
+       |  CASE WHEN count(DISTINCT t) > 1 THEN 1 ELSE 0 END AS collided
+       |FROM b GROUP BY 1""".stripMargin
+
   // ---- qe1_prf --------------------------------------------------------
 
   /** qe1_prf — pseudo-relevance-feedback query expansion (Rocchio's

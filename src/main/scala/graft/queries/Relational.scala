@@ -2235,6 +2235,66 @@ object Relational {
       |  max(cnt) AS peak_errors
       |FROM g GROUP BY grp""".stripMargin
 
+  // ---- sz1_seasonality ------------------------------------------------
+
+  /** sz1_seasonality — hour-of-week activity profile (the load-shape
+    * input behind ov1's peak and e6's gaps): events per (weekday,
+    * hour) with share-of-total. Weekday is INTEGER day arithmetic from
+    * the corpus epoch (2024-01-01, a Monday; 0 = Monday) — never an
+    * engine week/locale function (coh1's rule); hour is UTC on both
+    * engines. 168-row output at any scale, one narrow aggregation.
+    * PRECONDITION: ts ≥ the epoch (negative-day division split). */
+  def sz1Seasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(
+      expr("datediff(CAST(ts AS DATE), DATE'2024-01-01') % 7").as("dow"),
+      hour(col("ts")).as("hr"))
+    val counts = ev.groupBy("dow", "hr").agg(count(lit(1)).as("n_events"))
+    val tot = counts.agg(sum("n_events").as("t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("dow").cast("long").as("dow"),
+        col("hr").cast("long").as("hr"), col("n_events"),
+        round(col("n_events").cast("double") / col("t").cast("double"), 6)
+          .as("share"))
+  }
+
+  val sz1Sql: String =
+    """WITH ev AS (
+      |  SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS dow,
+      |    CAST(hour(ts) AS BIGINT) AS hr
+      |  FROM events),
+      |c AS (SELECT dow, hr, count(*) AS n_events FROM ev GROUP BY 1, 2),
+      |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS t FROM c)
+      |SELECT CAST(dow AS BIGINT) AS dow, hr, n_events,
+      |  round(CAST(n_events AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+      |FROM c, t""".stripMargin
+
+  // ---- lj1_lateral_topk -----------------------------------------------
+
+  /** lj1_lateral_topk — the LATERAL correlated-subquery surface (the
+    * ANSI spelling of q7/q8's top-per-group): each customer's single
+    * largest order via a correlated ORDER BY … LIMIT 1 subquery,
+    * query TEXT shared verbatim with the oracle (sql1/gs1's pattern).
+    * Catalyst decorrelates the lateral into a ranked join — same
+    * physical family as q7 — so the declarative spelling costs
+    * nothing at scale. */
+  def lj1LateralTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    spark.sql(lj1Text)
+  }
+
+  /** Shared query text — runnable verbatim by Spark AND DuckDB. */
+  val lj1Text: String =
+    """SELECT c_custkey, c_name, t.o_orderkey,
+      |  CAST(CAST(t.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS top_price
+      |FROM customer,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey ASC
+      |         LIMIT 1) AS t""".stripMargin
+
+  val lj1Sql: String = lj1Text
+
   // ---- mk1_markov_eval ------------------------------------------------
 
   /** mk1_markov_eval — next-event prediction accuracy of the

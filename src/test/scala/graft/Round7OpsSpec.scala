@@ -396,6 +396,38 @@ class Round7OpsSpec extends SparkSpec {
       "singletons are not components")
   }
 
+  test("fh1: collision report conserves tf mass and bounds buckets") {
+    val f = queries.CorpusQueries.fh1HashCollisions(spark, sf).cache()
+    assert(f.filter(col("bucket") < 0
+      || col("bucket") >= VectorQueries.EmbedDim).count() == 0)
+    val totalTf = Tables.documents(spark, sf)
+      .select(explode(operators.Embed.tokens(col("text"))).as("t")).count()
+    assert(f.agg(sum("tf_mass")).head.getLong(0) == totalTf)
+    assert(f.filter(col("collided") === 1 && col("n_tokens") < 2).count() == 0)
+  }
+
+  test("sz1: hour-of-week shares sum to 1 over valid (dow, hr) cells") {
+    val z = Relational.sz1Seasonality(spark, sf).cache()
+    assert(z.filter(col("dow") < 0 || col("dow") > 6
+      || col("hr") < 0 || col("hr") > 23).count() == 0)
+    val s = z.agg(round(sum("share"), 3)).head.getDouble(0)
+    assert(math.abs(s - 1.0) < 0.01, s"shares sum to $s")
+    assert(z.agg(sum("n_events")).head.getLong(0)
+      == Tables.events(spark, sf).count())
+  }
+
+  test("lj1: lateral top-1 equals the window top-1 per customer") {
+    val l = Relational.lj1LateralTopk(spark, sf).cache()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val base = Tables.orders(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("exp_order"))
+    val j = l.join(base, col("c_custkey") === col("o_custkey"), "full")
+    assert(j.filter(col("o_orderkey").isNull || col("exp_order").isNull
+      || col("o_orderkey") =!= col("exp_order")).count() == 0)
+  }
+
   test("ws1: weighted sample keeps exactly the hash-thresholded docs") {
     val w = queries.CorpusQueries.ws1WeightedSample(spark, sf).cache()
     // every kept doc satisfies the threshold, and long docs (p = 1
