@@ -1971,6 +1971,145 @@ object Relational {
       |        / lag(revenue) OVER (ORDER BY week), 6) AS pct_change
       |FROM weekly""".stripMargin
 
+  // ---- ab2_cuped ------------------------------------------------------
+
+  /** ab2_cuped — CUPED variance reduction for the A/B readout
+    * (Deng et al.): the post-period revenue diff adjusted by the
+    * pre-period covariate, θ = cov(x,y)/var(x) pooled over both arms.
+    * Everything that can be exact IS exact: per-user pre/post cents
+    * are integer sums, the θ/ρ² closed forms are DECIMAL(38,0)
+    * products (reg1's rule), and every double output is a SHARED
+    * formula text parsed by Spark and embedded in the oracle (ab1's
+    * pattern) — identical op order by construction. θ is rounded
+    * once and the ROUNDED value feeds the adjusted diff, so both
+    * engines adjust by the same number. One user-keyed aggregation +
+    * a 1-row reduction. */
+  def ab2Cuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val users = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        (col("ts").cast("date") < lit("2024-01-16").cast("date"))
+          .as("pre"),
+        when(col("event_type") === "purchase",
+          (col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .otherwise(0L).as("cents"))
+      .groupBy("user_id")
+      .agg(sum(when(col("pre"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("cents")).otherwise(0L)).as("y"))
+      .withColumn("bucket", col("user_id") % 2)
+    val g = users.groupBy().agg(
+      sum(when(col("bucket") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("bucket") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("bucket") === 0, col("x")).otherwise(0L)).as("sx_a"),
+      sum(when(col("bucket") === 1, col("x")).otherwise(0L)).as("sx_b"),
+      sum(when(col("bucket") === 0, col("y")).otherwise(0L)).as("sy_a"),
+      sum(when(col("bucket") === 1, col("y")).otherwise(0L)).as("sy_b"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+      sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+      sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+    g.withColumn("theta", expr(ab2ThetaExpr))
+      .withColumn("diff_raw", expr(ab2DiffRawExpr))
+      .withColumn("diff_cuped", expr(ab2DiffCupedExpr))
+      .withColumn("rho2", expr(ab2Rho2Expr))
+      .select("n_a", "n_b", "theta", "diff_raw", "diff_cuped", "rho2")
+  }
+
+  // shared formula text — parsed by Spark AND embedded in the oracle
+  private val ab2N = "(n_a + n_b)"
+  private val ab2Sx = "(sx_a + sx_b)"
+  private val ab2Sy = "(sy_a + sy_b)"
+  private val ab2VarX =
+    s"(CAST($ab2N AS DECIMAL(38,0)) * sxx - CAST($ab2Sx AS DECIMAL(38,0)) * $ab2Sx)"
+  private val ab2VarY =
+    s"(CAST($ab2N AS DECIMAL(38,0)) * syy - CAST($ab2Sy AS DECIMAL(38,0)) * $ab2Sy)"
+  private val ab2Cov =
+    s"(CAST($ab2N AS DECIMAL(38,0)) * sxy - CAST($ab2Sx AS DECIMAL(38,0)) * $ab2Sy)"
+  val ab2ThetaExpr: String =
+    s"""CASE WHEN $ab2VarX = 0 THEN 0.0
+       |ELSE round(CAST($ab2Cov AS DOUBLE) / CAST($ab2VarX AS DOUBLE), 6) END""".stripMargin
+  val ab2DiffRawExpr: String =
+    """round((CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |       - CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / 100.0, 6)""".stripMargin
+  val ab2DiffCupedExpr: String =
+    """round((CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |       - CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / 100.0
+      |      - theta * ((CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |                  - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / 100.0), 6)""".stripMargin
+  val ab2Rho2Expr: String =
+    s"""CASE WHEN $ab2VarX = 0 OR $ab2VarY = 0 THEN 0.0
+       |ELSE round(CAST($ab2Cov AS DOUBLE) * CAST($ab2Cov AS DOUBLE)
+       |     / (CAST($ab2VarX AS DOUBLE) * CAST($ab2VarY AS DOUBLE)), 6) END""".stripMargin
+
+  val ab2Sql: String =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+       |      AND event_type = 'purchase'
+       |      THEN CAST(value::DECIMAL(18,2) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+       |      AND event_type = 'purchase'
+       |      THEN CAST(value::DECIMAL(18,2) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+       |    user_id % 2 AS bucket
+       |  FROM events GROUP BY user_id),
+       |g AS (SELECT
+       |  CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |  CAST(sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |  CAST(sum(CASE WHEN bucket = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+       |  CAST(sum(CASE WHEN bucket = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+       |  CAST(sum(CASE WHEN bucket = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+       |  CAST(sum(CASE WHEN bucket = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+       |  CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+       |  CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+       |  CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+       |  FROM u),
+       |t AS (SELECT *, $ab2ThetaExpr AS theta FROM g)
+       |SELECT n_a, n_b, theta,
+       |  $ab2DiffRawExpr AS diff_raw,
+       |  $ab2DiffCupedExpr AS diff_cuped,
+       |  $ab2Rho2Expr AS rho2
+       |FROM t""".stripMargin
+
+  // ---- ret1_d7_return -------------------------------------------------
+
+  /** ret1_d7_return — 7-day return rate per activity day (the growth
+    * team's daily retention curve; coh1 is the weekly cohort view):
+    * for each (user, active day), returned iff the user's NEXT active
+    * day is within 7 days — lead() over the per-user distinct-day
+    * sequence, so the check is one window pass on the user key, never
+    * a day-range self-join. Exact integer day arithmetic; rate = one
+    * division per day row. */
+  def ret1D7Return(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("datediff(CAST(ts AS DATE), DATE'2024-01-01')").cast("long")
+          .as("day"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("day").asc)
+    ud.withColumn("next_day", lead("day", 1).over(w))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum((col("next_day").isNotNull
+          && col("next_day") <= col("day") + 7).cast("long")).as("n_returned"))
+      .withColumn("return_rate", round(col("n_returned").cast("double")
+        / col("n_active").cast("double"), 6))
+  }
+
+  val ret1Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+      |  FROM events),
+      |n AS (SELECT user_id, day,
+      |        lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      |      FROM ud)
+      |SELECT day, count(*) AS n_active,
+      |  CAST(sum(CASE WHEN next_day IS NOT NULL AND next_day <= day + 7
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+      |  round(CAST(sum(CASE WHEN next_day IS NOT NULL AND next_day <= day + 7
+      |                      THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / CAST(count(*) AS DOUBLE), 6) AS return_rate
+      |FROM n GROUP BY 1""".stripMargin
+
   /** ab1_ab_test — conversion lift between the two user halves
     * (user_id parity as the assignment hash): conversion = at least
     * one purchase event. Counts are exact integers; rates, lift, and

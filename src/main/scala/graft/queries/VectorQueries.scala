@@ -482,6 +482,48 @@ object VectorQueries {
        |  GROUP BY 1, 2)
        |WHERE score >= $NearDupMinCos""".stripMargin
 
+  // ---- ix2_lsh_stats --------------------------------------------------
+
+  /** ix2_lsh_stats — LSH index health per hash table (ix1's IVF
+    * counterpart): bucket count, max/mean population, and the EXACT
+    * predicted candidate-pair volume Σ c(c−1)/2 the d6/kg1 bucket
+    * join will generate — the re-tune signal when one bucket
+    * degenerates toward all-pairs (jc1's preflight, for the LSH
+    * join). Integer arithmetic throughout; one double division for
+    * the mean. Output is `tables` rows at any corpus size. */
+  def ix2LshStats(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val pops = graft.Dist.spread(e)
+      .select(col("vec_id"), posexplode(
+        VectorSearch.hyperplaneBuckets(col("v"), rpWeightsPair))
+        .as(Seq("tbl", "bucket")))
+      .groupBy("tbl", "bucket").agg(count(lit(1)).as("c"))
+    pops.groupBy("tbl").agg(
+        sum("c").as("n_vectors"),
+        count(lit(1)).as("n_buckets"),
+        max("c").as("max_pop"),
+        sum(col("c") * (col("c") - 1)).as("__cc"))
+      .select(col("tbl").cast("long").as("tbl"), col("n_vectors"),
+        col("n_buckets"), col("max_pop"),
+        round(col("n_vectors").cast("double") / col("n_buckets").cast("double"), 6)
+          .as("mean_pop"),
+        expr("__cc div 2").as("cand_pairs"))
+  }
+
+  val ix2Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |w(tbl, bit, wv) AS (VALUES
+       |    $rpWeightRowsPairS),
+       |${rpBucketCteS("b", "e", "vec_id", "v")},
+       |pops AS (SELECT tbl, bucket, count(*) AS c FROM b GROUP BY 1, 2)
+       |SELECT CAST(tbl AS BIGINT) AS tbl,
+       |  CAST(sum(c) AS BIGINT) AS n_vectors,
+       |  count(*) AS n_buckets,
+       |  CAST(max(c) AS BIGINT) AS max_pop,
+       |  round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_pop,
+       |  CAST(sum(c * (c - 1)) // 2 AS BIGINT) AS cand_pairs
+       |FROM pops GROUP BY 1""".stripMargin
+
   // ---- ml1_knn_classify -----------------------------------------------
 
   /** ml1_knn_classify — k-NN majority-vote label prediction over the

