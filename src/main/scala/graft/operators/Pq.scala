@@ -122,6 +122,51 @@ object Pq {
     spark.createDataFrame(encoded, outSchema)
   }
 
+  /** encode() variant that also emits the winning squared distance per
+    * subspace, quantized ONCE to floor(err·1e6) (the pq3 distortion
+    * input): the distance fold is the exact sequential order the
+    * oracle's list_reduce runs, so the doubles — and therefore the
+    * floors — are bit-identical across engines; aggregating the
+    * quantized longs is then order-independent. One row per
+    * (vector, subspace). */
+  def encodeWithError(corpus: DataFrame,
+                      cb: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(cb)
+    val sub = cb(0)(0).length
+    val outSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("subspace", IntegerType, nullable = false),
+      StructField("code", IntegerType, nullable = false),
+      StructField("errq", LongType, nullable = false)))
+    val dim = NumSubspaces * sub
+    val rows = corpus
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+      .rdd.mapPartitions { it =>
+      val book = bc.value
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Double](1)
+        require(v.length == dim,
+          s"Pq.encodeWithError: vector $id has dim ${v.length}, expects $dim")
+        (0 until NumSubspaces).map { s =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < Codes) {
+            var d = 0.0; var j = 0
+            while (j < sub) {
+              val diff = v(s * sub + j) - book(s)(c)(j); d += diff * diff; j += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          Row(id, s, best, math.floor(bestD * 1e6).toLong)
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** ADC top-k dot-product search over PQ codes: per query, the lookup
     * table lut(s)(c) = dot(query subvector s, codebook(s)(c)) is
     * computed once (driver-free — it's a literal-free expression over

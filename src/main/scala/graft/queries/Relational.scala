@@ -2374,6 +2374,98 @@ object Relational {
       |  max(cnt) AS peak_errors
       |FROM g GROUP BY grp""".stripMargin
 
+  // ---- ohlc1_bars -----------------------------------------------------
+
+  /** ohlc1_bars — OHLC bar aggregation (the time-series downsampling
+    * every monitoring/market stack runs): per (type, day), the first
+    * and last value in (ts, event_id) order plus high/low/count. Open
+    * and close come from row_number over the day-bounded window (e6's
+    * key — the sort never exceeds one day per type), high/low/n from
+    * a plain aggregation; values pass through untouched (no float
+    * arithmetic to diverge). */
+  def ohlc1Bars(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.events(spark, sfDir).select(
+      col("event_type"),
+      expr("datediff(CAST(ts AS DATE), DATE'2024-01-01')").cast("long")
+        .as("day_idx"),
+      unix_millis(col("ts")).as("st"), col("event_id"), col("value"))
+    def first(asc: Boolean, name: String) = {
+      val ord = if (asc) Seq(col("st").asc, col("event_id").asc)
+                else Seq(col("st").desc, col("event_id").desc)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type", "day_idx").orderBy(ord: _*)
+      base.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("event_type"), col("day_idx"), col("value").as(name))
+    }
+    base.groupBy("event_type", "day_idx")
+      .agg(count(lit(1)).as("n_events"), max("value").as("high"),
+        min("value").as("low"))
+      .join(first(asc = true, "open"), Seq("event_type", "day_idx"))
+      .join(first(asc = false, "close"), Seq("event_type", "day_idx"))
+      .select("event_type", "day_idx", "n_events", "open", "high", "low",
+        "close")
+  }
+
+  val ohlc1Sql: String =
+    """WITH base AS (
+      |  SELECT event_type,
+      |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx,
+      |    epoch_ms(ts) AS st, event_id, value
+      |  FROM events),
+      |o AS (SELECT event_type, day_idx, value AS open FROM (
+      |    SELECT event_type, day_idx, value,
+      |      row_number() OVER (PARTITION BY event_type, day_idx
+      |                         ORDER BY st ASC, event_id ASC) AS rn
+      |    FROM base) WHERE rn = 1),
+      |c AS (SELECT event_type, day_idx, value AS close FROM (
+      |    SELECT event_type, day_idx, value,
+      |      row_number() OVER (PARTITION BY event_type, day_idx
+      |                         ORDER BY st DESC, event_id DESC) AS rn
+      |    FROM base) WHERE rn = 1),
+      |g AS (SELECT event_type, day_idx, count(*) AS n_events,
+      |        max(value) AS high, min(value) AS low
+      |      FROM base GROUP BY 1, 2)
+      |SELECT g.event_type, g.day_idx, g.n_events, o.open, g.high, g.low, c.close
+      |FROM g JOIN o USING (event_type, day_idx)
+      |       JOIN c USING (event_type, day_idx)""".stripMargin
+
+  // ---- pp1_pushdown_minmax --------------------------------------------
+
+  /** pp1_pushdown_minmax — parquet AGGREGATE pushdown: a filterless
+    * count/min/max answered from row-group FOOTER STATISTICS, never
+    * scanning a data page — at 100 TB the difference between touching
+    * ~KBs of metadata and reading every row. The conf flips Spark's
+    * V2 scan into PushedAggregation mode (plan pinned in
+    * PlanShapeSpec); results are identical to the full scan by
+    * definition of the stats. */
+  def pp1PushdownMinmax(spark: SparkSession, sfDir: String): DataFrame = {
+    // aggregatePushdown is read at OPTIMIZATION time (plans are lazy)
+    // so it stays on for the session — a pure optimization, harmless
+    // to every V1 read. The V1→V2 source switch, by contrast, is read
+    // when the relation resolves (eagerly, inside spark.read.load), so
+    // it is scoped to exactly this read and restored immediately —
+    // every other query keeps its V1 parquet plan.
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    val v1List = spark.conf.get("spark.sql.sources.useV1SourceList")
+    val scan =
+      try {
+        spark.conf.set("spark.sql.sources.useV1SourceList",
+          v1List.split(",").filterNot(_.trim == "parquet").mkString(","))
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+      } finally spark.conf.set("spark.sql.sources.useV1SourceList", v1List)
+    scan.agg(count(lit(1)).as("n_rows"),
+      min("l_extendedprice").as("min_price"),
+      max("l_extendedprice").as("max_price"),
+      min("l_quantity").as("min_qty"),
+      max("l_quantity").as("max_qty"))
+  }
+
+  val pp1Sql: String =
+    """SELECT count(*) AS n_rows,
+      |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+      |FROM lineitem""".stripMargin
+
   // ---- sz1_seasonality ------------------------------------------------
 
   /** sz1_seasonality — hour-of-week activity profile (the load-shape

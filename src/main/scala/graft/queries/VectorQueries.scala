@@ -482,6 +482,61 @@ object VectorQueries {
        |  GROUP BY 1, 2)
        |WHERE score >= $NearDupMinCos""".stripMargin
 
+  // ---- pq3_distortion -------------------------------------------------
+
+  /** pq3_distortion — PQ quantization-error report per subspace (the
+    * codebook-quality measurement behind vq2/v11/v14: a subspace with
+    * fat distortion is where ADC ranking loses recall, and the signal
+    * to re-train or split the codebook): winning squared distance per
+    * (vector, subspace) quantized ONCE to floor(err·1e6) — the fold
+    * order matches the oracle exactly, so the floors are bit-safe —
+    * then integer sums give exact mean/max distortion. One encode
+    * pass, `subspaces` output rows at any corpus size. */
+  def pq3Distortion(s: SparkSession, d: String): DataFrame = {
+    val corpus = corpusVecs(s, d).select("vec_id", "v")
+    val cb = graft.operators.Pq.codebook(corpus)
+    graft.operators.Pq.encodeWithError(corpus, cb)
+      .groupBy("subspace")
+      .agg(count(lit(1)).as("n"), sum("errq").as("__se"), max("errq").as("__me"))
+      .select(col("subspace").cast("long").as("subspace"), col("n"),
+        round(col("__se").cast("double") / col("n").cast("double") / 1e6, 6)
+          .as("mean_err"),
+        round(col("__me").cast("double") / 1e6, 6).as("max_err"))
+  }
+
+  val pq3Sql: String = {
+    val sub = EmbedDim / graft.operators.Pq.NumSubspaces
+    val mh = s"(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length(CAST(vec_id AS VARCHAR)) + 1), " +
+      s"__pi -> CAST(ascii(substring(CAST(vec_id AS VARCHAR), __pi, 1)) AS BIGINT))), " +
+      s"(__ph, __pc) -> (__ph * 31 + __pc) % ${Embed.HashMod}) " +
+      s"* ${graft.operators.Sampling.mixedHashSqlConst}) % ${Embed.HashMod}"
+    s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE vec_id >= $QN),
+       |hk AS (SELECT vec_id, v, $mh AS hk FROM c),
+       |seeds AS (SELECT row_number() OVER (ORDER BY hk ASC, vec_id ASC) - 1 AS code, v
+       |          FROM hk ORDER BY hk ASC, vec_id ASC LIMIT ${graft.operators.Pq.Codes}),
+       |book AS (SELECT list(v ORDER BY code) AS bk FROM seeds),
+       |encw AS (
+       |  SELECT c.vec_id, r.range AS subspace,
+       |    list_reduce(list_prepend([1e308, -1.0],
+       |      list_transform(range(0, ${graft.operators.Pq.Codes}), __cc ->
+       |        [list_reduce(list_prepend(0.0, list_transform(range(1, ${sub + 1}), __j ->
+       |           (v[r.range*$sub + __j] - bk[__cc+1][r.range*$sub + __j])
+       |         * (v[r.range*$sub + __j] - bk[__cc+1][r.range*$sub + __j]))),
+       |           (__a, __x) -> __a + __x),
+       |         CAST(__cc AS DOUBLE)])),
+       |      (__p, __q) -> CASE WHEN __q[1] < __p[1] THEN __q ELSE __p END)[1] AS err
+       |  FROM c, book, range(0, ${graft.operators.Pq.NumSubspaces}) r),
+       |e2 AS (SELECT subspace, CAST(floor(err * 1000000.0) AS BIGINT) AS errq
+       |       FROM encw)
+       |SELECT CAST(subspace AS BIGINT) AS subspace, count(*) AS n,
+       |  round(CAST(sum(errq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6)
+       |    AS mean_err,
+       |  round(CAST(max(errq) AS DOUBLE) / 1000000.0, 6) AS max_err
+       |FROM e2 GROUP BY 1""".stripMargin
+  }
+
   // ---- ix2_lsh_stats --------------------------------------------------
 
   /** ix2_lsh_stats — LSH index health per hash table (ix1's IVF

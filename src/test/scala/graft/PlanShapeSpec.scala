@@ -161,6 +161,14 @@ class PlanShapeSpec extends SparkSpec {
       s"equi keys must be (user_id, bkt):\n$joinLine")
   }
 
+  test("pp1 answers count/min/max from parquet footer stats (PushedAggregation)") {
+    val p = plan(graft.queries.Relational.pp1PushdownMinmax(spark, sf))
+    assert(p.contains("PushedAggregation: [COUNT(*)"),
+      s"aggregate not pushed to the parquet scan:\n$p")
+    assert(p.contains("MIN(l_extendedprice)") && p.contains("MAX(l_quantity)"),
+      s"min/max not pushed:\n$p")
+  }
+
   test("ed1 candidate generation joins on the deletion variant, verify is a filter") {
     val p = plan(graft.queries.Relational.ed1EditDistanceJoin(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -466,6 +466,36 @@ class Round7OpsSpec extends SparkSpec {
     assert(x.filter(col("tbl") === 0).head.getAs[Long]("cand_pairs") == t0)
   }
 
+  test("pq3: distortion is consistent with the encode's own distances") {
+    val p = VectorQueries.pq3Distortion(spark, sf).cache()
+    assert(p.count() == operators.Pq.NumSubspaces)
+    assert(p.filter(col("mean_err") < 0 || col("max_err") < col("mean_err"))
+      .count() == 0)
+    // n per subspace == corpus size
+    val n = VectorQueries.corpusVecs(spark, sf).count()
+    assert(p.filter(col("n") =!= n).count() == 0)
+  }
+
+  test("ohlc1: high/low bracket open/close, counts conserve events") {
+    val o = Relational.ohlc1Bars(spark, sf).cache()
+    assert(o.filter(col("open") > col("high") || col("open") < col("low")
+      || col("close") > col("high") || col("close") < col("low")).count() == 0)
+    assert(o.agg(sum("n_events")).head.getLong(0)
+      == Tables.events(spark, sf).count())
+    // single-event days must have open == close == high == low
+    assert(o.filter(col("n_events") === 1 &&
+      (col("open") =!= col("close") || col("high") =!= col("low"))).count() == 0)
+  }
+
+  test("pp1: footer-stats aggregate equals the full-scan aggregate") {
+    val r = Relational.pp1PushdownMinmax(spark, sf).head()
+    val full = Tables.lineitem(spark, sf).agg(count(lit(1)),
+      min("l_extendedprice"), max("l_extendedprice")).head()
+    assert(r.getAs[Long]("n_rows") == full.getLong(0))
+    assert(r.getAs[Double]("min_price") == full.getDouble(1))
+    assert(r.getAs[Double]("max_price") == full.getDouble(2))
+  }
+
   test("ws1: weighted sample keeps exactly the hash-thresholded docs") {
     val w = queries.CorpusQueries.ws1WeightedSample(spark, sf).cache()
     // every kept doc satisfies the threshold, and long docs (p = 1
