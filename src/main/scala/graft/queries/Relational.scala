@@ -897,6 +897,47 @@ object Relational {
        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
        |FROM s GROUP BY user_id, sid""".stripMargin
 
+  // ---- ses1_session_pcts ----------------------------------------------
+
+  /** ses1_session_pcts — session-DURATION percentiles over the e2
+    * sessionization (the engagement summary a product team reads from
+    * sessionized logs): exact integer epoch-ms durations through the
+    * value-histogram percentile operator (Pcts.groupedExact over one
+    * global group — the windowed stage runs over the collapsed
+    * duration histogram, distinct-values-sized, so one group is NOT
+    * one task over the data). Composes two already-verified layers:
+    * the typed flatMapGroups sessionizer and the exact percentile
+    * read-off. */
+  def ses1SessionPcts(spark: SparkSession, sfDir: String): DataFrame = {
+    val dur = e2Sessions(spark, sfDir)
+      .select((unix_millis(col("session_end"))
+        - unix_millis(col("session_start"))).as("dur_ms"),
+        lit("all").as("grp"))
+    graft.operators.Pcts.groupedExact(dur, "grp", "dur_ms")
+      .select(col("n").as("n_sessions"), col("p50"), col("p95"), col("p99"))
+  }
+
+  val ses1Sql: String = {
+    def interpS(q: Double, as: String): String =
+      s"""round(CASE WHEN (n - 1)::DOUBLE * $q - floor((n - 1)::DOUBLE * $q) = 0.0
+         |  THEN CAST(s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1] AS DOUBLE)
+         |  ELSE s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1]
+         |     + (s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 2]
+         |        - s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1])
+         |       * ((n - 1)::DOUBLE * $q - floor((n - 1)::DOUBLE * $q))
+         |  END, 6) AS $as""".stripMargin
+    s"""WITH ses AS ($e2Sql),
+       |d AS (SELECT epoch_ms(session_end) - epoch_ms(session_start) AS dur_ms
+       |      FROM ses),
+       |gg AS (SELECT list_sort(list(dur_ms)) AS s, CAST(count(*) AS BIGINT) AS n
+       |       FROM d)
+       |SELECT n AS n_sessions,
+       |  ${interpS(0.50, "p50")},
+       |  ${interpS(0.95, "p95")},
+       |  ${interpS(0.99, "p99")}
+       |FROM gg""".stripMargin
+  }
+
   /** f1_bloom_join — Bloom-prefiltered semi-join: lineitem rows for
     * urgent orders. The Bloom pass prunes the fact scan before any
     * shuffle; the exact semi-join removes false positives, so the

@@ -482,6 +482,41 @@ object VectorQueries {
        |  GROUP BY 1, 2)
        |WHERE score >= $NearDupMinCos""".stripMargin
 
+  // ---- emh1_sim_histogram ---------------------------------------------
+
+  /** emh1_sim_histogram — embedding-space cosine HISTOGRAM over a
+    * deterministic pair sample (each vector paired with its id
+    * successor): the geometry health check read before trusting any
+    * cosine threshold — a healthy space is spread; a collapsed space
+    * (all mass in one band) makes every near-dup cut meaningless.
+    * Bands come from the 6-dp-ROUNDED cosine (both engines band the
+    * same number); N−1 pairs, one narrow self-join on the id, integer
+    * counts, ≤11-row output at any corpus size. */
+  def emh1SimHistogram(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val pairs = e.select(col("vec_id"), col("v").as("va"))
+      .join(e.select((col("vec_id") - 1).as("vec_id"), col("v").as("vb")),
+        "vec_id")
+      .select(round(graft.functions.Vec.cosine(col("va"), col("vb")), 6)
+        .as("score"))
+    val tot = pairs.count()
+    pairs.select(floor((col("score") + 1.0) * 5.0).cast("long").as("band"))
+      .groupBy("band").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("share",
+        round(col("n_pairs").cast("double") / lit(tot.toDouble), 6))
+  }
+
+  val emh1Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT round(${cosS("a.v", "b.v")}, 6) AS score
+       |      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM p)
+       |SELECT CAST(floor((score + 1.0) * 5.0) AS BIGINT) AS band,
+       |  count(*) AS n_pairs,
+       |  round(CAST(count(*) AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+       |FROM p, t GROUP BY 1, tot""".stripMargin
+
   // ---- pq3_distortion -------------------------------------------------
 
   /** pq3_distortion — PQ quantization-error report per subspace (the

@@ -496,6 +496,24 @@ class Round7OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("max_price") == full.getDouble(2))
   }
 
+  test("ses1: session-duration percentiles are ordered and counted") {
+    val r = Relational.ses1SessionPcts(spark, sf).head()
+    assert(r.getAs[Long]("n_sessions")
+      == Relational.e2Sessions(spark, sf).count())
+    val (p50, p95, p99) = (r.getAs[Double]("p50"),
+      r.getAs[Double]("p95"), r.getAs[Double]("p99"))
+    assert(p50 >= 0 && p50 <= p95 && p95 <= p99)
+  }
+
+  test("emh1: cosine bands cover [-1,1], shares sum to 1, pairs = N-1") {
+    val h = VectorQueries.emh1SimHistogram(spark, sf).cache()
+    assert(h.filter(col("band") < 0 || col("band") > 10).count() == 0)
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(h.agg(sum("n_pairs")).head.getLong(0) == nVecs - 1)
+    val s = h.agg(round(sum("share"), 3)).head.getDouble(0)
+    assert(math.abs(s - 1.0) < 0.01)
+  }
+
   test("ws1: weighted sample keeps exactly the hash-thresholded docs") {
     val w = queries.CorpusQueries.ws1WeightedSample(spark, sf).cache()
     // every kept doc satisfies the threshold, and long docs (p = 1
