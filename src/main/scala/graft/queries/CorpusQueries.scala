@@ -1039,6 +1039,128 @@ object CorpusQueries {
        |  FROM sc) WHERE rnk <= $Bm25K""".stripMargin
   }
 
+  // ---- ent1_column_entropy --------------------------------------------
+
+  /** ent1_column_entropy — Shannon entropy of the categorical columns
+    * (event_type, lang, source), the one-number diversity profile a
+    * pipeline watches for collapse (a crawler stuck on one domain, a
+    * heuristic flattening lang distribution). nb1's determinism trick:
+    * each category's ln(c/n) is quantized ONCE to floor(ln·1e6)
+    * millinats, the expectation is then an exact integer sum
+    * (DECIMAL(38,0) products — c·lnq overflows BIGINT at 100 TB),
+    * one terminal division. Per column: one count aggregation over a
+    * low-cardinality key. */
+  def ent1ColumnEntropy(s: SparkSession, d: String): DataFrame = {
+    def colEntropy(df: org.apache.spark.sql.DataFrame, c: String,
+                   label: String): DataFrame = {
+      val cnt = df.groupBy(col(c).as("v")).agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum("c").as("n"), count(lit(1)).as("nd"))
+      cnt.crossJoin(broadcast(tot))
+        .select(col("c"), col("n"), col("nd"),
+          floor(log(col("c").cast("double") / col("n").cast("double")) * 1e6)
+            .cast("long").as("lnq"))
+        .agg(max("n").as("n"), max("nd").as("n_distinct"),
+          sum(col("c").cast("decimal(38,0)") * col("lnq")).as("__s"))
+        .select(lit(label).as("col_name"), col("n"), col("n_distinct"),
+          round((-col("__s").cast("double"))
+            / col("n").cast("double") / 1e6, 6).as("entropy_nats"))
+    }
+    colEntropy(Tables.events(s, d), "event_type", "event_type")
+      .unionAll(colEntropy(Tables.documents(s, d), "lang", "lang"))
+      .unionAll(colEntropy(Tables.documents(s, d), "source", "source"))
+  }
+
+  val ent1Sql: String = {
+    def one(table: String, c: String, label: String): String =
+      s"""SELECT '$label' AS col_name, n, n_distinct,
+         |  round(-CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)
+         |    AS entropy_nats
+         |FROM (
+         |  SELECT max(n) AS n, max(nd) AS n_distinct,
+         |    CAST(sum(CAST(c AS DECIMAL(38,0))
+         |             * CAST(floor(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+         |                          * 1000000.0) AS BIGINT)) AS DECIMAL(38,0)) AS s
+         |  FROM (SELECT c, CAST(sum(c) OVER () AS BIGINT) AS n,
+         |          CAST(count(*) OVER () AS BIGINT) AS nd
+         |        FROM (SELECT count(*) AS c FROM $table GROUP BY $c)))""".stripMargin
+    s"""${one("events", "event_type", "event_type")}
+       |UNION ALL ${one("documents", "lang", "lang")}
+       |UNION ALL ${one("documents", "source", "source")}""".stripMargin
+  }
+
+  // ---- mi1_mutual_info ------------------------------------------------
+
+  /** mi1_mutual_info — mutual information between lang and source
+    * (does WHERE a doc came from predict WHAT language it is — the
+    * feature-selection / leakage question): MI = Σ (c_xy/n)·
+    * ln(n·c_xy/(c_x·c_y)). Margins DERIVE from the cell counts (one
+    * aggregation over the (lang, source) key, no second corpus pass);
+    * each cell's ln term is quantized once to millinats and the
+    * expectation is an exact integer sum (ent1's arithmetic). Output
+    * also carries both marginal entropies so the reader can normalize. */
+  def mi1MutualInfo(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("cxy"))
+      .localCheckpoint() // margins + the MI sum both read it
+    val mx = cells.groupBy("lang").agg(sum("cxy").as("cx"))
+    val my = cells.groupBy("source").agg(sum("cxy").as("cy"))
+    val tot = cells.agg(sum("cxy").as("n"), count(lit(1)).as("n_cells"))
+    def entQ(cnt: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      floor(log(cnt.cast("double") / n.cast("double")) * 1e6).cast("long")
+    val mi = cells.join(broadcast(mx), "lang").join(broadcast(my), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("cxy"), col("n"), col("n_cells"),
+        floor(log((col("n").cast("decimal(38,0)") * col("cxy")).cast("double")
+          / (col("cx").cast("decimal(38,0)") * col("cy")).cast("double")) * 1e6)
+          .cast("long").as("lnq"))
+      .agg(max("n").as("n"), max("n_cells").as("n_cells"),
+        sum(col("cxy").cast("decimal(38,0)") * col("lnq")).as("__s"))
+    val hx = mx.crossJoin(broadcast(tot.select("n")))
+      .select(col("cx"), entQ(col("cx"), col("n")).as("q"), col("n"))
+      .agg((-sum(col("cx").cast("decimal(38,0)") * col("q")).cast("double")
+        / max("n").cast("double") / 1e6).as("hx_raw"))
+    val hy = my.crossJoin(broadcast(tot.select("n")))
+      .select(col("cy"), entQ(col("cy"), col("n")).as("q"), col("n"))
+      .agg((-sum(col("cy").cast("decimal(38,0)") * col("q")).cast("double")
+        / max("n").cast("double") / 1e6).as("hy_raw"))
+    mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(col("n"), col("n_cells"),
+        round(col("__s").cast("double") / col("n").cast("double") / 1e6, 6)
+          .as("mi_nats"),
+        round(col("hx_raw"), 6).as("h_lang"),
+        round(col("hy_raw"), 6).as("h_source"))
+  }
+
+  val mi1Sql: String =
+    """WITH cells AS (SELECT lang, source, count(*) AS cxy
+      |               FROM documents GROUP BY 1, 2),
+      |mx AS (SELECT lang, CAST(sum(cxy) AS BIGINT) AS cx FROM cells GROUP BY 1),
+      |my AS (SELECT source, CAST(sum(cxy) AS BIGINT) AS cy FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cxy) AS BIGINT) AS n,
+      |               CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+      |mi AS (SELECT max(n) AS n, max(n_cells) AS n_cells,
+      |         CAST(sum(CAST(cxy AS DECIMAL(38,0))
+      |           * CAST(floor(ln(
+      |               CAST(CAST(n AS DECIMAL(38,0)) * cxy AS DOUBLE)
+      |               / CAST(CAST(cx AS DECIMAL(38,0)) * cy AS DOUBLE)) * 1000000.0)
+      |             AS BIGINT)) AS DECIMAL(38,0)) AS s
+      |       FROM cells JOIN mx USING (lang) JOIN my USING (source), tot),
+      |hx AS (SELECT -CAST(sum(CAST(cx AS DECIMAL(38,0))
+      |                * CAST(floor(ln(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))
+      |                             * 1000000.0) AS BIGINT)) AS DOUBLE)
+      |              / CAST(max(n) AS DOUBLE) / 1000000.0 AS hx_raw
+      |       FROM mx, tot),
+      |hy AS (SELECT -CAST(sum(CAST(cy AS DECIMAL(38,0))
+      |                * CAST(floor(ln(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))
+      |                             * 1000000.0) AS BIGINT)) AS DOUBLE)
+      |              / CAST(max(n) AS DOUBLE) / 1000000.0 AS hy_raw
+      |       FROM my, tot)
+      |SELECT n, n_cells,
+      |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS mi_nats,
+      |  round(hx_raw, 6) AS h_lang,
+      |  round(hy_raw, 6) AS h_source
+      |FROM mi, hx, hy""".stripMargin
+
   // ---- fh1_hash_collisions --------------------------------------------
 
   /** fh1_hash_collisions — feature-hashing collision report for the

@@ -514,6 +514,24 @@ class Round7OpsSpec extends SparkSpec {
     assert(math.abs(s - 1.0) < 0.01)
   }
 
+  test("ent1: entropy bounded by ln(n_distinct), non-negative") {
+    val e = queries.CorpusQueries.ent1ColumnEntropy(spark, sf).cache()
+    assert(e.count() == 3)
+    // 0 ≤ H ≤ ln(k); quantization slack one millinats-grid step
+    assert(e.filter(col("entropy_nats") < -1e-6).count() == 0)
+    assert(e.filter(col("entropy_nats")
+      > log(col("n_distinct").cast("double")) + 1e-5).count() == 0)
+  }
+
+  test("mi1: MI is non-negative and bounded by both marginal entropies") {
+    val r = queries.CorpusQueries.mi1MutualInfo(spark, sf).head()
+    val mi = r.getAs[Double]("mi_nats")
+    // quantization slack: each ln term floors to the millinats grid
+    assert(mi >= -1e-5, s"MI $mi negative beyond grid slack")
+    assert(mi <= r.getAs[Double]("h_lang") + 1e-5)
+    assert(mi <= r.getAs[Double]("h_source") + 1e-5)
+  }
+
   test("ws1: weighted sample keeps exactly the hash-thresholded docs") {
     val w = queries.CorpusQueries.ws1WeightedSample(spark, sf).cache()
     // every kept doc satisfies the threshold, and long docs (p = 1
