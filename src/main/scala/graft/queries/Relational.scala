@@ -1428,6 +1428,49 @@ object Relational {
     * reducer (sk1 profiles input skew; this profiles the join's
     * OUTPUT). One aggregation + a 1-row rollup + bounded-heap top-5;
     * exact integers throughout. */
+  // ---- jc2_join_cardinality_2way --------------------------------------
+
+  /** jc2_join_cardinality_2way — jc1's preflight for a TWO-TABLE join
+    * (customer ⋈ orders on custkey): predicted output = Σ_k cₐ(k)·c_b(k)
+    * from each side's per-key counts, verified EQUAL to the actual join
+    * count in the same result row — the planner-independent sanity
+    * check before submitting a fact-fact join. Products and the sum in
+    * DECIMAL(38,0) (jc1's wrap-protection), per-key counts one narrow
+    * aggregation per side; the verification join is the join being
+    * predicted, run once. */
+  def jc2JoinCardinality2way(spark: SparkSession, sfDir: String): DataFrame = {
+    val ca = Tables.customer(spark, sfDir)
+      .groupBy(col("c_custkey").as("k")).agg(count(lit(1)).as("ca"))
+    val cb = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("cb"))
+    val pred = ca.join(cb, "k")
+      .agg(sum(col("ca").cast("decimal(38,0)") * col("cb")).as("__p"),
+        count(lit(1)).as("n_join_keys"))
+    val actual = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"))
+      .agg(count(lit(1)).as("actual_rows"))
+    pred.crossJoin(broadcast(actual))
+      .select(col("n_join_keys"),
+        jc1CheckedLong(col("__p")).as("predicted_rows"),
+        col("actual_rows"),
+        (jc1CheckedLong(col("__p")) === col("actual_rows")).cast("int")
+          .as("prediction_exact"))
+  }
+
+  val jc2Sql: String =
+    """WITH ca AS (SELECT c_custkey AS k, count(*) AS ca FROM customer GROUP BY 1),
+      |cb AS (SELECT o_custkey AS k, count(*) AS cb FROM orders GROUP BY 1),
+      |p AS (SELECT CAST(sum(CAST(ca AS DECIMAL(38,0)) * cb) AS DECIMAL(38,0)) AS pd,
+      |        count(*) AS n_join_keys
+      |      FROM ca JOIN cb USING (k)),
+      |a AS (SELECT count(*) AS actual_rows
+      |      FROM customer JOIN orders ON c_custkey = o_custkey)
+      |SELECT n_join_keys, CAST(pd AS BIGINT) AS predicted_rows, actual_rows,
+      |  CASE WHEN CAST(pd AS BIGINT) = actual_rows THEN 1 ELSE 0 END
+      |    AS prediction_exact
+      |FROM p, a""".stripMargin
+
   def jc1JoinCardinality(spark: SparkSession, sfDir: String): DataFrame = {
     // square and sum in decimal(38,0): the preflight targets exactly the
     // hot-key regime (c beyond ~3e9) where a BIGINT square wraps — Spark

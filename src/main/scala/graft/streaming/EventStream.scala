@@ -68,6 +68,44 @@ object EventStream {
         col("n_events"), col("sum_value"))
   }
 
+  case class AlertEvent(event_type: String, ts: java.sql.Timestamp,
+                        value: Double)
+  case class Alert(event_type: String, run_length: Int, last_us: Long)
+
+  /** Streaming consecutive-threshold ALERTS (an1's streaming arm):
+    * per event type, emit an alert the moment `runLen` consecutive
+    * events (in arrival order within each micro-batch, event-time
+    * order inside the batch) exceed `threshold` — the pager rule
+    * "alert on K consecutive breaches", kept as ONE integer per key
+    * via mapGroupsWithState-style state (flatMapGroups + GroupState):
+    * state is a single (current run, last event-time) pair per type —
+    * O(#types) state forever, no buffering. Re-arms after each alert
+    * (a run of 2·runLen breaches alerts twice). */
+  def alertStream(events: org.apache.spark.sql.Dataset[AlertEvent],
+                  threshold: Double, runLen: Int)
+  : org.apache.spark.sql.Dataset[Alert] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[Int, Alert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[AlertEvent], state: GroupState[Int]) =>
+          var run = state.getOption.getOrElse(0)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Alert]
+          it.toSeq.sortBy(e => (Sessionize.micros(e.ts))).foreach { e =>
+            if (e.value > threshold) {
+              run += 1
+              if (run >= runLen) {
+                out += Alert(tpe, run, Sessionize.micros(e.ts))
+                run = 0 // re-arm
+              }
+            } else run = 0
+          }
+          state.update(run)
+          out.iterator
+      }
+  }
+
   def hourlyAgg(events: DataFrame): DataFrame = {
     val src =
       if (events.isStreaming) events.withWatermark("ts", Watermark) else events

@@ -52,6 +52,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming consecutive-threshold alerts fire at K breaches and re-arm") {
+    val session = spark
+    import session.implicits._
+    def ev(tpe: String, sec: Int, v: Double) = EventStream.AlertEvent(
+      tpe, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), v)
+    // errorA: 3 breaches -> alert, dip resets, 6 breaches -> two alerts
+    val rows = Seq(
+      ev("errorA", 1, 9.0), ev("errorA", 2, 9.0), ev("errorA", 3, 9.0),
+      ev("errorA", 4, 1.0),
+      ev("errorA", 5, 9.0), ev("errorA", 6, 9.0), ev("errorA", 7, 9.0),
+      ev("errorA", 8, 9.0), ev("errorA", 9, 9.0), ev("errorA", 10, 9.0),
+      // errorB: ends the first batch mid-run (run = 2)
+      ev("errorB", 1, 9.0), ev("errorB", 2, 1.0), ev("errorB", 3, 9.0),
+      ev("errorB", 4, 9.0))
+    val ms = MemoryStream[EventStream.AlertEvent](spark)
+    ms.addData(rows)
+    val query = EventStream.alertStream(ms.toDS(), 5.0, 3)
+      .writeStream.format("memory").queryName("alerts")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      // the carried run of 2 completes with ONE more breach in the
+      // next micro-batch — the alert only exists if state persisted
+      ms.addData(Seq(ev("errorB", 6, 9.0)))
+      query.processAllAvailable()
+      val alerts = spark.table("alerts")
+        .orderBy("event_type", "last_us").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      assert(alerts.count(_._1 == "errorA") == 3, s"got ${alerts.toSeq}")
+      assert(alerts.filter(_._1 == "errorA").map(_._3).toSeq
+        == Seq(3000000L, 7000000L, 10000000L))
+      assert(alerts.filter(_._1 == "errorB").map(_._3).toSeq
+        == Seq(6000000L), s"errorB run must span micro-batches: ${alerts.toSeq}")
+      assert(alerts.forall(_._2 == 3))
+    } finally query.stop()
+  }
+
   test("AvailableNow backfill drains a parquet backlog then self-terminates") {
     // the standard backfill shape: point the STREAMING pipeline at the
     // historical files, Trigger.AvailableNow processes everything that
