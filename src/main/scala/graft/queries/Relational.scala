@@ -228,6 +228,67 @@ object Relational {
       |FROM events
       |GROUP BY 1""".stripMargin
 
+  // ---- js2_typed_json -------------------------------------------------
+
+  /** js2_typed_json — schema-on-read TYPED JSON parsing (j1 is the
+    * per-path string extraction; this is the production variant): ONE
+    * from_json with an explicit schema parses the whole document into
+    * a struct — no schema inference job at 100 TB, malformed rows
+    * surface as a NULL struct instead of killing the pipeline (counted
+    * here as the data-quality signal). Decile stats over the typed
+    * field; parse once, never re-extract per path. */
+  def js2TypedJson(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Dist.spread(Tables.events(spark, sfDir).select("props"))
+      .select(from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).as("p"))
+      // PERMISSIVE mode surfaces malformed input as a null STRUCT or a
+      // struct of null fields depending on the failure — the contract
+      // check is the extracted field itself
+      .select(col("p.k").as("k"), col("p.k").isNull.cast("long").as("bad"))
+      .groupBy((col("k") % 10).as("k_decile"))
+      .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"),
+        sum("bad").as("n_malformed"))
+
+  val js2Sql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_decile,
+      |  count(*) AS n,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  CAST(sum(CASE WHEN props IS NULL OR json_valid(props) = false
+      |                OR json_extract_string(props, '$.k') IS NULL
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ---- ta1_typed_aggregator -------------------------------------------
+
+  /** ta1_typed_aggregator — revenue per order priority through a
+    * custom TYPED `Aggregator` (graft.operators.TypedAggs.revenueAgg),
+    * the Dataset-native custom-aggregate API (the third typed surface
+    * beside flatMapGroups/e2 and cogroup/cg1): integer-cents buffer so
+    * partial merges commute under any scheduling, one terminal
+    * division in finish(). Same single-shuffle plan as the untyped
+    * groupBy — the typed API costs nothing. */
+  def ta1TypedAggregator(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("priority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(graft.operators.TypedAggs.revenueAgg[(String, Long)](_._2)
+        .toColumn.name("rev"))
+      .select(col("key").as("priority"),
+        round(col("rev._1"), 2).as("revenue"), col("rev._2").as("n_orders"))
+  }
+
+  val ta1Sql: String =
+    """SELECT o_orderpriority AS priority,
+      |  round(CAST(sum(CAST(o_totalprice::DECIMAL(18,2) * 100 AS BIGINT)) AS DOUBLE)
+      |        / 100.0, 2) AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY 1""".stripMargin
+
   /** o1_anti_join — customers who never placed an urgent order
     * (NOT EXISTS with a pushed-down predicate on the anti side). */
   def o1AntiJoin(spark: SparkSession, sfDir: String): DataFrame =

@@ -532,6 +532,33 @@ class Round7OpsSpec extends SparkSpec {
     assert(mi <= r.getAs[Double]("h_source") + 1e-5)
   }
 
+  test("js2: typed parse flags malformed JSON as null structs") {
+    import spark.implicits._
+    val rows = Seq("""{"k": 7}""", """{"k": 13}""", "not json at all", "")
+      .toDF("props")
+    val parsed = rows.select(from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).as("p"))
+      .select(col("p.k").as("k"), col("p.k").isNull.cast("long").as("bad"))
+    assert(parsed.agg(sum("bad")).head.getLong(0) == 2)
+    assert(parsed.filter(col("k").isNotNull).count() == 2)
+    // and on the clean fixture the query reports zero malformed
+    val q = Relational.js2TypedJson(spark, sf)
+    assert(q.agg(sum("n_malformed")).head.getLong(0) == 0)
+  }
+
+  test("ta1: typed Aggregator equals the untyped decimal groupBy") {
+    val t = Relational.ta1TypedAggregator(spark, sf)
+    val base = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(round(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).cast("double") / 100.0, 2).as("revenue2"),
+        count(lit(1)).as("n2"))
+    val j = t.join(base, "priority")
+    assert(j.filter(col("revenue") =!= col("revenue2")
+      || col("n_orders") =!= col("n2")).count() == 0)
+    assert(t.count() == base.count())
+  }
+
   test("ws1: weighted sample keeps exactly the hash-thresholded docs") {
     val w = queries.CorpusQueries.ws1WeightedSample(spark, sf).cache()
     // every kept doc satisfies the threshold, and long docs (p = 1
