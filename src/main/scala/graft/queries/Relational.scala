@@ -2255,6 +2255,108 @@ object Relational {
       |        / CAST(count(*) AS DOUBLE), 6) AS return_rate
       |FROM n GROUP BY 1""".stripMargin
 
+  // ---- slo1_burn_rate -------------------------------------------------
+
+  /** slo1_burn_rate — SLO error-budget BURN RATE per event type (the
+    * SRE paging metric): breach share (value above the SLO threshold)
+    * in the most recent day versus the whole period, as a ratio — a
+    * burn rate over 1 means the recent window is eating budget faster
+    * than baseline. Exact integer breach counts on both windows from
+    * ONE scan (conditional aggregation — no second read, no self
+    * join); two divisions and one ratio at the end, 0-guarded the
+    * same way in both engines. */
+  def slo1BurnRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val Thr = 400.0
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"),
+        expr("datediff(CAST(ts AS DATE), DATE'2024-01-01')").as("day"))
+    val maxDay = ev.agg(max("day").as("max_day"))
+    ev.crossJoin(broadcast(maxDay))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum((col("value") > Thr).cast("long")).as("n_breach"),
+        sum((col("day") === col("max_day")).cast("long")).as("n_recent"),
+        sum((col("value") > Thr && col("day") === col("max_day"))
+          .cast("long")).as("n_breach_recent"))
+      .withColumn("burn_rate", expr(slo1BurnExpr))
+  }
+
+  // shared formula text — parsed by Spark AND embedded in the oracle
+  val slo1BurnExpr: String =
+    """CASE WHEN n_breach = 0 OR n_recent = 0 THEN 0.0
+      |ELSE round((CAST(n_breach_recent AS DOUBLE) / CAST(n_recent AS DOUBLE))
+      |     / (CAST(n_breach AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) END""".stripMargin
+
+  val slo1Sql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, value,
+       |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+       |  FROM events),
+       |m AS (SELECT max(day) AS max_day FROM ev),
+       |g AS (SELECT event_type,
+       |        count(*) AS n_total,
+       |        CAST(sum(CASE WHEN value > 400.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_breach,
+       |        CAST(sum(CASE WHEN day = max_day THEN 1 ELSE 0 END) AS BIGINT) AS n_recent,
+       |        CAST(sum(CASE WHEN value > 400.0 AND day = max_day
+       |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_recent
+       |      FROM ev, m GROUP BY 1)
+       |SELECT event_type, n_total, n_breach, n_recent, n_breach_recent,
+       |  $slo1BurnExpr AS burn_rate
+       |FROM g""".stripMargin
+
+  // ---- ab3_segmented_lift ---------------------------------------------
+
+  /** ab3_segmented_lift — HETEROGENEOUS treatment effects: ab1's
+    * conversion lift computed per customer-value segment (user's total
+    * spend tercile by exact integer cents through Dist.globalRank-free
+    * arithmetic: spend div fixed band width) — the "who does the
+    * feature actually work for" readout that an aggregate A/B hides.
+    * Same exact-integer counts and ONE shared lift expression as ab1,
+    * grouped by segment. */
+  def ab3SegmentedLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val users = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+          (col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .otherwise(0L)).as("spend_cents"),
+        max(when(col("event_type") === "purchase" && col("value") > 150.0, 1)
+          .otherwise(0)).as("converted"))
+      .withColumn("bucket", col("user_id") % 2)
+      .withColumn("segment",
+        least(expr("spend_cents div 100000"), lit(2L)))
+    users.groupBy("segment")
+      .agg(
+        sum(when(col("bucket") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("bucket") === 0, col("converted").cast("long"))
+          .otherwise(0L)).as("conv_a"),
+        sum(when(col("bucket") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("bucket") === 1, col("converted").cast("long"))
+          .otherwise(0L)).as("conv_b"))
+      .withColumn("lift", expr(ab1LiftExpr))
+  }
+
+  // lazy: interpolates ab1LiftExpr, which initializes later in this object
+  lazy val ab3Sql: String =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(value::DECIMAL(18,2) * 100 AS BIGINT) ELSE 0 END) AS BIGINT)
+       |      AS spend_cents,
+       |    max(CASE WHEN event_type = 'purchase' AND value > 150.0
+       |             THEN 1 ELSE 0 END) AS converted,
+       |    user_id % 2 AS bucket
+       |  FROM events GROUP BY 1),
+       |s AS (SELECT *, least(spend_cents // 100000, 2) AS segment FROM u),
+       |g AS (SELECT segment,
+       |  CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |  CAST(sum(CASE WHEN bucket = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+       |  CAST(sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |  CAST(sum(CASE WHEN bucket = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+       |  FROM s GROUP BY 1)
+       |SELECT segment, n_a, conv_a, n_b, conv_b,
+       |  ${ab1LiftExpr} AS lift
+       |FROM g""".stripMargin
+
   /** ab1_ab_test — conversion lift between the two user halves
     * (user_id parity as the assignment hash): conversion = at least
     * one purchase event. Counts are exact integers; rates, lift, and

@@ -559,6 +559,23 @@ class Round7OpsSpec extends SparkSpec {
     assert(t.count() == base.count())
   }
 
+  test("slo1: burn rate consistent with its own window counts") {
+    val s1 = Relational.slo1BurnRate(spark, sf).cache()
+    assert(s1.filter(col("n_breach") > col("n_total")).count() == 0)
+    assert(s1.filter(col("n_breach_recent") > col("n_recent")).count() == 0)
+    assert(s1.filter(col("n_breach_recent") > col("n_breach")).count() == 0)
+    assert(s1.filter(col("burn_rate") < 0).count() == 0)
+  }
+
+  test("ab3: segment arms partition the ab1 population") {
+    val a3 = Relational.ab3SegmentedLift(spark, sf).cache()
+    val a1 = Relational.ab1AbTest(spark, sf).head()
+    assert(a3.agg(sum("n_a")).head.getLong(0) == a1.getAs[Long]("n_a"))
+    assert(a3.agg(sum("n_b")).head.getLong(0) == a1.getAs[Long]("n_b"))
+    assert(a3.agg(sum("conv_a")).head.getLong(0) == a1.getAs[Long]("conv_a"))
+    assert(a3.agg(sum("conv_b")).head.getLong(0) == a1.getAs[Long]("conv_b"))
+  }
+
   test("ws1: weighted sample keeps exactly the hash-thresholded docs") {
     val w = queries.CorpusQueries.ws1WeightedSample(spark, sf).cache()
     // every kept doc satisfies the threshold, and long docs (p = 1
