@@ -218,6 +218,20 @@ object Pq {
       Seq(col("score").desc, col("vec_id").asc), k)
   }
 
+  /** ADC rerank restricted to an existing candidate PAIR table (the
+    * mid-tier of a retrieval cascade): only the shortlisted
+    * (query, vec) pairs are scored — Σ 8 table lookups each — so the
+    * stage's cost is shortlist-sized, independent of the corpus. */
+  def rerankDot(pairs: DataFrame, codes: DataFrame, queries: DataFrame,
+                cb: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val scored = pairs.join(codes, "vec_id")
+      .join(broadcast(lutFor(queries, cb)), "query_id")
+      .withColumn("score", adcScore)
+      .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(col("score").desc, col("vec_id").asc), k)
+  }
+
   /** IVF + PQ — the billion-scale ANN composition (FAISS IVFADC): the
     * query probes its `nprobe` nearest IVF cells, and ONLY vectors
     * assigned to those cells are ADC-scored. Per-query work =

@@ -999,6 +999,42 @@ object Relational {
        |FROM gg""".stripMargin
   }
 
+  // ---- sw1_native_session ---------------------------------------------
+
+  /** sw1_native_session — Spark's NATIVE session_window beside e2's
+    * typed-fold sessionizer (same 12-hour gap): the declarative
+    * spelling Catalyst can optimize (UpdatingSessionsExec merges
+    * in-partition before the shuffle) vs the imperative escape hatch.
+    * Boundary semantics differ from e2 by one edge: session_window
+    * starts a NEW session at gap == 12h exactly (window end is
+    * exclusive) where e2's `>` keeps it — the oracle mirrors
+    * session_window's `>=`. Sum as exact DECIMAL, cast once. */
+  def sw1NativeSession(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "12 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("ts")).as("session_end"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_end"), col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"))
+
+  val sw1Sql: String =
+    s"""WITH g AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= ${SessionGapUs}
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), value)),
+       |s AS (
+       |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+       |    ORDER BY epoch_us(ts), value ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM g)
+       |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       |  count(*) AS n_events,
+       |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+       |FROM s GROUP BY user_id, sid""".stripMargin
+
   /** f1_bloom_join — Bloom-prefiltered semi-join: lineitem rows for
     * urgent orders. The Bloom pass prunes the fact scan before any
     * shuffle; the exact semi-join removes false positives, so the

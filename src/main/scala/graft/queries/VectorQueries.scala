@@ -1190,6 +1190,93 @@ object VectorQueries {
        |               JOIN q ON s.query_id = q.query_id)
        |WHERE rnk <= $K""".stripMargin
 
+  // ---- v24_cascade ----------------------------------------------------
+
+  val CascadeM1 = 40 // binary-tier shortlist
+  val CascadeM2 = 15 // ADC-tier survivors
+
+  /** v24_cascade — the full THREE-stage serving cascade (v17 is the
+    * two-stage version): Hamming over 16-byte binary codes shortlists
+    * m1=40 (XOR+popcount, cheapest possible scan), PQ ADC reranks
+    * ONLY those 40 down to m2=15 (8 table lookups each, still no
+    * float vector read), and exact cosine touches just 15 float
+    * vectors per query for the final top-k. Each stage's cost is the
+    * previous stage's output size — the corpus is scanned once, at
+    * 16 bytes/vector, no matter how large it grows. The standard
+    * production recipe (binary prefilter → ADC → exact) end-to-end as
+    * ONE declarative plan, oracle-matched through all three stages. */
+  def v24Cascade(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val codes = VectorSearch.binaryQuantize(
+      emb.select(col("vec_id"), col("embedding")), "embedding")
+    val qb = codes.filter(col("vec_id") < QN)
+      .select(col("vec_id").as("query_id"),
+        col("code_lo").as("ql"), col("code_hi").as("qh"))
+    val cbn = codes.filter(col("vec_id") >= QN)
+      .select("vec_id", "code_lo", "code_hi")
+    val short = VectorSearch.knnHamming(qb, cbn, CascadeM1)
+      .select("query_id", "vec_id")
+    val corpus = pqCorpus(s, d)
+    val book = graft.operators.Pq.codebook(corpus)
+    val adc = graft.operators.Pq.rerankDot(short,
+      graft.operators.Pq.encode(corpus, book), queryVecs(s, d), book,
+      CascadeM2).select("query_id", "vec_id")
+    val rescored = adc
+      .join(emb.select(col("vec_id"), col("embedding").as("v")), "vec_id")
+      .join(broadcast(emb.filter(col("vec_id") < QN)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        "query_id")
+      .withColumn("score", graft.functions.Vec.cosine(col("qv"), col("v")))
+      .select("query_id", "vec_id", "score")
+    graft.plans.TopK.perKey(rescored, Seq("query_id"),
+      Seq(col("score").desc, col("vec_id").asc), K)
+      .withColumn("score", round(col("score"), 6))
+  }
+
+  lazy val v24Sql: String = {
+    val sub = EmbedDim / graft.operators.Pq.NumSubspaces
+    s"""WITH codes AS (
+       |  SELECT vec_id,
+       |    bit_or(CASE WHEN i < 32 AND embedding[i + 1] > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END) AS code_lo,
+       |    bit_or(CASE WHEN i >= 32 AND embedding[i + 1] > 0 THEN 1::BIGINT << (i - 32) ELSE 0::BIGINT END) AS code_hi
+       |  FROM embeddings, generate_series(0, ${EmbedDim - 1}) t(i)
+       |  GROUP BY vec_id),
+       |hq AS (SELECT vec_id AS query_id, code_lo AS ql, code_hi AS qh FROM codes WHERE vec_id < $QN),
+       |hc AS (SELECT vec_id, code_lo, code_hi FROM codes WHERE vec_id >= $QN),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY bit_count(xor(ql, code_lo)) + bit_count(xor(qh, code_hi)) ASC,
+       |                 vec_id ASC) AS hrnk
+       |    FROM hc, hq) WHERE hrnk <= $CascadeM1),
+       |$pqEncCtes,
+       |enc2 AS (SELECT vec_id, list(code ORDER BY subspace) AS codes FROM enc GROUP BY vec_id),
+       |$qCte,
+       |adc0 AS (SELECT s.query_id, s.vec_id,
+       |  round(list_reduce(list_prepend(0.0, list_transform(range(0, ${graft.operators.Pq.NumSubspaces}), __s ->
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, ${sub + 1}), __j ->
+       |      qv[__s*$sub + __j] * bk[codes[__s+1] + 1][__s*$sub + __j])),
+       |      (__b, __y) -> __b + __y))),
+       |    (__a, __x) -> __a + __x), 6) AS score
+       |  FROM short s JOIN enc2 e ON s.vec_id = e.vec_id
+       |               JOIN q ON s.query_id = q.query_id
+       |               CROSS JOIN book),
+       |adc AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, vec_id ASC) AS arnk
+       |    FROM adc0) WHERE arnk <= $CascadeM2),
+       |cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT query_id, vec_id, round(score, 6) AS score, rnk FROM (
+       |  SELECT a.query_id, a.vec_id, ${cosS("q.qv", "cv.v")} AS score,
+       |    row_number() OVER (PARTITION BY a.query_id
+       |      ORDER BY ${cosS("q.qv", "cv.v")} DESC, a.vec_id ASC) AS rnk
+       |  FROM adc a JOIN cv ON a.vec_id = cv.vec_id
+       |             JOIN q ON a.query_id = q.query_id)
+       |WHERE rnk <= $K""".stripMargin
+  }
+
   // ---- sem1: SemDeDup semantic dedup ----------------------------------
 
   val SemTau = 0.4

@@ -576,6 +576,46 @@ class Round7OpsSpec extends SparkSpec {
     assert(a3.agg(sum("conv_b")).head.getLong(0) == a1.getAs[Long]("conv_b"))
   }
 
+  test("v24: cascade results are true cosines drawn from the ADC survivors") {
+    val v24 = VectorQueries.v24Cascade(spark, sf).cache()
+    // exactly k rows per query, scores are genuine cosines
+    val perQ = v24.groupBy("query_id").count()
+    assert(perQ.filter(col("count") =!= VectorQueries.K).count() == 0)
+    val emb = Tables.embeddings(spark, sf)
+    val checked = v24
+      .join(emb.select(col("vec_id"), col("embedding").as("v")), "vec_id")
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv")), "query_id")
+      .withColumn("true_cos",
+        round(functions.Vec.cosine(col("qv"), col("v")), 6))
+    assert(checked.filter(col("score") =!= col("true_cos")).count() == 0)
+    // every result came through the Hamming-m1 shortlist (the ADC tier
+    // may legitimately prune candidates v17's direct rescore keeps —
+    // that loss is the cascade's declared cost, not an invariant)
+    val codes = operators.VectorSearch.binaryQuantize(
+      emb.select(col("vec_id"), col("embedding")), "embedding")
+    val qb = codes.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"),
+        col("code_lo").as("ql"), col("code_hi").as("qh"))
+    val cbn = codes.filter(col("vec_id") >= 8)
+      .select("vec_id", "code_lo", "code_hi")
+    val short = operators.VectorSearch
+      .knnHamming(qb, cbn, VectorQueries.CascadeM1)
+      .select("query_id", "vec_id")
+    assert(v24.select("query_id", "vec_id")
+      .join(short, Seq("query_id", "vec_id"), "left_anti").count() == 0)
+  }
+
+  test("sw1: native session_window agrees with e2 on session count") {
+    val sw = Relational.sw1NativeSession(spark, sf)
+    val e2 = Relational.e2Sessions(spark, sf)
+    // boundary semantics differ only at gap == 12h exactly — absent in
+    // the fixture, so the two sessionizations must coincide
+    assert(sw.count() == e2.count())
+    assert(sw.agg(sum("n_events")).head.getLong(0)
+      == Tables.events(spark, sf).count())
+  }
+
   test("ws1: weighted sample keeps exactly the hash-thresholded docs") {
     val w = queries.CorpusQueries.ws1WeightedSample(spark, sf).cache()
     // every kept doc satisfies the threshold, and long docs (p = 1
