@@ -1039,6 +1039,86 @@ object CorpusQueries {
        |  FROM sc) WHERE rnk <= $Bm25K""".stripMargin
   }
 
+  // ---- red1_dedup_savings ---------------------------------------------
+
+  /** red1_dedup_savings — the BUSINESS readout of the dedup pipeline
+    * (what d1→d8→d9 actually buys): docs and characters before/after
+    * near-dup removal, one row. Dropped docs are every component
+    * member except its survivor (longest text, ties to min id —
+    * GraphOps.survivors' exact rule, replicated as a window over the
+    * component table so the whole report composes off ONE components
+    * pass); savings share is one terminal division of exact integer
+    * char sums. */
+  def red1DedupSavings(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "n_chars")
+    val comp = d8DedupGroups(s, d).join(docs, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val dropped = comp.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .agg(count(lit(1)).as("n_dropped"), sum("n_chars").as("chars_dropped"))
+    val tot = docs.agg(count(lit(1)).as("n_docs"),
+      sum("n_chars").as("chars_total"))
+    tot.crossJoin(broadcast(dropped))
+      .select(col("n_docs"), col("n_dropped"),
+        (col("n_docs") - col("n_dropped")).as("n_kept"),
+        col("chars_total"), col("chars_dropped"),
+        round(col("chars_dropped").cast("double")
+          / col("chars_total").cast("double"), 6).as("savings_share"))
+  }
+
+  lazy val red1Sql: String =
+    s"""WITH cmp AS ($d8Sql),
+       |m AS (SELECT c.doc_id, c.component, d.n_chars,
+       |        row_number() OVER (PARTITION BY c.component
+       |                           ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+       |      FROM cmp c JOIN documents d USING (doc_id)),
+       |drp AS (SELECT count(*) AS n_dropped,
+       |          CAST(sum(n_chars) AS BIGINT) AS chars_dropped
+       |        FROM m WHERE rn > 1),
+       |tot AS (SELECT count(*) AS n_docs,
+       |          CAST(sum(n_chars) AS BIGINT) AS chars_total FROM documents)
+       |SELECT n_docs, n_dropped, n_docs - n_dropped AS n_kept,
+       |  chars_total, chars_dropped,
+       |  round(CAST(chars_dropped AS DOUBLE) / CAST(chars_total AS DOUBLE), 6)
+       |    AS savings_share
+       |FROM tot, drp""".stripMargin
+
+  // ---- xl1_cross_lang_dups --------------------------------------------
+
+  /** xl1_cross_lang_dups — shared-TEMPLATE groups and their LANGUAGE
+    * SPREAD: documents keyed by the polyhash of their canonical-form
+    * (tn1's regex chain) 5-token PREFIX — the opening boilerplate a
+    * template stamps on every instance — grouped across the whole
+    * corpus; a group spanning several langs is the cross-locale
+    * template contamination per-lang dedup can't see. Narrow-key
+    * shuffle on the template hash; groups ship (hash, counts), never
+    * text. */
+  def xl1CrossLangDups(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val pfx = concat_ws(" ", slice(Embed.tokens(norm), 1, 5))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        Embed.tokenHash(pfx).as("tpl_hash"))
+      .groupBy("tpl_hash")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        min("doc_id").as("exemplar_id"))
+      .filter(col("n_docs") > 1)
+  }
+
+  lazy val xl1Sql: String =
+    s"""WITH n AS (SELECT doc_id, lang,
+       |  array_to_string(list_filter(string_split(
+       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+       |                        ' +', ' ', 'g')), ' '),
+       |    __xt -> length(__xt) > 0)[1:5], ' ') AS pfx
+       |  FROM documents)
+       |SELECT ${polyhashS("pfx")} AS tpl_hash, count(*) AS n_docs,
+       |  count(DISTINCT lang) AS n_langs,
+       |  CAST(min(doc_id) AS BIGINT) AS exemplar_id
+       |FROM n GROUP BY 1 HAVING count(*) > 1""".stripMargin
+
   // ---- ent1_column_entropy --------------------------------------------
 
   /** ent1_column_entropy — Shannon entropy of the categorical columns

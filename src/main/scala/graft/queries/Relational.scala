@@ -2291,6 +2291,74 @@ object Relational {
       |        / CAST(count(*) AS DOUBLE), 6) AS return_rate
       |FROM n GROUP BY 1""".stripMargin
 
+  // ---- jk1_jackknife --------------------------------------------------
+
+  /** jk1_jackknife — delete-one-BLOCK jackknife standard error of the
+    * mean order value (the uncertainty a metrics dashboard should
+    * print next to every mean, computed without RNG): orders are
+    * assigned to B=10 deterministic hash blocks, each leave-one-out
+    * mean μ_b comes from exact integer cents sums, is QUANTIZED once
+    * to the micro-dollar grid (identical doubles both engines → safe
+    * floor), and the jackknife variance (B−1)/B · Σ(μ_b − μ̄)² is then
+    * pure integer arithmetic in DECIMAL(38,0) with one sqrt at the
+    * end (IEEE-correctly-rounded, stat1's policy). One narrow block
+    * aggregation, B-row intermediate, 1-row output. */
+  def jk1Jackknife(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = 10
+    val blocks = Tables.orders(spark, sfDir)
+      .select((graft.operators.Sampling.mixedHash(col("o_orderkey")) % B)
+        .as("b"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .groupBy("b").agg(count(lit(1)).as("nb"), sum("cents").as("sb"))
+    val tot = blocks.agg(sum("nb").as("n"), sum("sb").as("s"))
+    val loo = blocks.crossJoin(broadcast(tot))
+      .select(floor((col("s") - col("sb")).cast("double")
+        / (col("n") - col("nb")).cast("double") / 100.0 * 1e6)
+        .cast("long").as("q"), col("n"), col("s"))
+    loo.agg(max("n").as("n_orders"),
+        round(max("s").cast("double") / max("n").cast("double") / 100.0, 6)
+          .as("mean_dollars"),
+        sum(col("q").cast("decimal(38,0)") * col("q")).as("__qq"),
+        sum(col("q").cast("decimal(38,0)")).as("__q1"))
+      .select(col("n_orders"), col("mean_dollars"),
+        // Σ(q−q̄)² = (B·Σq² − (Σq)²)/B, so V = (B−1)(B·Σq²−(Σq)²)/B²
+        // and se = sqrt(numerator)/B — dividing by B^1.5 here once cost
+        // an extra √B (caught by the classic-SE sanity spec)
+        round(sqrt((lit(B - 1).cast("decimal(38,0)")
+            * (lit(B).cast("decimal(38,0)") * col("__qq")
+              - col("__q1") * col("__q1"))).cast("double"))
+          / B.toDouble / 1e6, 6).as("jk_se_dollars"))
+  }
+
+  val jk1Sql: String = {
+    val mh = s"(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length(CAST(o_orderkey AS VARCHAR)) + 1), " +
+      s"__ji -> CAST(ascii(substring(CAST(o_orderkey AS VARCHAR), __ji, 1)) AS BIGINT))), " +
+      s"(__jh, __jc) -> (__jh * 31 + __jc) % ${graft.operators.Embed.HashMod}) " +
+      s"* ${graft.operators.Sampling.mixedHashSqlConst}) % ${graft.operators.Embed.HashMod}"
+    s"""WITH blocks AS (
+       |  SELECT ($mh) % 10 AS b, count(*) AS nb,
+       |    CAST(sum(CAST(o_totalprice::DECIMAL(18,2) * 100 AS BIGINT)) AS BIGINT) AS sb
+       |  FROM orders GROUP BY 1),
+       |tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n,
+       |               CAST(sum(sb) AS BIGINT) AS s FROM blocks),
+       |loo AS (SELECT CAST(floor(CAST(s - sb AS DOUBLE)
+       |                 / CAST(n - nb AS DOUBLE) / 100.0 * 1000000.0) AS BIGINT) AS q,
+       |          n, s
+       |        FROM blocks, tot)
+       |SELECT max(n) AS n_orders,
+       |  round(CAST(max(s) AS DOUBLE) / CAST(max(n) AS DOUBLE) / 100.0, 6)
+       |    AS mean_dollars,
+       |  round(sqrt(CAST(CAST(9 AS DECIMAL(38,0))
+       |          * (CAST(10 AS DECIMAL(38,0))
+       |             * sum(CAST(q AS DECIMAL(38,0)) * q)
+       |             - sum(CAST(q AS DECIMAL(38,0))) * sum(CAST(q AS DECIMAL(38,0))))
+       |        AS DOUBLE))
+       |      / 10.0 / 1000000.0, 6) AS jk_se_dollars
+       |FROM loo""".stripMargin
+  }
+
   // ---- slo1_burn_rate -------------------------------------------------
 
   /** slo1_burn_rate — SLO error-budget BURN RATE per event type (the

@@ -616,6 +616,38 @@ class Round7OpsSpec extends SparkSpec {
       == Tables.events(spark, sf).count())
   }
 
+  test("red1: savings consistent with the component table") {
+    val r = queries.CorpusQueries.red1DedupSavings(spark, sf).head()
+    val comp = queries.CorpusQueries.d8DedupGroups(spark, sf)
+    val nComponents = comp.select("component").distinct().count()
+    assert(r.getAs[Long]("n_dropped") == comp.count() - nComponents,
+      "dropped = members minus one survivor per component")
+    assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped")
+      == r.getAs[Long]("n_docs"))
+    val share = r.getAs[Double]("savings_share")
+    assert(share >= 0.0 && share < 1.0)
+  }
+
+  test("xl1: template groups have >= 2 docs and valid lang spread") {
+    val x = queries.CorpusQueries.xl1CrossLangDups(spark, sf).cache()
+    assert(x.count() > 0, "fixture must contain shared templates")
+    assert(x.filter(col("n_docs") < 2).count() == 0)
+    assert(x.filter(col("n_langs") < 1 || col("n_langs") > col("n_docs"))
+      .count() == 0)
+  }
+
+  test("jk1: jackknife SE is positive and near the classic SE of the mean") {
+    val r = Relational.jk1Jackknife(spark, sf).head()
+    val se = r.getAs[Double]("jk_se_dollars")
+    assert(se > 0)
+    // jackknife SE should be the same order as s/sqrt(n)
+    val stats = Tables.orders(spark, sf)
+      .agg(stddev("o_totalprice"), count(lit(1))).head()
+    val classic = stats.getDouble(0) / math.sqrt(stats.getLong(1).toDouble)
+    assert(se > classic / 3 && se < classic * 3,
+      s"jk_se $se vs classic $classic")
+  }
+
   test("ws1: weighted sample keeps exactly the hash-thresholded docs") {
     val w = queries.CorpusQueries.ws1WeightedSample(spark, sf).cache()
     // every kept doc satisfies the threshold, and long docs (p = 1
