@@ -1039,6 +1039,92 @@ object CorpusQueries {
        |  FROM sc) WHERE rnk <= $Bm25K""".stripMargin
   }
 
+  // ---- cl1_cell_keywords ----------------------------------------------
+
+  val CellK = 8       // corpus map cells
+  val CellTerms = 3   // labels per cell
+
+  /** cl1_cell_keywords — corpus CARTOGRAPHY: cluster the documents in
+    * v0 embedding space (8 cells, nearest deterministic seed centroid
+    * by cosine) and LABEL each cell with its most distinctive terms —
+    * the human-readable map of what lives where, the report every
+    * curation UI shows first. Distinctiveness is the INTEGER
+    * share-difference score tf_ct·T − tf_t·T_c (positive iff the term
+    * is overrepresented in the cell vs the corpus) in DECIMAL(38,0) —
+    * a PMI-flavored ranking with no logarithm anywhere, so ranking is
+    * exact. Centroids are the CellK smallest-mixed-hash docs (the Pq
+    * codebook seeding rule); assignment is argmax cosine over the
+    * 6-dp-rounded v0 vectors (identical arrays both engines), ties to
+    * the smaller cell id. Costs: one embed pass, a doc×8 broadcast
+    * score, one (cell, term) aggregation. */
+  def cl1CellKeywords(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val emb = Embed.embedDocs(docs, "text", HybridDim)
+      .localCheckpoint() // consumed twice: centroid pick + assignment
+    val cents = graft.plans.TopK.perKey(
+      emb.withColumn("__h",
+        graft.operators.Sampling.mixedHash(col("doc_id"))),
+      Seq(), Seq(col("__h").asc, col("doc_id").asc), CellK)
+      .select(col("doc_id").as("cell_id"), col("embedding").as("cv"))
+    val wA = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("__cos").desc, col("cell_id").asc)
+    val asg = emb.crossJoin(broadcast(cents))
+      .withColumn("__cos",
+        graft.functions.Vec.cosine(col("embedding"), col("cv")))
+      .withColumn("__rn", row_number().over(wA)).filter(col("__rn") === 1)
+      .select("doc_id", "cell_id")
+    val tf = graft.Dist.spread(docs)
+      .select(col("doc_id"), explode(Embed.tokens(col("text"))).as("term"))
+      .join(asg, "doc_id")
+      .groupBy("cell_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds cell totals, term totals, and scoring
+    val ct = tf.groupBy("cell_id").agg(sum("tf").as("tc"))
+    val gt = tf.groupBy("term").agg(sum("tf").as("tg"))
+    val tot = tf.agg(sum("tf").as("tt"))
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy("cell_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(ct), "cell_id").join(gt, "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("score", col("tf").cast("decimal(38,0)") * col("tt")
+        - col("tg").cast("decimal(38,0)") * col("tc"))
+      .withColumn("rnk", row_number().over(wS)).filter(col("rnk") <= CellTerms)
+      .select(col("cell_id"), col("rnk"), col("term"),
+        round(col("score").cast("double"), 6).as("score"))
+  }
+
+  lazy val cl1Sql: String = {
+    val cos = "list_dot_product(e.vec, c.cv) / " +
+      "(sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(c.cv, c.cv)))"
+    s"""WITH $toksCte,
+       |${embedCteS("d", "toks", "doc_id", "demb")},
+       |hk AS (SELECT doc_id, ${mixedHashS("CAST(doc_id AS VARCHAR)")} AS h
+       |       FROM documents),
+       |cents AS (SELECT e.doc_id AS cell_id, e.vec AS cv
+       |          FROM demb e JOIN hk USING (doc_id)
+       |          ORDER BY hk.h ASC, doc_id ASC LIMIT $CellK),
+       |asg AS (SELECT doc_id, cell_id FROM (
+       |    SELECT e.doc_id, c.cell_id,
+       |      row_number() OVER (PARTITION BY e.doc_id
+       |        ORDER BY $cos DESC, c.cell_id ASC) AS rn
+       |    FROM demb e, cents c) WHERE rn = 1),
+       |tfc AS (SELECT cell_id, t AS term, count(*) AS tf FROM (
+       |          SELECT doc_id, unnest(tk) AS t FROM toks) x
+       |        JOIN asg USING (doc_id) GROUP BY 1, 2),
+       |ct AS (SELECT cell_id, CAST(sum(tf) AS BIGINT) AS tc FROM tfc GROUP BY 1),
+       |gt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS tg FROM tfc GROUP BY 1),
+       |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS tt FROM tfc),
+       |sc AS (SELECT cell_id, term,
+       |         CAST(tf AS DECIMAL(38,0)) * tt - CAST(tg AS DECIMAL(38,0)) * tc
+       |           AS score
+       |       FROM tfc JOIN ct USING (cell_id) JOIN gt USING (term), tot)
+       |SELECT cell_id, rnk, term, round(CAST(score AS DOUBLE), 6) AS score
+       |FROM (SELECT cell_id, term, score,
+       |        row_number() OVER (PARTITION BY cell_id
+       |          ORDER BY score DESC, term ASC) AS rnk
+       |      FROM sc)
+       |WHERE rnk <= $CellTerms""".stripMargin
+  }
+
   // ---- red1_dedup_savings ---------------------------------------------
 
   /** red1_dedup_savings — the BUSINESS readout of the dedup pipeline

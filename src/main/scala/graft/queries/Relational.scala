@@ -2291,6 +2291,51 @@ object Relational {
       |        / CAST(count(*) AS DOUBLE), 6) AS return_rate
       |FROM n GROUP BY 1""".stripMargin
 
+  // ---- sop1_share_of_parent -------------------------------------------
+
+  /** sop1_share_of_parent — the BI drill-down staple: each nation's
+    * revenue as a share of its REGION's total (q6/gs1 give the
+    * subtotals; this gives the ratio a dashboard actually renders).
+    * Exact DECIMAL cents at both levels; the parent total comes from a
+    * window over the nation-level aggregate (region cardinality rows —
+    * never a second scan), one terminal division. */
+  def sop1ShareOfParent(spark: SparkSession, sfDir: String): DataFrame = {
+    val byNation = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("r_name")
+    byNation
+      .withColumn("region_cents", sum("cents").over(w))
+      .select(col("r_name"), col("n_name"),
+        round(col("cents").cast("double") / 100.0, 2).as("revenue"),
+        round(col("cents").cast("double")
+          / col("region_cents").cast("double"), 6).as("share_of_region"))
+  }
+
+  val sop1Sql: String =
+    """WITH n AS (
+      |  SELECT r_name, n_name,
+      |    CAST(sum(CAST(o_totalprice::DECIMAL(18,2) * 100 AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT r_name, n_name,
+      |  round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+      |  round(CAST(cents AS DOUBLE)
+      |        / CAST(sum(cents) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+      |    AS share_of_region
+      |FROM n""".stripMargin
+
   // ---- jk1_jackknife --------------------------------------------------
 
   /** jk1_jackknife — delete-one-BLOCK jackknife standard error of the

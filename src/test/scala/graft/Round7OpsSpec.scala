@@ -648,6 +648,24 @@ class Round7OpsSpec extends SparkSpec {
       s"jk_se $se vs classic $classic")
   }
 
+  test("cl1: cell labels are distinctive (positive score) and bounded") {
+    val c = queries.CorpusQueries.cl1CellKeywords(spark, sf).cache()
+    assert(c.groupBy("cell_id").count()
+      .filter(col("count") > queries.CorpusQueries.CellTerms).count() == 0)
+    assert(c.filter(col("rnk") < 1
+      || col("rnk") > queries.CorpusQueries.CellTerms).count() == 0)
+    // a top label must be overrepresented in its cell (score > 0)
+    assert(c.filter(col("rnk") === 1 && col("score") <= 0).count() == 0)
+  }
+
+  test("sop1: shares sum to 1 within every region") {
+    val s1 = Relational.sop1ShareOfParent(spark, sf).cache()
+    val sums = s1.groupBy("r_name").agg(round(sum("share_of_region"), 3).as("s"))
+    assert(sums.filter(abs(col("s") - 1.0) > 0.01).count() == 0)
+    assert(s1.filter(col("share_of_region") < 0
+      || col("share_of_region") > 1).count() == 0)
+  }
+
   test("ws1: weighted sample keeps exactly the hash-thresholded docs") {
     val w = queries.CorpusQueries.ws1WeightedSample(spark, sf).cache()
     // every kept doc satisfies the threshold, and long docs (p = 1
