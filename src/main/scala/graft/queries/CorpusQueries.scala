@@ -1039,6 +1039,65 @@ object CorpusQueries {
        |  FROM sc) WHERE rnk <= $Bm25K""".stripMargin
   }
 
+  // ---- prc1_filter_pr_curve -------------------------------------------
+
+  val PrThresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8)
+
+  /** prc1_filter_pr_curve — precision/recall THRESHOLD SWEEP of the t2
+    * quality filter against ppl1's not-tail band as truth (v18's
+    * operating-point measurement, for the quality-filter knob — ka1
+    * reports agreement at ONE threshold, this is the whole curve a
+    * pipeline reads before picking it): four arms from one
+    * parameterized template, each arm's tp/fp/fn exact integer counts
+    * over the SAME joined score table (scored once, swept four
+    * times), precision/recall one division each. */
+  def prc1FilterPrCurve(s: SparkSession, d: String): DataFrame = {
+    val scored = t2Quality(s, d).select(col("doc_id"), col("quality_score"))
+      .join(ppl1UnigramNll(s, d).select(col("doc_id"),
+        (col("ppl_band") =!= "tail").cast("long").as("truth")), "doc_id")
+      .localCheckpoint() // one scoring pass feeds all four arms
+    PrThresholds.map { th =>
+      scored.agg(
+          lit(th).as("threshold"),
+          sum(when(col("quality_score") >= th, col("truth"))
+            .otherwise(0L)).as("tp"),
+          sum(when(col("quality_score") >= th, lit(1L) - col("truth"))
+            .otherwise(0L)).as("fp"),
+          sum(when(col("quality_score") < th, col("truth"))
+            .otherwise(0L)).as("fn"))
+        .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+          round(when(col("tp") + col("fp") === 0, 0.0)
+            .otherwise(col("tp").cast("double")
+              / (col("tp") + col("fp")).cast("double")), 6).as("precision"),
+          round(when(col("tp") + col("fn") === 0, 0.0)
+            .otherwise(col("tp").cast("double")
+              / (col("tp") + col("fn")).cast("double")), 6).as("recall"))
+    }.reduce(_ unionAll _)
+  }
+
+  lazy val prc1Sql: String = {
+    val arms = PrThresholds.map { th =>
+      s"""SELECT $th AS threshold,
+         |  CAST(sum(CASE WHEN quality_score >= $th THEN truth ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN quality_score >= $th THEN 1 - truth ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN quality_score < $th THEN truth ELSE 0 END) AS BIGINT) AS fn,
+         |  round(CASE WHEN sum(CASE WHEN quality_score >= $th THEN 1 ELSE 0 END) = 0 THEN 0.0
+         |    ELSE CAST(sum(CASE WHEN quality_score >= $th THEN truth ELSE 0 END) AS DOUBLE)
+         |      / CAST(sum(CASE WHEN quality_score >= $th THEN 1 ELSE 0 END) AS DOUBLE) END, 6)
+         |    AS precision,
+         |  round(CASE WHEN sum(truth) = 0 THEN 0.0
+         |    ELSE CAST(sum(CASE WHEN quality_score >= $th THEN truth ELSE 0 END) AS DOUBLE)
+         |      / CAST(sum(truth) AS DOUBLE) END, 6) AS recall
+         |FROM scored""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t2s AS ($t2Sql),
+       |pps AS ($ppl1Sql),
+       |scored AS (SELECT t2s.doc_id, quality_score,
+       |             CASE WHEN ppl_band <> 'tail' THEN 1 ELSE 0 END AS truth
+       |           FROM t2s JOIN pps ON t2s.doc_id = pps.doc_id)
+       |$arms""".stripMargin
+  }
+
   // ---- cl1_cell_keywords ----------------------------------------------
 
   val CellK = 8       // corpus map cells

@@ -666,6 +666,21 @@ class Round7OpsSpec extends SparkSpec {
       || col("share_of_region") > 1).count() == 0)
   }
 
+  test("prc1: recall is monotone non-increasing in the threshold") {
+    val p = queries.CorpusQueries.prc1FilterPrCurve(spark, sf)
+      .orderBy("threshold").collect()
+    assert(p.length == queries.CorpusQueries.PrThresholds.length)
+    // tightening the filter can only lose positives
+    p.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi.getAs[Double]("recall") <= lo.getAs[Double]("recall") + 1e-9)
+      assert(hi.getAs[Long]("tp") <= lo.getAs[Long]("tp"))
+    }
+    p.foreach { r =>
+      assert(r.getAs[Double]("precision") >= 0 && r.getAs[Double]("precision") <= 1)
+      assert(r.getAs[Double]("recall") >= 0 && r.getAs[Double]("recall") <= 1)
+    }
+  }
+
   test("ws1: weighted sample keeps exactly the hash-thresholded docs") {
     val w = queries.CorpusQueries.ws1WeightedSample(spark, sf).cache()
     // every kept doc satisfies the threshold, and long docs (p = 1
