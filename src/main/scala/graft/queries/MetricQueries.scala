@@ -379,6 +379,39 @@ object MetricQueries {
     graft.operators.Relevancy.scorePairs(pairs).toDF()
   }
 
+  /** r3_relevancy_ensemble — the two relevancy scorers side by side
+    * (r1's jaccard scale, r2's pluggable judge) with exact-agreement
+    * and AND-consensus flags per pair: the ensemble step the
+    * reference's relevancy loop converges to once more than one judge
+    * exists (queries.py:160-240's 1-5 scale), and the disagreement
+    * surface a human reviews. Integer scores; mean is one division. */
+  def r3RelevancyEnsemble(s: SparkSession, d: String): DataFrame = {
+    val a = r1Relevancy(s, d)
+      .select(col("id_a"), col("id_b"), col("relevancy_score").as("score_jac"))
+    val b = r2RelevancyJudge(s, d)
+      .select(col("id_a"), col("id_b"), col("relevancy_score").as("score_judge"))
+    a.join(b, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("score_jac"), col("score_judge"),
+        round((col("score_jac") + col("score_judge")).cast("double") / 2.0, 1)
+          .as("mean_score"),
+        (col("score_jac") === col("score_judge")).cast("long").as("exact_agree"),
+        (col("score_jac") >= 4 && col("score_judge") >= 4).cast("long")
+          .as("consensus_relevant"))
+  }
+
+  lazy val r3Sql: String =
+    s"""WITH ra AS ($r1Sql),
+       |rb AS ($r2Sql)
+       |SELECT ra.id_a, ra.id_b,
+       |  ra.relevancy_score AS score_jac, rb.relevancy_score AS score_judge,
+       |  round(CAST(ra.relevancy_score + rb.relevancy_score AS DOUBLE) / 2.0, 1)
+       |    AS mean_score,
+       |  CASE WHEN ra.relevancy_score = rb.relevancy_score THEN 1 ELSE 0 END
+       |    AS exact_agree,
+       |  CASE WHEN ra.relevancy_score >= 4 AND rb.relevancy_score >= 4
+       |       THEN 1 ELSE 0 END AS consensus_relevant
+       |FROM ra JOIN rb ON ra.id_a = rb.id_a AND ra.id_b = rb.id_b""".stripMargin
+
   val r2Sql: String =
     s"""WITH pairs AS (SELECT id_a, id_b FROM (${CorpusQueries.d2Sql})),
        |tk AS (SELECT DISTINCT doc_id, tok FROM (

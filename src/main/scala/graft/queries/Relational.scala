@@ -2291,6 +2291,72 @@ object Relational {
       |        / CAST(count(*) AS DOUBLE), 6) AS return_rate
       |FROM n GROUP BY 1""".stripMargin
 
+  // ---- io1_order_integrity --------------------------------------------
+
+  /** io1_order_integrity — funnel ORDER violations (the data-integrity
+    * audit run before trusting q17's funnel on a new feed): users
+    * whose first purchase precedes their first view, or who purchased
+    * with no view at all — either means broken instrumentation or
+    * clock skew upstream. Conditional mins on one user-keyed
+    * aggregation; exact integer epoch-micros comparison; one row. */
+  def io1OrderIntegrity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view",
+          unix_micros(col("ts")))).as("first_view"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts")))).as("first_purchase"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("first_purchase").isNotNull.cast("long")).as("n_purchasers"),
+        sum((col("first_purchase").isNotNull
+          && (col("first_view").isNull
+            || col("first_purchase") < col("first_view"))).cast("long"))
+          .as("n_violations"))
+      .withColumn("violation_share",
+        round(col("n_violations").cast("double")
+          / col("n_purchasers").cast("double"), 6))
+
+  val io1Sql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp
+      |  FROM events GROUP BY 1)
+      |SELECT count(*) AS n_users,
+      |  CAST(sum(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_purchasers,
+      |  CAST(sum(CASE WHEN fp IS NOT NULL AND (fv IS NULL OR fp < fv)
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+      |  round(CAST(sum(CASE WHEN fp IS NOT NULL AND (fv IS NULL OR fp < fv)
+      |                      THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / CAST(sum(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE),
+      |        6) AS violation_share
+      |FROM u""".stripMargin
+
+  // ---- id1_sequence_gaps ----------------------------------------------
+
+  /** id1_sequence_gaps — ingest-sequence audit: the event_id space
+    * should be dense and unique; missing ids mean dropped messages,
+    * duplicate ids mean replays — the first two questions after any
+    * pipeline incident. n_missing = (max−min+1) − distinct, n_dupes =
+    * rows − distinct, all exact integers off one aggregation. */
+  def id1SequenceGaps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct("event_id").as("n_distinct"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .select(col("n_rows"), col("n_distinct"), col("min_id"), col("max_id"),
+        (col("max_id") - col("min_id") + 1 - col("n_distinct")).as("n_missing"),
+        (col("n_rows") - col("n_distinct")).as("n_dupes"))
+
+  val id1Sql: String =
+    """SELECT count(*) AS n_rows,
+      |  count(DISTINCT event_id) AS n_distinct,
+      |  min(event_id) AS min_id, max(event_id) AS max_id,
+      |  max(event_id) - min(event_id) + 1 - count(DISTINCT event_id) AS n_missing,
+      |  count(*) - count(DISTINCT event_id) AS n_dupes
+      |FROM events""".stripMargin
+
   // ---- sop1_share_of_parent -------------------------------------------
 
   /** sop1_share_of_parent — the BI drill-down staple: each nation's

@@ -681,6 +681,33 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("r3: ensemble covers every scored pair; consensus implies both >= 4") {
+    val r3 = queries.MetricQueries.r3RelevancyEnsemble(spark, sf).cache()
+    val pairs = queries.CorpusQueries.d2NgramJaccard(spark, sf).count()
+    assert(r3.count() == pairs, "one ensemble row per d2 pair")
+    assert(r3.filter(col("consensus_relevant") === 1
+      && (col("score_jac") < 4 || col("score_judge") < 4)).count() == 0)
+    assert(r3.filter(col("exact_agree") === 1
+      && col("score_jac") =!= col("score_judge")).count() == 0)
+    assert(r3.filter(col("mean_score") < 1.0 || col("mean_score") > 5.0)
+      .count() == 0)
+  }
+
+  test("io1: violations bounded by purchasers; fixture funnel is sane") {
+    val r = Relational.io1OrderIntegrity(spark, sf).head()
+    assert(r.getAs[Long]("n_violations") <= r.getAs[Long]("n_purchasers"))
+    assert(r.getAs[Long]("n_purchasers") <= r.getAs[Long]("n_users"))
+  }
+
+  test("id1: sequence audit counts are mutually consistent") {
+    val r = Relational.id1SequenceGaps(spark, sf).head()
+    assert(r.getAs[Long]("n_dupes")
+      == r.getAs[Long]("n_rows") - r.getAs[Long]("n_distinct"))
+    assert(r.getAs[Long]("n_missing") >= 0)
+    assert(r.getAs[Long]("max_id") - r.getAs[Long]("min_id") + 1
+      >= r.getAs[Long]("n_distinct"))
+  }
+
   test("ws1: weighted sample keeps exactly the hash-thresholded docs") {
     val w = queries.CorpusQueries.ws1WeightedSample(spark, sf).cache()
     // every kept doc satisfies the threshold, and long docs (p = 1
