@@ -1190,6 +1190,146 @@ object VectorQueries {
        |               JOIN q ON s.query_id = q.query_id)
        |WHERE rnk <= $K""".stripMargin
 
+  // ---- km1_lloyd_quantized --------------------------------------------
+
+  val LloydIters = 2
+
+  /** km1_lloyd_quantized — a k-means FIT that is hash-exact by
+    * construction (v8's MLlib fit is rows-only because float centroid
+    * averages are engine/order-dependent; this variant designs the
+    * floats out): coordinates quantize ONCE to the 1e-6 integer grid,
+    * assignment is argmin of the ALL-INTEGER squared L2 on that grid
+    * (ties to the smaller cell), and each centroid update is an
+    * integer mean (DIV — floor semantics, deterministic; empty cells
+    * keep their centroid). Two declared Lloyd iterations (g1's
+    * unrolled-rounds rule). Centroids live on the driver between
+    * rounds (16×64 longs — the Pq codebook pattern); per round the
+    * corpus does one broadcast argmin + one (cell, dim) aggregation.
+    * Output: per cell, final member count + an integer digest of the
+    * centroid (Σ qc_d·(d+1)) — the whole fit, compactly checkable. */
+  def km1LloydQuantized(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * 1e6).cast("long")).as("qv"))
+      .localCheckpoint() // scanned once per Lloyd round
+    // deterministic seeds: the CN smallest-mixed-hash vectors, cell id
+    // in seed order
+    val seeds = graft.plans.TopK.perKey(
+      vecs.withColumn("__h",
+        graft.operators.Sampling.mixedHash(col("vec_id"))),
+      Seq(), Seq(col("__h").asc, col("vec_id").asc), CN)
+      .orderBy(col("__h").asc, col("vec_id").asc)
+      .select("qv").as[Seq[Long]].collect()
+    var qc: Array[Array[Long]] = seeds.map(_.toArray).toArray
+    def assigned(qcNow: Array[Array[Long]]) = {
+      val bc = s.sparkContext.broadcast(qcNow)
+      vecs.mapPartitions { it =>
+        val cents = bc.value
+        it.map { r =>
+          val v = r.getSeq[Long](1)
+          var best = 0; var bestD = Long.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var dist = 0L; var j = 0
+            while (j < v.length) {
+              val df = v(j) - cents(c)(j); dist += df * df; j += 1
+            }
+            if (dist < bestD) { bestD = dist; best = c }
+            c += 1
+          }
+          (r.getLong(0), best, v)
+        }
+      }.toDF("vec_id", "cell_id", "qv")
+    }
+    for (_ <- 1 to LloydIters) {
+      val sums = assigned(qc)
+        .select(col("cell_id"), posexplode(col("qv")).as(Seq("dim", "x")))
+        .groupBy("cell_id", "dim")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = qc.map(_.clone())
+      sums.foreach { r =>
+        val (cell, dim) = (r.getInt(0), r.getInt(1))
+        next(cell)(dim) = Math.floorDiv(r.getLong(2), r.getLong(3))
+      }
+      qc = next
+    }
+    val digests = qc.zipWithIndex.map { case (cv, cell) =>
+      (cell, cv.zipWithIndex.map { case (x, d) => x * (d + 1) }.sum)
+    }.toSeq.toDF("cell_id", "centroid_digest")
+    assigned(qc).groupBy("cell_id").agg(count(lit(1)).as("n_members"))
+      .join(broadcast(digests), Seq("cell_id"), "right")
+      .select(col("cell_id").cast("long").as("cell_id"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        col("centroid_digest"))
+  }
+
+  lazy val km1Sql: String = {
+    val mh = s"(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length(CAST(vec_id AS VARCHAR)) + 1), " +
+      s"__ki -> CAST(ascii(substring(CAST(vec_id AS VARCHAR), __ki, 1)) AS BIGINT))), " +
+      s"(__kh, __kc) -> (__kh * 31 + __kc) % ${Embed.HashMod}) " +
+      s"* ${graft.operators.Sampling.mixedHashSqlConst}) % ${Embed.HashMod}"
+    // argmin over the centroid list: fold [dist, cell] pairs, strict <
+    // keeps the earlier (smaller) cell on ties — matching the Scala loop
+    def assignCte(out: String, centsCte: String): String =
+      s"""$out AS (
+         |  SELECT v.vec_id, CAST(list_reduce(list_prepend([9223372036854775807, -1],
+         |    list_transform(range(1, $CN + 1), __cc ->
+         |      [list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(range(1, $EmbedDim + 1), __dj ->
+         |           (v.qv[__dj] - $centsCte.cents[__cc][__dj])
+         |         * (v.qv[__dj] - $centsCte.cents[__cc][__dj]))),
+         |         (__da, __dx) -> __da + __dx),
+         |       CAST(__cc - 1 AS BIGINT)])),
+         |    (__p2, __q2) -> CASE WHEN __q2[1] < __p2[1] THEN __q2 ELSE __p2 END)[2]
+         |    AS INT) AS cell_id, v.qv
+         |  FROM qx v, $centsCte)""".stripMargin
+    def updateCte(asg: String, prev: String, out: String): String =
+      s"""${out}_sums AS (
+         |  SELECT cell_id, d.range AS dim,
+         |    CAST(sum(qv[CAST(d.range + 1 AS INT)]) AS BIGINT) AS sx,
+         |    count(*) AS n
+         |  FROM $asg, range(0, $EmbedDim) d GROUP BY 1, 2),
+         |$out AS (
+         |  SELECT list(cv ORDER BY c1) AS cents FROM (
+         |    SELECT g.c1, list(
+         |        coalesce(CAST(floor(CAST(s.sx AS DOUBLE) / s.n) AS BIGINT),
+         |                 g.x) ORDER BY g.dim) AS cv
+         |    FROM (SELECT t.c1, d.range AS dim,
+         |            p.cents[t.c1][CAST(d.range + 1 AS INT)] AS x
+         |          FROM (SELECT unnest(range(1, $CN + 1)) AS c1) t,
+         |               range(0, $EmbedDim) d, $prev p) g
+         |    LEFT JOIN ${out}_sums s ON s.cell_id = g.c1 - 1 AND s.dim = g.dim
+         |    GROUP BY g.c1))""".stripMargin
+    s"""WITH qx AS (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], __qx ->
+       |      CAST(floor(__qx * 1000000.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |hk AS (SELECT vec_id, $mh AS h FROM embeddings),
+       |c0 AS (SELECT list(qv ORDER BY rnk) AS cents FROM (
+       |    SELECT q.qv, row_number() OVER (ORDER BY h ASC, hk.vec_id ASC) AS rnk
+       |    FROM hk JOIN qx q USING (vec_id)
+       |    ORDER BY h ASC, hk.vec_id ASC LIMIT $CN)),
+       |${assignCte("a1", "c0")},
+       |${updateCte("a1", "c0", "c1")},
+       |${assignCte("a2", "c1")},
+       |${updateCte("a2", "c1", "c2")},
+       |${assignCte("af", "c2")},
+       |counts AS (SELECT cell_id, count(*) AS n_members FROM af GROUP BY 1),
+       |dig AS (SELECT t.c1 - 1 AS cell_id,
+       |          CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(range(1, $EmbedDim + 1), __dd ->
+       |              p.cents[t.c1][__dd] * __dd)),
+       |            (__ga, __gx) -> __ga + __gx) AS BIGINT) AS centroid_digest
+       |        FROM (SELECT unnest(range(1, $CN + 1)) AS c1) t, c2 p)
+       |SELECT CAST(d2.cell_id AS BIGINT) AS cell_id,
+       |  CAST(coalesce(c.n_members, 0) AS BIGINT) AS n_members,
+       |  d2.centroid_digest
+       |FROM dig d2 LEFT JOIN counts c ON c.cell_id = d2.cell_id""".stripMargin
+  }
+
   // ---- v24_cascade ----------------------------------------------------
 
   val CascadeM1 = 40 // binary-tier shortlist

@@ -708,6 +708,24 @@ class Round7OpsSpec extends SparkSpec {
       >= r.getAs[Long]("n_distinct"))
   }
 
+  test("km1: quantized Lloyd conserves members and moves centroids") {
+    val km = VectorQueries.km1LloydQuantized(spark, sf).cache()
+    assert(km.count() == 16)
+    assert(km.agg(sum("n_members")).head.getLong(0)
+      == Tables.embeddings(spark, sf).count())
+    // after two Lloyd rounds at least one centroid must have moved off
+    // its seed vector (digests differ from the seed digests)
+    val seedDigests = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * 1e6).cast("long")).as("qv"))
+      .withColumn("__h", operators.Sampling.mixedHash(col("vec_id")))
+      .orderBy(col("__h").asc, col("vec_id").asc).limit(16)
+      .select("qv").collect()
+      .map(_.getSeq[Long](0).zipWithIndex.map { case (x, d) => x * (d + 1) }.sum)
+    val got = km.orderBy("cell_id").collect().map(_.getLong(2))
+    assert(!got.sameElements(seedDigests), "centroids never updated")
+  }
+
   test("ws1: weighted sample keeps exactly the hash-thresholded docs") {
     val w = queries.CorpusQueries.ws1WeightedSample(spark, sf).cache()
     // every kept doc satisfies the threshold, and long docs (p = 1
