@@ -2291,6 +2291,36 @@ object Relational {
       |        / CAST(count(*) AS DOUBLE), 6) AS return_rate
       |FROM n GROUP BY 1""".stripMargin
 
+  // ---- fr1_freshness --------------------------------------------------
+
+  /** fr1_freshness — per-stream STALENESS report (the first panel of
+    * every ingest dashboard): each event type's newest event-time
+    * against the feed-wide newest, in whole minutes behind — a stream
+    * whose staleness grows is a dead producer long before volume
+    * alarms fire. Exact integer epoch-ms, one aggregation + a 1-row
+    * broadcast; DIV on non-negative deltas (no floor/truncate split). */
+  def fr1Freshness(spark: SparkSession, sfDir: String): DataFrame = {
+    val perType = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_millis(col("ts"))).as("newest_ms"))
+    val global = perType.agg(max("newest_ms").as("feed_newest_ms"))
+    perType.crossJoin(broadcast(global))
+      .select(col("event_type"), col("n_events"), col("newest_ms"),
+        expr("(feed_newest_ms - newest_ms) div 60000")
+          .as("minutes_behind"))
+  }
+
+  val fr1Sql: String =
+    """WITH p AS (
+      |  SELECT event_type, count(*) AS n_events,
+      |    max(epoch_ms(ts)) AS newest_ms
+      |  FROM events GROUP BY 1),
+      |g AS (SELECT max(newest_ms) AS feed_newest_ms FROM p)
+      |SELECT event_type, n_events, newest_ms,
+      |  (feed_newest_ms - newest_ms) // 60000 AS minutes_behind
+      |FROM p, g""".stripMargin
+
   // ---- io1_order_integrity --------------------------------------------
 
   /** io1_order_integrity — funnel ORDER violations (the data-integrity

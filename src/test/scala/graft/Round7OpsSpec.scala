@@ -726,6 +726,15 @@ class Round7OpsSpec extends SparkSpec {
     assert(!got.sameElements(seedDigests), "centroids never updated")
   }
 
+  test("fr1: the freshest stream reports zero minutes behind") {
+    val f = Relational.fr1Freshness(spark, sf).cache()
+    assert(f.filter(col("minutes_behind") < 0).count() == 0)
+    assert(f.filter(col("minutes_behind") === 0).count() >= 1,
+      "at least one stream defines the feed max")
+    assert(f.agg(sum("n_events")).head.getLong(0)
+      == Tables.events(spark, sf).count())
+  }
+
   test("ws1: weighted sample keeps exactly the hash-thresholded docs") {
     val w = queries.CorpusQueries.ws1WeightedSample(spark, sf).cache()
     // every kept doc satisfies the threshold, and long docs (p = 1
