@@ -53,10 +53,22 @@ object Bench {
       System.err.println(f"[bench] $name%-18s ${dt}%8.2fs")
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver preserves only a short tail of stdout, and a 240-entry
+    // per-query map (~6 KB) overflows it — round 7 lost 174 timings that
+    // way. Full fidelity goes to BENCH_DETAIL.json next to the repo
+    // root; the single printed line stays well under the capture window
+    // by carrying the slowest 25 queries plus the detail-file pointer.
+    val fullJson = {
+      val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+        .mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    }
+    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    java.nio.file.Files.write(detailPath, fullJson.getBytes("UTF-8"))
+    val worst = results.sortBy(-_._2).take(25)
+      .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"mean_sec":${total / math.max(1, results.size)}%.3f,"queries":$worst,"queries_file":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,4 +52,30 @@ object IvfIndex {
     import spark.implicits._
     rows.toSeq.toDF("cell_id", "cv")
   }
+
+  /** Fit-or-load: the amortized centroid path for a SERVING query.
+    * An index build belongs in the offline/build path — chroma builds
+    * its index once at collection load and every query reuses it
+    * (/root/reference/src/chroma.py:76-106); fitting k-means inside
+    * each kNN call charges the build to every serve. Here the learned
+    * centroids persist as a k-row parquet keyed by the caller's path
+    * (the caller keys it by dataset dir): the first call pays one
+    * sample-fit and writes; every later call is a k-row parquet read.
+    * `k` doubles as the cache validity check — a partial/stale write
+    * with the wrong row count triggers a refit. */
+  def fitOrLoadCentroids(corpus: DataFrame, k: Int, path: String,
+                         seed: Long = 42L, maxIter: Int = 10,
+                         fitSampleRows: Long = 65536): DataFrame = {
+    val spark = corpus.sparkSession
+    val cached =
+      try {
+        val df = spark.read.parquet(path)
+        if (df.count() == k) Some(df) else None
+      } catch { case _: Exception => None }
+    cached.getOrElse {
+      kmeansCentroids(corpus, k, seed, maxIter, fitSampleRows)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      spark.read.parquet(path)
+    }
+  }
 }

