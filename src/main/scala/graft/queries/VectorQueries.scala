@@ -405,7 +405,7 @@ object VectorQueries {
     * (identical literals, identical sequential fold → identical signs). */
   private def rpBucketCteS(out: String, src: String, idCol: String,
                            vCol: String): String =
-    s"""$out AS (
+    s"""$out AS MATERIALIZED (
        |  SELECT s.$idCol, any_value(s.$vCol) AS $vCol, w.tbl,
        |    CAST(sum(CASE WHEN list_dot_product(s.$vCol, w.wv) >= 0
        |             THEN (1::BIGINT << w.bit) ELSE 0 END) AS BIGINT) AS bucket
@@ -764,6 +764,265 @@ object VectorQueries {
        |    row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rnk
        |  FROM dir)
        |WHERE rnk <= $KnnGraphK""".stripMargin
+
+  // ---- hg1/hg2/hg3: HNSW-style layered graph index --------------------
+
+  val HnswMaxLevel = 3
+  val HnswM = 12
+  // per-layer bucket bits: members thin 4× per layer while buckets
+  // coarsen 4× (prefix mask of the 6-bit pair planes) → constant
+  // expected occupancy N_l/2^bits_l at every layer (see HnswIndex)
+  val HnswBits = Array(6, 4, 2, 0)
+  val HnswTables = Array(8, 8, 8, 1) // bits=0 → one table IS all-pairs
+  val HnswHopsUpper = 2
+  val HnswHopsZero = 4
+  val HnswBeam = 8 // layer-0 ef-search beam width
+
+  private def hnswCorpus(s: SparkSession, d: String): DataFrame =
+    corpusVecs(s, d).select("vec_id", "v")
+
+  /** hg1_hnsw_build — the batch-built layered neighbor graph:
+    * (layer, src, dst, score, rnk ≤ M). */
+  def hg1HnswBuild(s: SparkSession, d: String): DataFrame =
+    graft.operators.HnswIndex.buildEdges(hnswCorpus(s, d), rpWeightsPair,
+      HnswBits, HnswTables, HnswM)
+
+  /** The query-adaptive extra entry points: the query's top-B from
+    * the SAME 6-bit pair-weight LSH buckets the graph was built from.
+    * A single global entry cannot navigate this noise-dominated
+    * fixture at corpus scale; seeding the beam from the query's own
+    * buckets is what production graph-ANN serving does (then the
+    * graph hops refine). */
+  private def hnswSeeds(s: SparkSession, d: String): DataFrame =
+    VectorSearch.knnLshRp(queryVecs(s, d), hnswCorpus(s, d), HnswBeam,
+      rpWeightsPair)
+      .join(queryVecs(s, d), "query_id")
+      .select(col("query_id"), col("qv"), col("vec_id").as("node"))
+
+  /** hg2_hnsw_search — deterministic greedy descent + LSH-seeded
+    * layer-0 beam over the hg1 graph, top-K from the visited
+    * neighborhoods. */
+  def hg2HnswSearch(s: SparkSession, d: String): DataFrame = {
+    val edges = hg1HnswBuild(s, d).localCheckpoint()
+    val vis = graft.operators.HnswIndex.visitedStates(queryVecs(s, d), edges,
+      hnswCorpus(s, d), HnswMaxLevel, HnswHopsUpper, HnswHopsZero, HnswBeam,
+      Some(hnswSeeds(s, d)))
+    graft.operators.HnswIndex.resultsFromVisited(vis, edges,
+      hnswCorpus(s, d), K)
+  }
+
+  /** hg3_hnsw_recall — recall@K vs brute force as layer-0 hops grow
+    * 0→2 (the v18-style tuning curve for the graph index). */
+  def hg3HnswRecall(s: SparkSession, d: String): DataFrame = {
+    val edges = hg1HnswBuild(s, d).localCheckpoint()
+    val corpus = hnswCorpus(s, d)
+    val vis = graft.operators.HnswIndex.visitedStates(queryVecs(s, d), edges,
+      corpus, HnswMaxLevel, HnswHopsUpper, HnswHopsZero, HnswBeam,
+      Some(hnswSeeds(s, d)))
+    val exact = v1KnnCos(s, d).select("query_id", "vec_id")
+    (0 to HnswHopsZero).map { h =>
+      val approx = graft.operators.HnswIndex
+        .resultsFromVisited(vis.take(h + 1), edges, corpus, K)
+        .select(col("query_id"), col("vec_id")).withColumn("__hit", lit(1L))
+      exact.join(approx, Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("__n"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+        .select(lit(h.toLong).as("hops"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / col("__n").cast("double"), 6)
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  // ---- hg oracle SQL: the identical hierarchy, edges and unrolled
+  // walk rebuilt in DuckDB ----------------------------------------------
+
+  /** mixedHash(vec_id) as SQL (km1's fragment): polyhash of the
+    * decimal string ×2654435761 mod 1e9+7 — integers all the way. */
+  private def hnswMhS(e: String): String =
+    s"(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length(CAST($e AS VARCHAR)) + 1), " +
+      s"__hi -> CAST(ascii(substring(CAST($e AS VARCHAR), __hi, 1)) AS BIGINT))), " +
+      s"(__hh, __hc) -> (__hh * 31 + __hc) % ${Embed.HashMod}) " +
+      s"* ${graft.operators.Sampling.mixedHashSqlConst}) % ${Embed.HashMod}"
+
+  private def hnswLvlS(e: String): String = {
+    val mh = hnswMhS(e)
+    (1 to HnswMaxLevel).map(l => s"WHEN $mh % ${1L << (2 * l)} != 0 THEN ${l - 1}")
+      .mkString("CASE ", " ", s" ELSE $HnswMaxLevel END")
+  }
+
+  /** Shared CTEs: corpus members with levels, 6-bit buckets, and the
+    * per-layer edge lists ed_0..ed_3. */
+  private lazy val hnswEdgeCtesS: String = {
+    val mem =
+      s"""mem AS MATERIALIZED (SELECT vec_id, v, ${hnswLvlS("vec_id")} AS lvl FROM c)"""
+    val mb =
+      s"""mb AS MATERIALIZED (
+         |  SELECT s.vec_id, any_value(s.lvl) AS lvl, w.tbl,
+         |    CAST(sum(CASE WHEN list_dot_product(s.v, w.wv) >= 0
+         |             THEN (1::BIGINT << w.bit) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM mem s, w
+         |  GROUP BY s.vec_id, w.tbl)""".stripMargin
+    val perLayer = HnswBits.indices.map { l =>
+      val mask = 1L << HnswBits(l)
+      s"""cand_$l AS MATERIALIZED (
+         |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+         |  FROM mb a JOIN mb b2
+         |    ON a.tbl = b2.tbl AND a.bucket % $mask = b2.bucket % $mask
+         |  WHERE a.lvl >= $l AND b2.lvl >= $l
+         |    AND a.tbl < ${HnswTables(l)} AND a.vec_id < b2.vec_id),
+         |sc_$l AS MATERIALIZED (
+         |  SELECT p.id_a, p.id_b, round(${cosS("x.v", "y.v")}, 6) AS score
+         |  FROM cand_$l p JOIN mem x ON x.vec_id = p.id_a
+         |    JOIN mem y ON y.vec_id = p.id_b),
+         |ed0_$l AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, score,
+         |      row_number() OVER (PARTITION BY src
+         |        ORDER BY score DESC, dst ASC) AS rnk
+         |    FROM (SELECT id_a AS src, id_b AS dst, score FROM sc_$l
+         |          UNION ALL
+         |          SELECT id_b AS src, id_a AS dst, score FROM sc_$l) d_$l)
+         |  WHERE rnk <= $HnswM),
+         |nd_$l AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM ed0_$l
+         |    UNION ALL
+         |    SELECT dst AS src, src AS dst FROM ed0_$l
+         |    UNION ALL
+         |    SELECT a.src, b.dst FROM ed0_$l a JOIN ed0_$l b
+         |      ON a.dst = b.src AND a.src != b.dst) u_$l),
+         |ed_$l AS MATERIALIZED (
+         |  SELECT src, dst, score, rnk FROM (
+         |    SELECT n.src, n.dst, round(${cosS("x.v", "y.v")}, 6) AS score,
+         |      row_number() OVER (PARTITION BY n.src
+         |        ORDER BY round(${cosS("x.v", "y.v")}, 6) DESC, n.dst ASC) AS rnk
+         |    FROM nd_$l n JOIN mem x ON x.vec_id = n.src
+         |      JOIN mem y ON y.vec_id = n.dst) nds_$l
+         |  WHERE rnk <= $HnswM)""".stripMargin
+    }
+    (Seq(mem, mb) ++ perLayer).mkString(",\n")
+  }
+
+  lazy val hg1Sql: String =
+    s"""WITH $cCte,
+       |w(tbl, bit, wv) AS (VALUES
+       |    $rpWeightRowsPairS),
+       |$hnswEdgeCtesS
+       |${HnswBits.indices.map(l =>
+          s"SELECT $l AS layer, src, dst, score, rnk FROM ed_$l")
+         .mkString("\nUNION ALL\n")}""".stripMargin
+
+  /** The unrolled greedy walk: s0 = entry point; two steps per layer
+    * 3→1; s_z0 is the cursor entering layer 0, s_z1/s_z2 its layer-0
+    * steps. Returns (cteSql, finalStateNamesByHop). */
+  private lazy val hnswWalkCtesS: (String, IndexedSeq[String]) = {
+    def stepCte(prev: String, out: String, l: Int, k: Int): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT query_id, qv, cand AS node FROM (
+         |    SELECT u.query_id, u.qv, u.cand,
+         |      row_number() OVER (PARTITION BY u.query_id
+         |        ORDER BY round(${cosS("u.qv", "m.v")}, 6) DESC, u.cand ASC) AS rn
+         |    FROM (SELECT p.query_id, p.qv, p.node AS cand FROM $prev p
+         |          UNION ALL
+         |          SELECT p.query_id, p.qv, e.dst AS cand FROM $prev p
+         |          JOIN ed_$l e ON e.src = p.node) u
+         |    JOIN mem m ON m.vec_id = u.cand) t_$out
+         |  WHERE rn <= $k)""".stripMargin
+    val s0 =
+      s"""s0 AS MATERIALIZED (SELECT q.query_id, q.qv,
+         |  (SELECT vec_id FROM mem ORDER BY lvl DESC, vec_id ASC LIMIT 1) AS node
+         |FROM q)""".stripMargin
+    // query-adaptive seeds: the query's top-B over the same 6-bit
+    // pair-weight buckets (v7's exact selection shape: max-dedup over
+    // tables, rank on the unrounded score, vec_id tie-break)
+    val seedCtes =
+      s"""qb2 AS MATERIALIZED (
+         |  SELECT s.query_id, w.tbl,
+         |    CAST(sum(CASE WHEN list_dot_product(s.qv, w.wv) >= 0
+         |             THEN (1::BIGINT << w.bit) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM q s, w
+         |  GROUP BY s.query_id, w.tbl),
+         |scand AS MATERIALIZED (
+         |  SELECT query_id, vec_id, max(score) AS score FROM (
+         |    SELECT b.query_id, cb.vec_id, ${cosS("qq.qv", "mm.v")} AS score
+         |    FROM qb2 b JOIN mb cb ON cb.tbl = b.tbl AND cb.bucket = b.bucket
+         |      JOIN q qq ON qq.query_id = b.query_id
+         |      JOIN mem mm ON mm.vec_id = cb.vec_id) sx
+         |  GROUP BY 1, 2),
+         |seed AS MATERIALIZED (
+         |  SELECT sr.query_id, qq2.qv, sr.vec_id AS node FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, vec_id ASC) AS rn
+         |    FROM scand) sr JOIN q qq2 ON qq2.query_id = sr.query_id
+         |  WHERE rn <= $HnswBeam)""".stripMargin
+    var prev = "s0"; var i = 0
+    val ctes = scala.collection.mutable.ArrayBuffer(s0)
+    for (l <- HnswMaxLevel to 1 by -1; _ <- 1 to HnswHopsUpper) {
+      i += 1; ctes += stepCte(prev, s"s$i", l, 1); prev = s"s$i"
+    }
+    ctes += seedCtes
+    ctes +=
+      s"""sz AS MATERIALIZED (SELECT DISTINCT query_id, qv, node FROM (
+         |    SELECT query_id, qv, node FROM $prev
+         |    UNION ALL
+         |    SELECT query_id, qv, node FROM seed) zz)""".stripMargin
+    prev = "sz"
+    val zeroStates = scala.collection.mutable.ArrayBuffer(prev)
+    for (_ <- 1 to HnswHopsZero) {
+      i += 1; ctes += stepCte(prev, s"s$i", 0, HnswBeam); prev = s"s$i"
+      zeroStates += prev
+    }
+    (ctes.mkString(",\n"), zeroStates.toIndexedSeq)
+  }
+
+  /** vis/cand/result CTEs for `hops` layer-0 steps; result CTE is
+    * res_<hops>. */
+  private def hnswResCtesS(hops: Int): String = {
+    val states = hnswWalkCtesS._2.take(hops + 1)
+    s"""vis_$hops AS MATERIALIZED (SELECT DISTINCT query_id, qv, node FROM (
+       |    ${states.map(st => s"SELECT query_id, qv, node FROM $st")
+          .mkString("\n    UNION ALL\n    ")}) uv_$hops),
+       |cd_$hops AS MATERIALIZED (SELECT DISTINCT query_id, qv, cand FROM (
+       |    SELECT query_id, qv, node AS cand FROM vis_$hops
+       |    UNION ALL
+       |    SELECT v.query_id, v.qv, e.dst AS cand FROM vis_$hops v
+       |    JOIN ed_0 e ON e.src = v.node) uc_$hops),
+       |res_$hops AS MATERIALIZED (
+       |  SELECT query_id, vec_id, score, rnk FROM (
+       |    SELECT u.query_id, u.cand AS vec_id,
+       |      round(${cosS("u.qv", "m.v")}, 6) AS score,
+       |      row_number() OVER (PARTITION BY u.query_id
+       |        ORDER BY round(${cosS("u.qv", "m.v")}, 6) DESC, u.cand ASC) AS rnk
+       |    FROM cd_$hops u JOIN mem m ON m.vec_id = u.cand) tr_$hops
+       |  WHERE rnk <= $K)""".stripMargin
+  }
+
+  lazy val hg2Sql: String =
+    s"""WITH $qCte, $cCte,
+       |w(tbl, bit, wv) AS (VALUES
+       |    $rpWeightRowsPairS),
+       |$hnswEdgeCtesS,
+       |${hnswWalkCtesS._1},
+       |${hnswResCtesS(HnswHopsZero)}
+       |SELECT query_id, vec_id, score, rnk FROM res_$HnswHopsZero""".stripMargin
+
+  lazy val hg3Sql: String =
+    s"""WITH $qCte, $cCte,
+       |w(tbl, bit, wv) AS (VALUES
+       |    $rpWeightRowsPairS),
+       |$hnswEdgeCtesS,
+       |${hnswWalkCtesS._1},
+       |${(0 to HnswHopsZero).map(hnswResCtesS).mkString(",\n")},
+       |exact AS (SELECT query_id, vec_id FROM ($v1Sql))
+       |${(0 to HnswHopsZero).map { h =>
+        s"""SELECT $h AS hops, CAST(sum(hit) AS BIGINT) AS n_overlap,
+           |  round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+           |FROM (SELECT CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+           |      FROM exact e LEFT JOIN res_$h a
+           |        ON e.query_id = a.query_id AND e.vec_id = a.vec_id) j_$h""".stripMargin
+       }.mkString("\nUNION ALL\n")}""".stripMargin
 
   // ---- vq2 / v11: product quantization (8 subspaces × 16 codes) -------
 
@@ -1280,7 +1539,7 @@ object VectorQueries {
     // argmin over the centroid list: fold [dist, cell] pairs, strict <
     // keeps the earlier (smaller) cell on ties — matching the Scala loop
     def assignCte(out: String, centsCte: String): String =
-      s"""$out AS (
+      s"""$out AS MATERIALIZED (
          |  SELECT v.vec_id, CAST(list_reduce(list_prepend([9223372036854775807, -1],
          |    list_transform(range(1, $CN + 1), __cc ->
          |      [list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -1,0 +1,53 @@
+package graft
+
+import graft.queries.VectorQueries
+import org.apache.spark.sql.functions._
+
+/** hg1/hg2/hg3 — the batch-built HNSW-style layered graph index. */
+class HnswSpec extends SparkSpec {
+
+  test("hg1 layers thin geometrically and respect the degree cap M") {
+    val edges = VectorQueries.hg1HnswBuild(spark, sf).cache()
+    val perLayer = edges.groupBy("layer")
+      .agg(countDistinct("src").as("nodes"), max("rnk").as("max_rnk"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(perLayer.map(_._1).toSeq == Seq(0, 1, 2, 3), "all four layers present")
+    // hash-geometric levels: each layer's vertex set thins ~4× —
+    // monotone decrease is the invariant worth pinning on a small fixture
+    assert(perLayer.sliding(2).forall { case Array(a, b) => b._2 < a._2 },
+      s"layer populations must shrink: ${perLayer.mkString(", ")}")
+    assert(perLayer.forall(_._3 <= VectorQueries.HnswM), "degree cap M")
+    assert(edges.filter(col("src") === col("dst")).count() == 0, "no self-loops")
+    edges.unpersist()
+  }
+
+  test("hg1 upper-layer membership is nested (level l edges only between level>=l nodes)") {
+    val edges = VectorQueries.hg1HnswBuild(spark, sf)
+    val l3 = edges.filter(col("layer") === 3).select(col("src").as("vec_id")).distinct()
+    val lvl = graft.operators.HnswIndex.withLevels(
+      Tables.embeddings(spark, sf).filter(col("vec_id") >= 8)
+        .select(col("vec_id"), col("embedding").as("v")),
+      VectorQueries.HnswMaxLevel)
+    val bad = l3.join(lvl, "vec_id").filter(col("lvl") < 3).count()
+    assert(bad == 0, "layer-3 sources must have level >= 3")
+  }
+
+  test("hg2 search is deterministic and returns k results per query") {
+    val a = VectorQueries.hg2HnswSearch(spark, sf).orderBy("query_id", "rnk").collect()
+    val b = VectorQueries.hg2HnswSearch(spark, sf).orderBy("query_id", "rnk").collect()
+    assert(a.sameElements(b), "seeded walk must be deterministic")
+    assert(a.length == 8 * VectorQueries.K)
+    assert(a.forall(_.getInt(3) <= VectorQueries.K))
+  }
+
+  test("hg3 recall curve is monotone in hops and beats the 0.4 floor") {
+    val rows = VectorQueries.hg3HnswRecall(spark, sf)
+      .orderBy("hops").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.length == VectorQueries.HnswHopsZero + 1)
+    assert(rows.sliding(2).forall { case Array(x, y) => y._2 >= x._2 },
+      s"recall must not decrease with hops: ${rows.mkString(", ")}")
+    assert(rows.last._2 >= 0.4,
+      s"seeded graph search recall too low: ${rows.last._2}")
+  }
+}
