@@ -2151,6 +2151,70 @@ object CorpusQueries {
     graft.operators.Bpe.encode(graft.Dist.spread(docs), "text", merges)
   }
 
+  /** bpe1/bpe2 oracle: the 8 merge rounds UNROLLED as DuckDB CTEs
+    * (g1-PageRank policy — a fixed round count makes the iterative
+    * argmax SQL-expressible after all). Words fold to a chr(31)-
+    * separated symbol string; one merge round is a list_reduce that
+    * appends `r` to the accumulator iff it currently ends with
+    * SEP||l (the separator guards symbol boundaries, so overlapping
+    * occurrences resolve leftmost-first exactly like Bpe.mergeExpr). */
+  private val BpeSepS = "chr(31)"
+
+  private def bpeSymsS(s: String): String =
+    s"string_split(substring($s, 2), $BpeSepS)"
+
+  private lazy val bpeTrainCtesS: String = {
+    val charsS =
+      s"list_reduce(list_prepend('', list_transform(range(1, length(w) + 1), " +
+        s"__ci -> substring(w, __ci, 1))), (__a, __x) -> __a || $BpeSepS || __x)"
+    val base = Seq(
+      toksCte,
+      "wf AS MATERIALIZED (SELECT w, count(*) AS freq FROM " +
+        "(SELECT unnest(tk) AS w FROM toks) u_wf GROUP BY 1)",
+      s"w_0 AS MATERIALIZED (SELECT w, freq, $charsS AS s FROM wf)")
+    val rounds = (1 to BpeMerges).flatMap { r =>
+      val p = s"w_${r - 1}"
+      Seq(
+        s"""pr_$r AS MATERIALIZED (
+           |  SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS pf FROM (
+           |    SELECT freq, unnest(list_transform(range(1, len(${bpeSymsS("s")})),
+           |      __pi -> {'l': ${bpeSymsS("s")}[__pi], 'r': ${bpeSymsS("s")}[__pi + 1]})) AS p
+           |    FROM $p) e_$r GROUP BY 1, 2)""".stripMargin,
+        s"top_$r AS MATERIALIZED (SELECT l, r, pf FROM pr_$r " +
+          s"ORDER BY pf DESC, l ASC, r ASC LIMIT 1)",
+        s"""w_$r AS MATERIALIZED (
+           |  SELECT w, freq, list_reduce(list_prepend('', ${bpeSymsS("s")}),
+           |    (__a, __x) -> CASE WHEN __x = t.r AND ends_with(__a, $BpeSepS || t.l)
+           |      THEN __a || __x ELSE __a || $BpeSepS || __x END) AS s
+           |  FROM $p, top_$r t)""".stripMargin)
+    }
+    (base ++ rounds).mkString(",\n")
+  }
+
+  lazy val bpe1Sql: String =
+    s"""WITH $bpeTrainCtesS
+       |${(1 to BpeMerges).map(r =>
+          s"""SELECT $r AS rank, l AS "left", r AS "right", pf AS pair_freq FROM top_$r""")
+         .mkString("\nUNION ALL\n")}""".stripMargin
+
+  /** bpe2: the training chain's end state w_N IS each distinct word's
+    * encoded form (merges apply per word in rank order either way), so
+    * the encode oracle reads symbol counts off w_N and aggregates per
+    * document. */
+  lazy val bpe2Sql: String =
+    s"""WITH $bpeTrainCtesS,
+       |wcnt AS MATERIALIZED (SELECT w, CAST(len(${bpeSymsS("s")}) AS BIGINT) AS nsym,
+       |  CAST(length(w) AS BIGINT) AS nchar FROM w_$BpeMerges),
+       |per AS (SELECT doc_id AS pdoc, count(*) AS n_tokens,
+       |  CAST(sum(nsym) AS BIGINT) AS n_symbols, CAST(sum(nchar) AS BIGINT) AS nc
+       |  FROM (SELECT doc_id, unnest(tk) AS w FROM toks) dt
+       |  JOIN wcnt USING (w) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens,
+       |  coalesce(per.n_symbols, 0) AS n_symbols,
+       |  CASE WHEN coalesce(per.n_symbols, 0) = 0 THEN 0.0
+       |    ELSE floor(CAST(per.nc AS DOUBLE) / per.n_symbols * 10000.0 + 0.5) / 10000.0 END AS compression
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.pdoc""".stripMargin
+
   // ---- ppl1_unigram_nll -----------------------------------------------
 
   /** Unigram-LM perplexity quality filter (CCNet shape). */
