@@ -27,27 +27,61 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
+  /** The (doc_id, term, tf, dl) term-frequency table — ONE exploded-
+    * token aggregation, eagerly materialized (localCheckpoint, not a
+    * lazy cache): tf feeds the df aggregate, the corpus stats, AND the
+    * scoring join — and the broadcast subjobs race the main job, so a
+    * lazy cache gets materialized 2-3x concurrently (the same race
+    * Dedup's cap design dodges). Exposed so callers can derive query
+    * generation / PRF / rank-agreement from the SAME single tokenize
+    * pass instead of re-exploding the corpus per component. A real
+    * cluster with preemptible executors would use reliable
+    * checkpoint(dir) instead. */
+  def tfTable(docs: DataFrame, textCol: String): DataFrame =
+    graft.Dist.spread(
+      docs.select(col("doc_id"), tokens(col(textCol)).as("tk")))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), size(col("tk")).as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      .localCheckpoint()
+
+  /** The tf table persisted as parquet, fit-or-load keyed by the
+    * caller's dataset tag (the v8-centroids pattern): an inverted
+    * index is an OFFLINE artifact — chroma builds its collection once
+    * and serves queries from it (/root/reference/src/db.py:16-52);
+    * re-deriving the index inside every lexical query charges the
+    * build to each serve. First call tokenizes + writes; later calls
+    * are one parquet scan. */
+  def tfTableCached(docs: DataFrame, textCol: String,
+                    datasetTag: String): DataFrame = {
+    val spark = docs.sparkSession
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25tf_" +
+      graft.Dist.pathTag(datasetTag + ":" + textCol)
+    val cached =
+      try {
+        val df = spark.read.parquet(path)
+        if (df.limit(1).count() == 1) Some(df) else None
+      } catch { case _: Exception => None }
+    cached.getOrElse {
+      tfTable(docs, textCol)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      spark.read.parquet(path)
+    }
+  }
+
   /** docs: (doc_id, textCol); queries: (query_id, queryCol).
     * Emits (query_id, doc_id, score, rnk), top `k` docs per query by
     * BM25 with Lucene's +1 idf floor: idf = ln(1 + (N-df+0.5)/(df+0.5)).
     */
   def search(docs: DataFrame, textCol: String, queries: DataFrame,
-             queryCol: String, k: Int): DataFrame = {
-    val toks = graft.Dist.spread(
-      docs.select(col("doc_id"), tokens(col(textCol)).as("tk")))
-      .filter(size(col("tk")) > 0)
-    // (doc_id, term, tf, dl): one shuffle with map-side combine.
-    // EAGERLY materialized (localCheckpoint, not a lazy cache): tf
-    // feeds the df aggregate, the corpus stats, AND the scoring join —
-    // and the broadcast subjobs race the main job, so a lazy cache gets
-    // materialized 2-3x concurrently (the same race Dedup's cap design
-    // dodges). A real cluster with preemptible executors would use
-    // reliable checkpoint(dir) instead.
-    val tf = toks
-      .select(col("doc_id"), size(col("tk")).as("dl"), explode(col("tk")).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-      .localCheckpoint()
+             queryCol: String, k: Int): DataFrame =
+    searchFromTf(tfTable(docs, textCol), queries, queryCol, k)
+
+  /** BM25 over a prebuilt tf table (see tfTable). */
+  def searchFromTf(tf: DataFrame, queries: DataFrame,
+                   queryCol: String, k: Int): DataFrame = {
     // corpus constants derived FROM tf (identical values: every doc
     // with >= 1 token has tf rows, and avg-of-dl is the same exact
     // BIGINT sum/count either way — bit-identical in the oracle)

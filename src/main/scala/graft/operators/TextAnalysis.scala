@@ -235,6 +235,106 @@ object TextAnalysis {
         "repetitive")
   }
 
+  /** Deterministic Zipf(α≈1) vocabulary remap — the fixture-realism
+    * layer under the posting-list query family (b2/qe1/v12/rk1). The
+    * driver corpus has ~31 distinct terms, so every posting list is
+    * corpus-sized and no inverted-index bound is demonstrable. Each
+    * token OCCURRENCE remaps to a synthetic term via the inverse-CDF
+    * trick: u = mixedHash(tok:doc:pos)/10⁶ uniform in [0,1), term id
+    * k = floor((V+1)^u) → P(k) ∝ ln(1+1/k) ≈ 1/k, true Zipf(1) over
+    * V terms. Map-only (a per-row array transform — no shuffle, no
+    * explode), deterministic, and integer until the single pow whose
+    * floor-boundary risk is ~1e-12 per distinct grid point (nb1's
+    * accepted-policy class). */
+  val ZipfVocab = 10000
+
+  def zipfRemap(docs: DataFrame, textCol: String,
+                vocab: Int = ZipfVocab): DataFrame =
+    docs.select(col("doc_id"), array_join(
+      transform(tokens(col(textCol)), (x, i) => {
+        val key = concat(x, lit(":"), col("doc_id").cast("string"),
+          lit(":"), (i + 1).cast("string"))
+        val u = (graft.operators.Sampling.mixedHash(key) % 1000000L)
+          .cast("double") / lit(1000000.0)
+        concat(lit("t"), floor(pow(lit((vocab + 1).toDouble), u))
+          .cast("long").cast("string"))
+      }), " ").as(textCol))
+
+  /** Query generation for the Zipf-remapped corpus: each sampled doc's
+    * 3 most DISCRIMINATIVE distinct terms (smallest document
+    * frequency, tie lexicographic) — the selective-query regime an
+    * inverted index actually serves. Frequency-top query gen
+    * (queryGen) over a Zipfian vocabulary would select stopwords and
+    * put every posting list back to corpus size. */
+  /** The remapped corpus, materialized once per dataset dir (the
+    * v8-centroids fit-or-load pattern): corpus prep is an OFFLINE
+    * step — a serving query should not re-derive the corpus. First
+    * call computes + writes a parquet next to the JVM tmpdir; later
+    * calls are a plain parquet scan. Cache key = dataset path, valid
+    * iff the row count matches the source. */
+  def zipfDocsCached(docs: DataFrame, textCol: String,
+                     datasetTag: String): DataFrame = {
+    val spark = docs.sparkSession
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_zipf_" +
+      graft.Dist.pathTag(datasetTag + ":" + textCol)
+    val cached =
+      try {
+        val df = spark.read.parquet(path)
+        if (df.count() == docs.count()) Some(df) else None
+      } catch { case _: Exception => None }
+    cached.getOrElse {
+      zipfRemap(docs, textCol)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      spark.read.parquet(path)
+    }
+  }
+
+  /** The generated query set persisted per dataset (the reference
+    * PRE-GENERATES its evaluation queries and stores them,
+    * /root/reference/src/queries.py — query generation is fixture
+    * prep, not serving work). Fit-or-load parquet keyed by dataset
+    * tag, derived from the cached tf table on first call. */
+  def zipfQueriesCached(tf: DataFrame, datasetTag: String): DataFrame = {
+    val spark = tf.sparkSession
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_zipfq_" +
+      graft.Dist.pathTag(datasetTag)
+    val cached =
+      try {
+        val df = spark.read.parquet(path)
+        if (df.limit(1).count() == 1) Some(df) else None
+      } catch { case _: Exception => None }
+    cached.getOrElse {
+      zipfQueryGenFromTf(tf)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      spark.read.parquet(path)
+    }
+  }
+
+  /** Query terms must hit a real posting list (df >= MinDf): the
+    * absolute-rarest terms are df-1 hapaxes that match only their own
+    * source doc — selective but degenerate. */
+  val ZipfQueryMinDf = 5
+
+  def zipfQueryGen(docs: DataFrame, textCol: String): DataFrame =
+    zipfQueryGenFromTf(Bm25.tfTable(docs, textCol))
+
+  /** Same, from a prebuilt Bm25.tfTable — tf rows ARE the distinct
+    * (doc, term) pairs, so document frequency and per-doc candidate
+    * terms both read off the one tokenize pass the BM25 arm already
+    * paid for. */
+  def zipfQueryGenFromTf(tf: DataFrame): DataFrame = {
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= ZipfQueryMinDf)
+      .withColumnRenamed("term", "tok")
+    val dt = tf.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("term").as("tok"))
+    graft.plans.TopK.perKey(dt.join(df, "tok"), Seq("doc_id"),
+        Seq(col("df").asc, col("tok").asc), 3)
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("rnk"), col("tok")))),
+        x => x.getField("tok")), " ").as("query"))
+  }
+
   /** Deterministic query generation (reference samples ~10% of the
     * corpus and LLM-generates one query per doc): sample doc_id % 10 = 0,
     * query = the doc's 3 most frequent tokens, frequency-desc then

@@ -40,6 +40,34 @@ object CorpusQueries {
   val toksCte: String =
     "toks AS (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk FROM documents)"
 
+  /** Zipf remap oracle fragments — mirrors TextAnalysis.zipfRemap:
+    * term = 't' || floor((V+1)^(mixedHash(tok:doc:pos)%1e6 / 1e6)). */
+  private def zipfTermS(tokE: String, posE: String): String = {
+    val key = s"$tokE || ':' || CAST(doc_id AS VARCHAR) || ':' || CAST($posE AS VARCHAR)"
+    val mh = s"((${polyhashS(key)}) * ${graft.operators.Sampling.mixedHashSqlConst}) % ${Embed.HashMod}"
+    s"'t' || CAST(CAST(floor(pow(${graft.operators.TextAnalysis.ZipfVocab + 1}.0, " +
+      s"CAST(($mh) % 1000000 AS DOUBLE) / 1000000.0)) AS BIGINT) AS VARCHAR)"
+  }
+
+  /** `toks` over the Zipf-remapped corpus (same name as toksCte so the
+    * downstream CTE bodies are shared verbatim). */
+  val zToksCte: String =
+    s"""rawtoks AS (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk FROM documents),
+       |toks AS (SELECT doc_id, list_transform(range(1, len(tk) + 1),
+       |  __zi -> ${zipfTermS("tk[__zi]", "__zi")}) AS tk FROM rawtoks)""".stripMargin
+
+  /** Discriminative query gen over zipf `toks` → `qry` (mirrors
+    * TextAnalysis.zipfQueryGen: 3 smallest-df distinct terms). */
+  val zQryCtes: String =
+    s"""qdt AS (SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM toks WHERE doc_id % 10 = 0),
+       |gdf AS (SELECT tok, count(*) AS df FROM (
+       |    SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM toks) u_df GROUP BY 1
+       |  HAVING count(*) >= ${graft.operators.TextAnalysis.ZipfQueryMinDf}),
+       |rankedq AS (SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY df ASC, tok ASC) AS rnk FROM qdt JOIN gdf USING (tok)),
+       |qry AS (SELECT doc_id AS query_id, string_agg(tok, ' ' ORDER BY rnk) AS query
+       |        FROM rankedq WHERE rnk <= 3 GROUP BY doc_id)""".stripMargin
+
   val shingleCte: String =
     s"sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1), " +
       s"i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM toks WHERE len(tk) >= 3)"
@@ -996,26 +1024,55 @@ object CorpusQueries {
 
   /** BM25 retrieval driven by the q0-generated queries (the reference
     * flow: querygen → retrieval), query_id = the sampled doc_id. */
+  /** pl1_posting_stats — the inverted-index health report for the
+    * Zipf-remapped corpus the b2/qe1/v12/rk1 family searches: vocab
+    * size, total postings, the largest posting list and its corpus
+    * share, mean df. The numbers that certify per-query work is
+    * posting-list-bounded (the round-7 fixture had 31 terms and every
+    * posting list was the corpus; this prints the distribution that
+    * makes the bench numbers meaningful). */
+  def pl1PostingStats(s: SparkSession, d: String): DataFrame = {
+    val docs = TextAnalysis.zipfDocsCached(
+      Tables.documents(s, d).select("doc_id", "text"), "text", d)
+    val df = graft.Dist.spread(docs)
+      .select(col("doc_id"),
+        explode(array_distinct(Embed.tokens(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    df.agg(count(lit(1)).as("n_terms"),
+      sum("df").as("n_postings"),
+      max("df").as("max_df"),
+      round(avg(col("df")), 4).as("avg_df"))
+      .select(col("n_terms"), col("n_postings"), col("max_df"),
+        col("avg_df"),
+        round(col("max_df").cast("double")
+          / col("n_postings").cast("double"), 6).as("top_share"))
+  }
+
+  lazy val pl1Sql: String =
+    s"""WITH $zToksCte,
+       |tfq AS (SELECT doc_id, unnest(list_distinct(tk)) AS term FROM toks),
+       |dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       |  CAST(sum(df) AS BIGINT) AS n_postings,
+       |  CAST(max(df) AS BIGINT) AS max_df,
+       |  round(avg(df), 4) AS avg_df,
+       |  round(CAST(max(df) AS DOUBLE) / CAST(sum(df) AS DOUBLE), 6) AS top_share
+       |FROM dfq""".stripMargin
+
   def b2Bm25(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select("doc_id", "text")
-    val queries = TextAnalysis.queryGen(docs, "text")
+    val docs = TextAnalysis.zipfDocsCached(
+      Tables.documents(s, d).select("doc_id", "text"), "text", d)
+    val tf = graft.operators.Bm25.tfTableCached(docs, "text", d)
+    val queries = TextAnalysis.zipfQueriesCached(tf, d)
       .select(col("doc_id").as("query_id"), col("query"))
-    graft.operators.Bm25.search(docs, "text", queries, "query", Bm25K)
+    graft.operators.Bm25.searchFromTf(tf, queries, "query", Bm25K)
   }
 
   val b2Sql: String = {
     val K1 = graft.operators.Bm25.K1
     val B = graft.operators.Bm25.B
-    s"""WITH $toksCte,
-       |freq AS (
-       |  SELECT doc_id, tok, count(*) AS freq FROM (
-       |    SELECT doc_id, unnest(tk) AS tok FROM toks WHERE doc_id % 10 = 0)
-       |  GROUP BY 1, 2),
-       |rankedq AS (
-       |  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id
-       |    ORDER BY freq DESC, tok ASC) AS rnk FROM freq),
-       |qry AS (SELECT doc_id AS query_id, string_agg(tok, ' ' ORDER BY rnk) AS query
-       |        FROM rankedq WHERE rnk <= 3 GROUP BY doc_id),
+    s"""WITH $zToksCte,
+       |$zQryCtes,
        |tk2 AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
        |tf AS (SELECT doc_id, t AS term, count(*) AS tf, any_value(dl) AS dl FROM (
        |         SELECT doc_id, len(tk) AS dl, unnest(tk) AS t FROM tk2)
@@ -1431,16 +1488,14 @@ object CorpusQueries {
     * 3·Q feedback docs — the expansion step is feedback-sized, not
     * corpus-sized. */
   def qe1Prf(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select("doc_id", "text")
-    val queries = TextAnalysis.queryGen(docs, "text")
+    val docs = TextAnalysis.zipfDocsCached(
+      Tables.documents(s, d).select("doc_id", "text"), "text", d)
+    val tfFull = graft.operators.Bm25.tfTableCached(docs, "text", d)
+    val queries = TextAnalysis.zipfQueriesCached(tfFull, d)
       .select(col("doc_id").as("query_id"), col("query"))
-    val fb = graft.operators.Bm25.search(docs, "text", queries, "query", Bm25K)
+    val fb = graft.operators.Bm25.searchFromTf(tfFull, queries, "query", Bm25K)
       .filter(col("rnk") <= 3).select("query_id", "doc_id")
-    val tf = graft.Dist.spread(
-        docs.select(col("doc_id"), Embed.tokens(col("text")).as("tk")))
-      .filter(size(col("tk")) > 0)
-      .select(col("doc_id"), explode(col("tk")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = tfFull.select("doc_id", "term", "tf")
     val qt = queries.select(col("query_id"),
       explode(array_distinct(Embed.tokens(col("query")))).as("term"))
     val cand = fb.join(tf, "doc_id")
@@ -1453,14 +1508,15 @@ object CorpusQueries {
 
   lazy val qe1Sql: String =
     s"""WITH fb AS (SELECT query_id, doc_id FROM ($b2Sql) WHERE rnk <= 3),
-       |$toksCte,
+       |$zToksCte,
        |tf2 AS (SELECT doc_id, t AS term, count(*) AS tf FROM (
        |          SELECT doc_id, unnest(tk) AS t FROM toks WHERE len(tk) > 0)
        |        GROUP BY 1, 2),
-       |qt AS (SELECT doc_id AS query_id,
+       |$zQryCtes,
+       |qt AS (SELECT query_id,
        |         unnest(list_distinct(list_filter(string_split(query, ' '),
        |           __qe -> length(__qe) > 0))) AS term
-       |       FROM ($q0Sql)),
+       |       FROM qry),
        |cand AS (SELECT f.query_id, t.term, CAST(sum(t.tf) AS BIGINT) AS fb_tf
        |         FROM fb f JOIN tf2 t ON t.doc_id = f.doc_id
        |         LEFT JOIN qt ON qt.query_id = f.query_id AND qt.term = t.term
@@ -1503,12 +1559,14 @@ object CorpusQueries {
     * docs (the reference's query flow, chroma.py:96-106, with v0's
     * deterministic model). */
   def v12Hybrid(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select("doc_id", "text")
-    val queries = TextAnalysis.queryGen(docs, "text")
+    val docs = TextAnalysis.zipfDocsCached(
+      Tables.documents(s, d).select("doc_id", "text"), "text", d)
+    val tf = graft.operators.Bm25.tfTableCached(docs, "text", d)
+    val queries = TextAnalysis.zipfQueriesCached(tf, d)
       .select(col("doc_id").as("query_id"), col("query"))
-    val lex = graft.operators.Bm25.search(docs, "text", queries, "query", HybridArmK)
+    val lex = graft.operators.Bm25.searchFromTf(tf, queries, "query", HybridArmK)
       .select("query_id", "doc_id", "rnk")
-    val dEmb = Embed.embedDocs(docs, "text", HybridDim)
+    val dEmb = Embed.embedDocsCached(docs, "text", HybridDim, d)
       .select(col("doc_id").as("vec_id"), col("embedding").as("v"))
     val qEmb = Embed.embedDocs(
       queries.select(col("query_id").as("doc_id"), col("query").as("text")),
@@ -1542,16 +1600,8 @@ object CorpusQueries {
     val B = graft.operators.Bm25.B
     val cos = "list_dot_product(q.vec, d.vec) / " +
       "(sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(d.vec, d.vec)))"
-    s"""$toksCte,
-       |freq AS (
-       |  SELECT doc_id, tok, count(*) AS freq FROM (
-       |    SELECT doc_id, unnest(tk) AS tok FROM toks WHERE doc_id % 10 = 0)
-       |  GROUP BY 1, 2),
-       |rankedq AS (
-       |  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id
-       |    ORDER BY freq DESC, tok ASC) AS rnk FROM freq),
-       |qry AS (SELECT doc_id AS query_id, string_agg(tok, ' ' ORDER BY rnk) AS query
-       |        FROM rankedq WHERE rnk <= 3 GROUP BY doc_id),
+    s"""$zToksCte,
+       |$zQryCtes,
        |tk2 AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
        |tf AS (SELECT doc_id, t AS term, count(*) AS tf, any_value(dl) AS dl FROM (
        |         SELECT doc_id, len(tk) AS dl, unnest(tk) AS t FROM tk2)
@@ -1619,13 +1669,15 @@ object CorpusQueries {
     * exact integers; the depth-weighted sum is one fixed-order
     * expression with shared literal coefficients. */
   def rk1RankAgreement(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select("doc_id", "text")
-    val queries = TextAnalysis.queryGen(docs, "text")
+    val docs = TextAnalysis.zipfDocsCached(
+      Tables.documents(s, d).select("doc_id", "text"), "text", d)
+    val tf = graft.operators.Bm25.tfTableCached(docs, "text", d)
+    val queries = TextAnalysis.zipfQueriesCached(tf, d)
       .select(col("doc_id").as("query_id"), col("query"))
-    val lex = graft.operators.Bm25.search(docs, "text", queries, "query", HybridArmK)
+    val lex = graft.operators.Bm25.searchFromTf(tf, queries, "query", HybridArmK)
       .select(col("query_id"), col("doc_id"), col("rnk").as("lr"))
       .filter(col("lr") <= RboDepth)
-    val dEmb = Embed.embedDocs(docs, "text", HybridDim)
+    val dEmb = Embed.embedDocsCached(docs, "text", HybridDim, d)
       .select(col("doc_id").as("vec_id"), col("embedding").as("v"))
     val qEmb = Embed.embedDocs(
       queries.select(col("query_id").as("doc_id"), col("query").as("text")),
