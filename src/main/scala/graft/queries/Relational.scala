@@ -717,6 +717,93 @@ object Relational {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---- al1_alert_backfill ---------------------------------------------
+
+  val AlertThreshold = 50.0
+  val AlertRunLen = 3
+
+  /** al1_alert_backfill — the streaming consecutive-threshold alerter
+    * (EventStream.alertStream, flatMapGroupsWithState) given the bf1
+    * treatment: the LIVE transform drained over a parquet backlog by
+    * Trigger.AvailableNow, result hash-compared to the batch oracle.
+    * The whole backlog arrives as one micro-batch (file source with no
+    * maxFilesPerTrigger cap), and the per-type fold sorts its batch by
+    * event time, so the stateful run/re-arm logic sees the same global
+    * order the oracle's gaps-and-islands SQL walks — (event_type, ts)
+    * is unique in the fixture, making that order total. */
+  def al1AlertBackfill(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val batch = Tables.events(spark, sfDir).select("event_type", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_al1_backlog").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+      .as[graft.streaming.EventStream.AlertEvent]
+    val sink = s"al1_out_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = graft.streaming.EventStream
+      .alertStream(stream, AlertThreshold, AlertRunLen)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
+  val al1Sql: String =
+    s"""WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
+       |b AS (SELECT event_type, us,
+       |        CASE WHEN value > $AlertThreshold THEN 1 ELSE 0 END AS br,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY us) AS rn
+       |      FROM e),
+       |g AS (SELECT event_type, us, rn - row_number() OVER (
+       |        PARTITION BY event_type ORDER BY us) AS grp
+       |      FROM b WHERE br = 1),
+       |runs AS (SELECT event_type, us, row_number() OVER (
+       |           PARTITION BY event_type, grp ORDER BY us) AS pos
+       |         FROM g)
+       |SELECT event_type, $AlertRunLen AS run_length, us AS last_us
+       |FROM runs WHERE pos % $AlertRunLen = 0""".stripMargin
+
+  // ---- fl1_funnel_resolve ---------------------------------------------
+
+  /** fl1_funnel_resolve — batch parity for the streaming funnel: the
+    * SAME per-user resolution the stateful stream runs at timeout
+    * (FunnelStream.resolve — first view, first click strictly after,
+    * first purchase strictly after that) executed as a batch
+    * groupByKey over the events table. The streaming arm emits on
+    * event-time timeout, which a drained backlog never fires; running
+    * the shared fold in batch puts the VALUES under the driver's
+    * hash gate while StreamingSpec keeps proving the streaming
+    * emission path. */
+  def fl1FunnelResolve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[graft.streaming.FunnelStream.FunnelEvent]
+      .groupByKey(_.user_id)
+      .mapGroups { (uid, it) =>
+        graft.streaming.FunnelStream.resolve(uid,
+          it.map(e => (e.event_type,
+            graft.streaming.Sessionize.micros(e.ts))).toSeq)
+      }.toDF()
+  }
+
+  val fl1Sql: String =
+    """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS view_us
+       |           FROM events WHERE event_type = 'view' GROUP BY 1),
+       |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS click_us
+       |      FROM events e JOIN v ON v.user_id = e.user_id
+       |      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.view_us
+       |      GROUP BY 1),
+       |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us
+       |      FROM events e JOIN c ON c.user_id = e.user_id
+       |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.click_us
+       |      GROUP BY 1)
+       |SELECT u.user_id, v.view_us, c.click_us, p.purchase_us
+       |FROM (SELECT DISTINCT user_id FROM events) u
+       |LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+       |LEFT JOIN p USING (user_id)""".stripMargin
+
   /** q13_salted_agg — two-phase salted aggregation (Dist.saltedSum):
     * the skew-safe shape for a hot grouping key — partials on
     * (key, salt) spread one hot key over `salts` reducers, then the
