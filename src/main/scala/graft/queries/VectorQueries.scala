@@ -799,11 +799,30 @@ object VectorQueries {
       .join(queryVecs(s, d), "query_id")
       .select(col("query_id"), col("qv"), col("vec_id").as("node"))
 
+  /** The hg1 graph persisted fit-or-load per dataset (chroma persists
+    * its HNSW index and serves every query from it,
+    * /root/reference/src/chroma.py:76-106 — same cost attribution as
+    * v8's centroids: the build is hg1's row, serving rows pay one
+    * parquet scan). */
+  private def hnswEdgesCached(s: SparkSession, d: String): DataFrame = {
+    val path = indexPath(d, "hnsw_edges")
+    val cached =
+      try {
+        val df = s.read.parquet(path)
+        if (df.limit(1).count() == 1) Some(df) else None
+      } catch { case _: Exception => None }
+    cached.getOrElse {
+      hg1HnswBuild(s, d)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      s.read.parquet(path)
+    }
+  }
+
   /** hg2_hnsw_search — deterministic greedy descent + LSH-seeded
     * layer-0 beam over the hg1 graph, top-K from the visited
     * neighborhoods. */
   def hg2HnswSearch(s: SparkSession, d: String): DataFrame = {
-    val edges = hg1HnswBuild(s, d).localCheckpoint()
+    val edges = hnswEdgesCached(s, d)
     val vis = graft.operators.HnswIndex.visitedStates(queryVecs(s, d), edges,
       hnswCorpus(s, d), HnswMaxLevel, HnswHopsUpper, HnswHopsZero, HnswBeam,
       Some(hnswSeeds(s, d)))
@@ -814,7 +833,7 @@ object VectorQueries {
   /** hg3_hnsw_recall — recall@K vs brute force as layer-0 hops grow
     * 0→2 (the v18-style tuning curve for the graph index). */
   def hg3HnswRecall(s: SparkSession, d: String): DataFrame = {
-    val edges = hg1HnswBuild(s, d).localCheckpoint()
+    val edges = hnswEdgesCached(s, d)
     val corpus = hnswCorpus(s, d)
     val vis = graft.operators.HnswIndex.visitedStates(queryVecs(s, d), edges,
       corpus, HnswMaxLevel, HnswHopsUpper, HnswHopsZero, HnswBeam,
