@@ -112,6 +112,50 @@ object HnswIndex {
     layers.reduce(_ unionByName _)
   }
 
+  /** Incremental maintenance: fresh per-layer edge lists for a batch
+    * of UPDATED vectors against the current (merged) corpus — the
+    * IndexStore.upsert analog for the graph index. Work is O(batch ×
+    * bucket occupancy), never O(corpus): only the batch side explodes
+    * into buckets as the probe, the corpus side reuses the same
+    * bucket keys the build used. Edges FROM unchanged nodes TO a
+    * replaced vector keep their stale scores until a compact — the
+    * same merge-on-read debt IndexStore carries, by design (writes
+    * stay O(batch)). batch/corpus: (vec_id, v); corpus is the merged
+    * post-upsert state including the batch. */
+  def deltaEdges(batch: DataFrame, corpus: DataFrame,
+                 w: Array[Array[Array[Double]]], bitsPerLayer: Array[Int],
+                 tablesPerLayer: Array[Int], m: Int): DataFrame = {
+    val maxLevel = bitsPerLayer.length - 1
+    val bl = withLevels(batch, maxLevel)
+    val cl = withLevels(corpus, maxLevel)
+    val bb = bl.select(col("vec_id").as("bid"), col("lvl").as("blvl"),
+      posexplode(VectorSearch.hyperplaneBuckets(col("v"), w))
+        .as(Seq("tbl", "bucket")))
+    val cb = cl.select(col("vec_id"), col("lvl"),
+      posexplode(VectorSearch.hyperplaneBuckets(col("v"), w))
+        .as(Seq("tbl", "bucket")))
+    val va = bl.select(col("vec_id").as("src"), col("v").as("vs"))
+    val vb = cl.select(col("vec_id").as("dst"), col("v").as("vd"))
+    val layers = bitsPerLayer.indices.map { l =>
+      val mask = 1L << bitsPerLayer(l)
+      val cand = bb.filter(col("blvl") >= l && col("tbl") < tablesPerLayer(l))
+        .withColumn("b", col("bucket") % mask)
+        .join(cb.filter(col("lvl") >= l && col("tbl") < tablesPerLayer(l))
+          .withColumn("b", col("bucket") % mask)
+          .select(col("tbl"), col("b"), col("vec_id")), Seq("tbl", "b"))
+        .filter(col("bid") =!= col("vec_id"))
+        .select(col("bid").as("src"), col("vec_id").as("dst")).distinct()
+      val sc = cand.join(va, "src").join(vb, "dst")
+        .select(col("src"), col("dst"),
+          round(Vec.cosine(col("vs"), col("vd")), 6).as("score"))
+      graft.plans.TopK.perKey(sc, Seq("src"),
+        Seq(col("score").desc, col("dst").asc), m)
+        .select(lit(l).as("layer"), col("src"), col("dst"), col("score"),
+          col("rnk"))
+    }
+    layers.reduce(_ unionByName _)
+  }
+
   /** One greedy/beam step at one layer: the cursor SET moves to the
     * top-`k` of {itself} ∪ its layer-l neighbors by rounded cosine
     * (ties to the smaller vec_id). k=1 is greedy descent (upper

@@ -852,6 +852,21 @@ object VectorQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** hg4_hnsw_upsert — incremental graph maintenance: every 10th
+    * corpus vector re-submitted negated (u3's convention), and the
+    * output is the batch nodes' fresh per-layer edge lists against
+    * the merged corpus — O(batch × occupancy) work, the
+    * IndexStore.upsert analog for the HNSW index (stale reverse
+    * edges are merge-on-read debt a compact folds away). */
+  def hg4HnswUpsert(s: SparkSession, d: String): DataFrame = {
+    val corpus = hnswCorpus(s, d)
+    val batch = corpus.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), transform(col("v"), x => -x).as("v"))
+    val merged = corpus.filter(col("vec_id") % 10 =!= 0).unionByName(batch)
+    graft.operators.HnswIndex.deltaEdges(batch, merged, rpWeightsPair,
+      HnswBits, HnswTables, HnswM)
+  }
+
   // ---- hg oracle SQL: the identical hierarchy, edges and unrolled
   // walk rebuilt in DuckDB ----------------------------------------------
 
@@ -1016,6 +1031,45 @@ object VectorQueries {
        |        ORDER BY round(${cosS("u.qv", "m.v")}, 6) DESC, u.cand ASC) AS rnk
        |    FROM cd_$hops u JOIN mem m ON m.vec_id = u.cand) tr_$hops
        |  WHERE rnk <= $K)""".stripMargin
+  }
+
+  lazy val hg4Sql: String = {
+    val perLayer = HnswBits.indices.map { l =>
+      val mask = 1L << HnswBits(l)
+      s"""ucand_$l AS MATERIALIZED (
+         |  SELECT DISTINCT b.vec_id AS src, m2.vec_id AS dst
+         |  FROM mb3 b JOIN mb3 m2
+         |    ON b.tbl = m2.tbl AND b.bucket % $mask = m2.bucket % $mask
+         |  WHERE b.vec_id % 10 = 0 AND b.lvl >= $l AND m2.lvl >= $l
+         |    AND b.tbl < ${HnswTables(l)} AND b.vec_id != m2.vec_id),
+         |ued_$l AS MATERIALIZED (
+         |  SELECT src, dst, score, rnk FROM (
+         |    SELECT p.src, p.dst, round(${cosS("x.v", "y.v")}, 6) AS score,
+         |      row_number() OVER (PARTITION BY p.src
+         |        ORDER BY round(${cosS("x.v", "y.v")}, 6) DESC, p.dst ASC) AS rnk
+         |    FROM ucand_$l p JOIN mrg x ON x.vec_id = p.src
+         |      JOIN mrg y ON y.vec_id = p.dst) us_$l
+         |  WHERE rnk <= $HnswM)""".stripMargin
+    }
+    s"""WITH $cCte,
+       |w(tbl, bit, wv) AS (VALUES
+       |    $rpWeightRowsPairS),
+       |mrg AS MATERIALIZED (
+       |  SELECT vec_id, v, ${hnswLvlS("vec_id")} AS lvl FROM (
+       |    SELECT vec_id, v FROM c WHERE vec_id % 10 != 0
+       |    UNION ALL
+       |    SELECT vec_id, list_transform(v, __ux -> -__ux) AS v
+       |    FROM c WHERE vec_id % 10 = 0) m0),
+       |mb3 AS MATERIALIZED (
+       |  SELECT s.vec_id, any_value(s.lvl) AS lvl, w.tbl,
+       |    CAST(sum(CASE WHEN list_dot_product(s.v, w.wv) >= 0
+       |             THEN (1::BIGINT << w.bit) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM mrg s, w
+       |  GROUP BY s.vec_id, w.tbl),
+       |${perLayer.mkString(",\n")}
+       |${HnswBits.indices.map(l =>
+          s"SELECT $l AS layer, src, dst, score, rnk FROM ued_$l")
+         .mkString("\nUNION ALL\n")}""".stripMargin
   }
 
   lazy val hg2Sql: String =

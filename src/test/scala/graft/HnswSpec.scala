@@ -40,6 +40,24 @@ class HnswSpec extends SparkSpec {
     assert(a.forall(_.getInt(3) <= VectorQueries.K))
   }
 
+  test("hg4 upsert emits fresh edges only for batch nodes, degree-capped") {
+    val delta = VectorQueries.hg4HnswUpsert(spark, sf).cache()
+    val badSrc = delta.filter(col("src") % 10 =!= 0).count()
+    assert(badSrc == 0, "delta edges must originate at batch nodes only")
+    assert(delta.filter(col("src") === col("dst")).count() == 0)
+    assert(delta.agg(max("rnk")).head.getInt(0) <= VectorQueries.HnswM)
+    // the updated vectors are NEGATED, so their old top neighbors
+    // (cos ~ +s) become ~ -s: fresh edges must not simply replay the
+    // pre-upsert layer-0 lists
+    val before = VectorQueries.hg1HnswBuild(spark, sf)
+      .filter(col("layer") === 0 && col("src") % 10 === 0)
+      .select("src", "dst")
+    val after = delta.filter(col("layer") === 0).select("src", "dst")
+    assert(after.intersect(before).count() < before.count(),
+      "negated vectors must re-link, not replay their old edges")
+    delta.unpersist()
+  }
+
   test("hg3 recall curve is monotone in hops and beats the 0.4 floor") {
     val rows = VectorQueries.hg3HnswRecall(spark, sf)
       .orderBy("hops").collect()

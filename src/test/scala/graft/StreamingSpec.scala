@@ -160,6 +160,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("al1 driver row equals the batch gaps-and-islands rule") {
+    // re-arm semantics on a hand fixture: 7 consecutive breaches with
+    // runLen 3 must alert at positions 3 and 6 only
+    val session = spark
+    import session.implicits._
+    val t0 = 1700000000000000L
+    val evs = (1 to 7).map(i => graft.streaming.EventStream.AlertEvent(
+      "a", new java.sql.Timestamp(t0 / 1000 + i * 1000), 10.0)) :+
+      graft.streaming.EventStream.AlertEvent(
+        "a", new java.sql.Timestamp(t0 / 1000 + 8 * 1000), 0.0)
+    val ms = MemoryStream[graft.streaming.EventStream.AlertEvent](spark)
+    val q = graft.streaming.EventStream.alertStream(ms.toDS(), 5.0, 3)
+      .writeStream.format("memory").queryName("al1spec")
+      .outputMode("append").start()
+    try {
+      ms.addData(evs: _*)
+      q.processAllAvailable()
+      val alerts = spark.table("al1spec").collect()
+        .map(r => r.getAs[Long]("last_us")).sorted
+      val us = evs.map(e => graft.streaming.Sessionize.micros(e.ts))
+      assert(alerts.toSeq == Seq(us(2), us(5)),
+        s"expected alerts at breach 3 and 6, got ${alerts.toSeq}")
+    } finally q.stop()
+  }
+
+  test("fl1 batch resolve equals the streaming resolve on a hand funnel") {
+    // click before the first view must NOT qualify; purchase after the
+    // qualifying click must
+    val evs = Seq(("click", 5L), ("view", 10L), ("click", 20L),
+      ("purchase", 30L))
+    val out = graft.streaming.FunnelStream.resolve(7L, evs)
+    assert(out == graft.streaming.FunnelStream.FunnelOut(
+      7L, Some(10L), Some(20L), Some(30L)))
+    val noView = graft.streaming.FunnelStream.resolve(8L,
+      Seq(("click", 5L), ("purchase", 6L)))
+    assert(noView == graft.streaming.FunnelStream.FunnelOut(
+      8L, None, None, None))
+  }
+
   test("streaming agg uses a watermark (bounded state)") {
     val session = spark
     import session.implicits._
