@@ -57,59 +57,85 @@ object HnswIndex {
     * indexed by layer; w supplies max(bitsPerLayer) planes per table
     * and layer l uses the first bitsPerLayer(l) of them (bucket
     * prefix-mask = bucket % 2^bits). */
+  /** Per-layer bucket mask / table count as CASE columns over a
+    * `layer` column — lets ALL layers share one join pipeline. */
+  private def maskCol(bitsPerLayer: Array[Int]): Column =
+    bitsPerLayer.indices.tail.foldLeft(
+      when(col("layer") === 0, lit(1L << bitsPerLayer(0)))) { (acc, l) =>
+      acc.when(col("layer") === l, lit(1L << bitsPerLayer(l)))
+    }.otherwise(lit(1L))
+
+  private def tablesCol(tablesPerLayer: Array[Int]): Column =
+    tablesPerLayer.indices.tail.foldLeft(
+      when(col("layer") === 0, lit(tablesPerLayer(0)))) { (acc, l) =>
+      acc.when(col("layer") === l, lit(tablesPerLayer(l)))
+    }.otherwise(lit(0))
+
+  /** (layer, tbl, b, vec_id) bucket rows for every layer a member
+    * belongs to — the ONE exploded form all layers join through.
+    * Row count is Σ_l N_l · tables_l ≈ 1.33·N·tables: the geometric
+    * level thinning pays for the layer explosion. */
+  private def layerBuckets(base: DataFrame, w: Array[Array[Array[Double]]],
+                           bitsPerLayer: Array[Int],
+                           tablesPerLayer: Array[Int]): DataFrame =
+    base.select(col("vec_id"), col("lvl"),
+      posexplode(VectorSearch.hyperplaneBuckets(col("v"), w))
+        .as(Seq("tbl", "bucket")))
+      .select(col("vec_id"), col("tbl"), col("bucket"),
+        explode(sequence(lit(0), col("lvl"))).as("layer"))
+      .filter(col("tbl") < tablesCol(tablesPerLayer))
+      .select(col("layer"), col("tbl"),
+        (col("bucket") % maskCol(bitsPerLayer)).as("b"), col("vec_id"))
+
   def buildEdges(corpus: DataFrame, w: Array[Array[Array[Double]]],
                  bitsPerLayer: Array[Int], tablesPerLayer: Array[Int],
                  m: Int): DataFrame = {
     val base = withLevels(corpus, bitsPerLayer.length - 1)
-    val bk = base.select(col("vec_id"), col("lvl"),
-      posexplode(VectorSearch.hyperplaneBuckets(col("v"), w))
-        .as(Seq("tbl", "bucket")))
+    // ONE pipeline for all layers (vs one join chain per layer): the
+    // exploded (layer, tbl, masked-bucket) rows make `layer` part of
+    // the join key, so candidates/rescore/top-M each run once.
+    val lr = layerBuckets(base, w, bitsPerLayer, tablesPerLayer)
     val va = base.select(col("vec_id").as("id_a"), col("v").as("va"))
     val vb = base.select(col("vec_id").as("id_b"), col("v").as("vb"))
-    val layers = bitsPerLayer.indices.map { l =>
-      val mem = bk.filter(col("lvl") >= l && col("tbl") < tablesPerLayer(l))
-        .withColumn("b", col("bucket") % (1L << bitsPerLayer(l)))
-      // narrow candidate join (ids only), distinct pair, one rescore —
-      // the nearDupPairsLshBuckets shape
-      val cand = mem.select(col("tbl"), col("b"), col("vec_id").as("id_a"))
-        .join(mem.select(col("tbl"), col("b"), col("vec_id").as("id_b")),
-          Seq("tbl", "b"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-      val sc = cand.join(va, "id_a").join(vb, "id_b")
-        .select(col("id_a"), col("id_b"),
-          round(Vec.cosine(col("va"), col("vb")), 6).as("score"))
-      val directed = sc.select(col("id_a").as("src"), col("id_b").as("dst"),
-          col("score"))
-        .unionAll(sc.select(col("id_b").as("src"), col("id_a").as("dst"),
-          col("score")))
-      val ed0 = graft.plans.TopK.perKey(directed, Seq("src"),
-        Seq(col("score").desc, col("dst").asc), m)
-        .select("src", "dst")
-      // one NN-descent round (Dong et al., WWW'11): LSH buckets alone
-      // cap graph quality at the bucket recall; refining against
-      // reversed edges + neighbors-of-neighbors lifts it toward the
-      // true kNN graph at |E|·M bounded cost — no all-pairs anywhere.
-      val ndCand = ed0
-        .unionAll(ed0.select(col("dst").as("src"), col("src").as("dst")))
-        .unionAll(ed0.select(col("src"), col("dst").as("mid"))
-          .join(ed0.select(col("src").as("mid"), col("dst").as("dst2")), "mid")
-          .filter(col("src") =!= col("dst2"))
-          .select(col("src"), col("dst2").as("dst")))
-        .distinct()
-      val ndScored = ndCand
-        .join(va.withColumnRenamed("id_a", "src")
-          .withColumnRenamed("va", "vs"), "src")
-        .join(vb.withColumnRenamed("id_b", "dst")
-          .withColumnRenamed("vb", "vd"), "dst")
-        .select(col("src"), col("dst"),
-          round(Vec.cosine(col("vs"), col("vd")), 6).as("score"))
-      graft.plans.TopK.perKey(ndScored, Seq("src"),
-        Seq(col("score").desc, col("dst").asc), m)
-        .select(lit(l).as("layer"), col("src"), col("dst"), col("score"),
-          col("rnk"))
-    }
-    layers.reduce(_ unionByName _)
+    val cand = lr.select(col("layer"), col("tbl"), col("b"),
+        col("vec_id").as("id_a"))
+      .join(lr.select(col("layer"), col("tbl"), col("b"),
+        col("vec_id").as("id_b")), Seq("layer", "tbl", "b"))
+      .filter(col("id_a") < col("id_b"))
+      .select("layer", "id_a", "id_b").distinct()
+    val sc = cand.join(va, "id_a").join(vb, "id_b")
+      .select(col("layer"), col("id_a"), col("id_b"),
+        round(Vec.cosine(col("va"), col("vb")), 6).as("score"))
+    val directed = sc.select(col("layer"), col("id_a").as("src"),
+        col("id_b").as("dst"), col("score"))
+      .unionAll(sc.select(col("layer"), col("id_b").as("src"),
+        col("id_a").as("dst"), col("score")))
+    val ed0 = graft.plans.TopK.perKey(directed, Seq("layer", "src"),
+      Seq(col("score").desc, col("dst").asc), m)
+      .select("layer", "src", "dst")
+    // one NN-descent round (Dong et al., WWW'11): LSH buckets alone
+    // cap graph quality at the bucket recall; refining against
+    // reversed edges + neighbors-of-neighbors lifts it toward the
+    // true kNN graph at |E|·M bounded cost — no all-pairs anywhere.
+    val ndCand = ed0
+      .unionAll(ed0.select(col("layer"), col("dst").as("src"),
+        col("src").as("dst")))
+      .unionAll(ed0.select(col("layer"), col("src"), col("dst").as("mid"))
+        .join(ed0.select(col("layer"), col("src").as("mid"),
+          col("dst").as("dst2")), Seq("layer", "mid"))
+        .filter(col("src") =!= col("dst2"))
+        .select(col("layer"), col("src"), col("dst2").as("dst")))
+      .distinct()
+    val ndScored = ndCand
+      .join(va.withColumnRenamed("id_a", "src")
+        .withColumnRenamed("va", "vs"), "src")
+      .join(vb.withColumnRenamed("id_b", "dst")
+        .withColumnRenamed("vb", "vd"), "dst")
+      .select(col("layer"), col("src"), col("dst"),
+        round(Vec.cosine(col("vs"), col("vd")), 6).as("score"))
+    graft.plans.TopK.perKey(ndScored, Seq("layer", "src"),
+      Seq(col("score").desc, col("dst").asc), m)
+      .select("layer", "src", "dst", "score", "rnk")
   }
 
   /** Incremental maintenance: fresh per-layer edge lists for a batch
@@ -128,32 +154,23 @@ object HnswIndex {
     val maxLevel = bitsPerLayer.length - 1
     val bl = withLevels(batch, maxLevel)
     val cl = withLevels(corpus, maxLevel)
-    val bb = bl.select(col("vec_id").as("bid"), col("lvl").as("blvl"),
-      posexplode(VectorSearch.hyperplaneBuckets(col("v"), w))
-        .as(Seq("tbl", "bucket")))
-    val cb = cl.select(col("vec_id"), col("lvl"),
-      posexplode(VectorSearch.hyperplaneBuckets(col("v"), w))
-        .as(Seq("tbl", "bucket")))
+    // same one-pipeline shape as buildEdges: only the small batch side
+    // probes, keyed by (layer, tbl, masked bucket)
+    val blr = layerBuckets(bl, w, bitsPerLayer, tablesPerLayer)
+      .select(col("layer"), col("tbl"), col("b"), col("vec_id").as("bid"))
+    val clr = layerBuckets(cl, w, bitsPerLayer, tablesPerLayer)
     val va = bl.select(col("vec_id").as("src"), col("v").as("vs"))
     val vb = cl.select(col("vec_id").as("dst"), col("v").as("vd"))
-    val layers = bitsPerLayer.indices.map { l =>
-      val mask = 1L << bitsPerLayer(l)
-      val cand = bb.filter(col("blvl") >= l && col("tbl") < tablesPerLayer(l))
-        .withColumn("b", col("bucket") % mask)
-        .join(cb.filter(col("lvl") >= l && col("tbl") < tablesPerLayer(l))
-          .withColumn("b", col("bucket") % mask)
-          .select(col("tbl"), col("b"), col("vec_id")), Seq("tbl", "b"))
-        .filter(col("bid") =!= col("vec_id"))
-        .select(col("bid").as("src"), col("vec_id").as("dst")).distinct()
-      val sc = cand.join(va, "src").join(vb, "dst")
-        .select(col("src"), col("dst"),
-          round(Vec.cosine(col("vs"), col("vd")), 6).as("score"))
-      graft.plans.TopK.perKey(sc, Seq("src"),
-        Seq(col("score").desc, col("dst").asc), m)
-        .select(lit(l).as("layer"), col("src"), col("dst"), col("score"),
-          col("rnk"))
-    }
-    layers.reduce(_ unionByName _)
+    val cand = blr.join(clr, Seq("layer", "tbl", "b"))
+      .filter(col("bid") =!= col("vec_id"))
+      .select(col("layer"), col("bid").as("src"), col("vec_id").as("dst"))
+      .distinct()
+    val sc = cand.join(va, "src").join(vb, "dst")
+      .select(col("layer"), col("src"), col("dst"),
+        round(Vec.cosine(col("vs"), col("vd")), 6).as("score"))
+    graft.plans.TopK.perKey(sc, Seq("layer", "src"),
+      Seq(col("score").desc, col("dst").asc), m)
+      .select("layer", "src", "dst", "score", "rnk")
   }
 
   /** One greedy/beam step at one layer: the cursor SET moves to the
