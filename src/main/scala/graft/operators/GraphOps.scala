@@ -94,10 +94,17 @@ object GraphOps {
     * component: (component, survivor_id, n_members, n_dropped).
     */
   def survivors(edges: DataFrame, docs: DataFrame,
-                priorityCol: String): DataFrame = {
+                priorityCol: String): DataFrame =
+    survivorsFromGroups(dedupGroups(edges), docs, priorityCol)
+
+  /** Survivor selection over a PREBUILT component table (doc_id,
+    * component, group_size) — the dedup pipeline materializes its
+    * components once (d8's row) and every report reads them. */
+  def survivorsFromGroups(groups: DataFrame, docs: DataFrame,
+                          priorityCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
       .orderBy(col("__prio").desc, col("doc_id").asc)
-    dedupGroups(edges)
+    groups
       .join(docs.select(col("doc_id"), col(priorityCol),
         lit(1).as("__present")), Seq("doc_id"), "left")
       // Left join + execution-time assert: an inner join would silently
