@@ -29,6 +29,20 @@ class PlanShapeSpec extends SparkSpec {
       s"no partial aggregate under the exchange:\n$p")
   }
 
+  test("hg1 graph build has no cartesian product; all joins are bucket equi-joins") {
+    val p = plan(VectorQueries.hg1HnswBuild(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"HNSW build degenerated to a cartesian product: $p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"HNSW candidate join is not an equi-join: $p")
+  }
+
+  test("hg4 delta edges join only through (layer, tbl, bucket) keys") {
+    val p = plan(VectorQueries.hg4HnswUpsert(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"delta-edge join is not bucket-bounded: $p")
+  }
+
   test("brute kNN broadcasts queries; corpus is never shuffled for the join") {
     val p = plan(VectorQueries.v1KnnCos(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
