@@ -55,21 +55,9 @@ object Bm25 {
     * build to each serve. First call tokenizes + writes; later calls
     * are one parquet scan. */
   def tfTableCached(docs: DataFrame, textCol: String,
-                    datasetTag: String): DataFrame = {
-    val spark = docs.sparkSession
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm25tf_" +
-      graft.Dist.pathTag(datasetTag + ":" + textCol)
-    val cached =
-      try {
-        val df = spark.read.parquet(path)
-        if (df.limit(1).count() == 1) Some(df) else None
-      } catch { case _: Exception => None }
-    cached.getOrElse {
-      tfTable(docs, textCol)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-      spark.read.parquet(path)
-    }
-  }
+                    datasetTag: String): DataFrame =
+    FitOrLoad.parquet(docs.sparkSession, "bm25tf", datasetTag,
+      s"col=$textCol", docs.count())(tfTable(docs, textCol))
 
   /** docs: (doc_id, textCol); queries: (query_id, queryCol).
     * Emits (query_id, doc_id, score, rnk), top `k` docs per query by

@@ -68,21 +68,9 @@ object Embed {
     * an offline artifact, and serving-path queries (hybrid search,
     * rank agreement) read it rather than re-embedding the corpus. */
   def embedDocsCached(docs: org.apache.spark.sql.DataFrame, textCol: String,
-                      dim: Int, datasetTag: String): org.apache.spark.sql.DataFrame = {
-    val spark = docs.sparkSession
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_demb_" +
-      graft.Dist.pathTag(datasetTag + ":" + textCol + ":" + dim)
-    val cached =
-      try {
-        val df = spark.read.parquet(path)
-        if (df.limit(1).count() == 1) Some(df) else None
-      } catch { case _: Exception => None }
-    cached.getOrElse {
-      embedDocs(docs, textCol, dim)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-      spark.read.parquet(path)
-    }
-  }
+                      dim: Int, datasetTag: String): org.apache.spark.sql.DataFrame =
+    FitOrLoad.parquet(docs.sparkSession, "demb", datasetTag,
+      s"col=$textCol;dim=$dim", docs.count())(embedDocs(docs, textCol, dim))
 
   /** Exploded (doc_id, dim_idx, value) form. posexplode wraps the
     * embedding expression IN the constructing select: exploding a

@@ -89,7 +89,7 @@ object HnswIndex {
 
   def buildEdges(corpus: DataFrame, w: Array[Array[Array[Double]]],
                  bitsPerLayer: Array[Int], tablesPerLayer: Array[Int],
-                 m: Int): DataFrame = {
+                 m: Int, ndRounds: Int = 1): DataFrame = {
     val base = withLevels(corpus, bitsPerLayer.length - 1)
     // ONE pipeline for all layers (vs one join chain per layer): the
     // exploded (layer, tbl, masked-bucket) rows make `layer` part of
@@ -113,29 +113,37 @@ object HnswIndex {
     val ed0 = graft.plans.TopK.perKey(directed, Seq("layer", "src"),
       Seq(col("score").desc, col("dst").asc), m)
       .select("layer", "src", "dst")
-    // one NN-descent round (Dong et al., WWW'11): LSH buckets alone
-    // cap graph quality at the bucket recall; refining against
-    // reversed edges + neighbors-of-neighbors lifts it toward the
-    // true kNN graph at |E|·M bounded cost — no all-pairs anywhere.
-    val ndCand = ed0
-      .unionAll(ed0.select(col("layer"), col("dst").as("src"),
-        col("src").as("dst")))
-      .unionAll(ed0.select(col("layer"), col("src"), col("dst").as("mid"))
-        .join(ed0.select(col("layer"), col("src").as("mid"),
-          col("dst").as("dst2")), Seq("layer", "mid"))
-        .filter(col("src") =!= col("dst2"))
-        .select(col("layer"), col("src"), col("dst2").as("dst")))
-      .distinct()
-    val ndScored = ndCand
-      .join(va.withColumnRenamed("id_a", "src")
-        .withColumnRenamed("va", "vs"), "src")
-      .join(vb.withColumnRenamed("id_b", "dst")
-        .withColumnRenamed("vb", "vd"), "dst")
-      .select(col("layer"), col("src"), col("dst"),
-        round(Vec.cosine(col("vs"), col("vd")), 6).as("score"))
-    graft.plans.TopK.perKey(ndScored, Seq("layer", "src"),
-      Seq(col("score").desc, col("dst").asc), m)
-      .select("layer", "src", "dst", "score", "rnk")
+    // NN-descent rounds (Dong et al., WWW'11): LSH buckets alone cap
+    // graph quality at the bucket recall; each round refines against
+    // reversed edges + neighbors-of-neighbors at |E|·M bounded cost —
+    // no all-pairs anywhere. Reachability roughly squares per round,
+    // so 2 rounds close most of the gap to the true kNN graph.
+    val vs = va.withColumnRenamed("id_a", "src").withColumnRenamed("va", "vs")
+    val vd = vb.withColumnRenamed("id_b", "dst").withColumnRenamed("vb", "vd")
+    var ed = ed0
+    for (r <- 1 to ndRounds) {
+      val ndCand = ed
+        .unionAll(ed.select(col("layer"), col("dst").as("src"),
+          col("src").as("dst")))
+        .unionAll(ed.select(col("layer"), col("src"), col("dst").as("mid"))
+          .join(ed.select(col("layer"), col("src").as("mid"),
+            col("dst").as("dst2")), Seq("layer", "mid"))
+          .filter(col("src") =!= col("dst2"))
+          .select(col("layer"), col("src"), col("dst2").as("dst")))
+        .distinct()
+      val ndScored = ndCand.join(vs, "src").join(vd, "dst")
+        .select(col("layer"), col("src"), col("dst"),
+          round(Vec.cosine(col("vs"), col("vd")), 6).as("score"))
+      val topm = graft.plans.TopK.perKey(ndScored, Seq("layer", "src"),
+        Seq(col("score").desc, col("dst").asc), m)
+      // intermediate rounds feed the next candidate expansion (src,dst
+      // only, checkpointed to keep the multi-round lineage flat); the
+      // last round keeps score+rnk as the output edge table
+      ed =
+        if (r == ndRounds) topm.select("layer", "src", "dst", "score", "rnk")
+        else topm.select("layer", "src", "dst").localCheckpoint()
+    }
+    ed
   }
 
   /** Incremental maintenance: fresh per-layer edge lists for a batch
@@ -184,8 +192,13 @@ object HnswIndex {
     val nbrs = layerEdges.select(col("src"), col("dst"))
       .join(broadcast(cur), col("node") === col("src"))
       .select(col("query_id"), col("qv"), col("dst").as("cand"))
+    // dedup before ranking: cursors converge and share neighbors, and a
+    // duplicate (query_id, cand) row would consume a rank slot — the
+    // effective beam silently shrinks below k (the SQL stepCte carries
+    // the matching DISTINCT)
     val u = cur.select(col("query_id"), col("qv"), col("node").as("cand"))
       .unionAll(nbrs)
+      .dropDuplicates("query_id", "cand")
     val scored = base.select(col("vec_id").as("cand"), col("v"))
       .join(broadcast(u), "cand")
       .select(col("query_id"), col("qv"), col("cand"),

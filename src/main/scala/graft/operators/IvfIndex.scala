@@ -61,21 +61,13 @@ object IvfIndex {
     * centroids persist as a k-row parquet keyed by the caller's path
     * (the caller keys it by dataset dir): the first call pays one
     * sample-fit and writes; every later call is a k-row parquet read.
-    * `k` doubles as the cache validity check — a partial/stale write
-    * with the wrong row count triggers a refit. */
+    * The FitOrLoad manifest pins every fit parameter plus the corpus
+    * row count, so a changed knob or swapped fixture refits. */
   def fitOrLoadCentroids(corpus: DataFrame, k: Int, path: String,
                          seed: Long = 42L, maxIter: Int = 10,
-                         fitSampleRows: Long = 65536): DataFrame = {
-    val spark = corpus.sparkSession
-    val cached =
-      try {
-        val df = spark.read.parquet(path)
-        if (df.count() == k) Some(df) else None
-      } catch { case _: Exception => None }
-    cached.getOrElse {
-      kmeansCentroids(corpus, k, seed, maxIter, fitSampleRows)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-      spark.read.parquet(path)
-    }
-  }
+                         fitSampleRows: Long = 65536): DataFrame =
+    FitOrLoad.parquetAt(corpus.sparkSession, path,
+      s"k=$k;seed=$seed;iter=$maxIter;sample=$fitSampleRows;" +
+        s"n=${corpus.count()}")(
+      kmeansCentroids(corpus, k, seed, maxIter, fitSampleRows))
 }

@@ -273,42 +273,19 @@ object TextAnalysis {
     * calls are a plain parquet scan. Cache key = dataset path, valid
     * iff the row count matches the source. */
   def zipfDocsCached(docs: DataFrame, textCol: String,
-                     datasetTag: String): DataFrame = {
-    val spark = docs.sparkSession
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_zipf_" +
-      graft.Dist.pathTag(datasetTag + ":" + textCol)
-    val cached =
-      try {
-        val df = spark.read.parquet(path)
-        if (df.count() == docs.count()) Some(df) else None
-      } catch { case _: Exception => None }
-    cached.getOrElse {
-      zipfRemap(docs, textCol)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-      spark.read.parquet(path)
-    }
-  }
+                     datasetTag: String): DataFrame =
+    FitOrLoad.parquet(docs.sparkSession, "zipf", datasetTag,
+      s"col=$textCol;vocab=$ZipfVocab", docs.count())(
+      zipfRemap(docs, textCol))
 
   /** The generated query set persisted per dataset (the reference
     * PRE-GENERATES its evaluation queries and stores them,
     * /root/reference/src/queries.py — query generation is fixture
     * prep, not serving work). Fit-or-load parquet keyed by dataset
     * tag, derived from the cached tf table on first call. */
-  def zipfQueriesCached(tf: DataFrame, datasetTag: String): DataFrame = {
-    val spark = tf.sparkSession
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_zipfq_" +
-      graft.Dist.pathTag(datasetTag)
-    val cached =
-      try {
-        val df = spark.read.parquet(path)
-        if (df.limit(1).count() == 1) Some(df) else None
-      } catch { case _: Exception => None }
-    cached.getOrElse {
-      zipfQueryGenFromTf(tf)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-      spark.read.parquet(path)
-    }
-  }
+  def zipfQueriesCached(tf: DataFrame, datasetTag: String): DataFrame =
+    FitOrLoad.parquet(tf.sparkSession, "zipfq", datasetTag,
+      s"mindf=$ZipfQueryMinDf", tf.count())(zipfQueryGenFromTf(tf))
 
   /** Query terms must hit a real posting list (df >= MinDf): the
     * absolute-rarest terms are df-1 hapaxes that match only their own

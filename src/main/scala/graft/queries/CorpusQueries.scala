@@ -1770,20 +1770,10 @@ object CorpusQueries {
     * savings) — re-running the iterative CC inside each report charges
     * the build to every read (the v8/hg2 cost-attribution rule).
     * d8's own row always rebuilds: it IS the build measurement. */
-  private def dedupComponentsCached(s: SparkSession, d: String): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_d8comp_" +
-      graft.Dist.pathTag(d)
-    val cached =
-      try {
-        val df = s.read.parquet(path)
-        if (df.limit(1).count() == 1) Some(df) else None
-      } catch { case _: Exception => None }
-    cached.getOrElse {
-      d8DedupGroups(s, d)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-      s.read.parquet(path)
-    }
-  }
+  private def dedupComponentsCached(s: SparkSession, d: String): DataFrame =
+    graft.operators.FitOrLoad.parquet(s, "d8comp", d,
+      s"cap=${graft.operators.Dedup.DropDfCap}",
+      Tables.documents(s, d).count())(d8DedupGroups(s, d))
 
   /** The d2 near-dup pair graph as CTEs ending in `sym` (symmetrized
     * src→dst edges) — shared by the d8 components oracle (transitive

@@ -776,7 +776,12 @@ object VectorQueries {
   val HnswTables = Array(8, 8, 8, 1) // bits=0 → one table IS all-pairs
   val HnswHopsUpper = 2
   val HnswHopsZero = 4
-  val HnswBeam = 8 // layer-0 ef-search beam width
+  val HnswBeam = 16 // layer-0 ef-search beam width
+  // NN-descent refinement rounds in the build: round 8 shipped 1 and
+  // measured recall@5 0.525 at sf0.1 — graph quality (not beam slots)
+  // was the binding constraint; a second round roughly squares
+  // reachability toward the true kNN graph at the same |E|·M bound
+  val HnswNdRounds = 2
 
   private def hnswCorpus(s: SparkSession, d: String): DataFrame =
     corpusVecs(s, d).select("vec_id", "v")
@@ -785,7 +790,7 @@ object VectorQueries {
     * (layer, src, dst, score, rnk ≤ M). */
   def hg1HnswBuild(s: SparkSession, d: String): DataFrame =
     graft.operators.HnswIndex.buildEdges(hnswCorpus(s, d), rpWeightsPair,
-      HnswBits, HnswTables, HnswM)
+      HnswBits, HnswTables, HnswM, HnswNdRounds)
 
   /** The query-adaptive extra entry points: the query's top-B from
     * the SAME 6-bit pair-weight LSH buckets the graph was built from.
@@ -794,8 +799,8 @@ object VectorQueries {
     * buckets is what production graph-ANN serving does (then the
     * graph hops refine). */
   private def hnswSeeds(s: SparkSession, d: String): DataFrame =
-    VectorSearch.knnLshRp(queryVecs(s, d), hnswCorpus(s, d), HnswBeam,
-      rpWeightsPair)
+    VectorSearch.knnLshRpMultiProbe(queryVecs(s, d), hnswCorpus(s, d),
+      HnswBeam, rpWeightsPair)
       .join(queryVecs(s, d), "query_id")
       .select(col("query_id"), col("qv"), col("vec_id").as("node"))
 
@@ -804,19 +809,11 @@ object VectorQueries {
     * /root/reference/src/chroma.py:76-106 — same cost attribution as
     * v8's centroids: the build is hg1's row, serving rows pay one
     * parquet scan). */
-  private def hnswEdgesCached(s: SparkSession, d: String): DataFrame = {
-    val path = indexPath(d, "hnsw_edges")
-    val cached =
-      try {
-        val df = s.read.parquet(path)
-        if (df.limit(1).count() == 1) Some(df) else None
-      } catch { case _: Exception => None }
-    cached.getOrElse {
-      hg1HnswBuild(s, d)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-      s.read.parquet(path)
-    }
-  }
+  private def hnswEdgesCached(s: SparkSession, d: String): DataFrame =
+    graft.operators.FitOrLoad.parquet(s, "hnsw_edges", d,
+      s"bits=${HnswBits.mkString(".")};tbl=${HnswTables.mkString(".")};" +
+        s"m=$HnswM;nd=$HnswNdRounds;seed=$RpSeed",
+      hnswCorpus(s, d).count())(hg1HnswBuild(s, d))
 
   /** hg2_hnsw_search — deterministic greedy descent + LSH-seeded
     * layer-0 beam over the hg1 graph, top-K from the visited
@@ -899,41 +896,50 @@ object VectorQueries {
          |  GROUP BY s.vec_id, w.tbl)""".stripMargin
     val perLayer = HnswBits.indices.map { l =>
       val mask = 1L << HnswBits(l)
-      s"""cand_$l AS MATERIALIZED (
-         |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-         |  FROM mb a JOIN mb b2
-         |    ON a.tbl = b2.tbl AND a.bucket % $mask = b2.bucket % $mask
-         |  WHERE a.lvl >= $l AND b2.lvl >= $l
-         |    AND a.tbl < ${HnswTables(l)} AND a.vec_id < b2.vec_id),
-         |sc_$l AS MATERIALIZED (
-         |  SELECT p.id_a, p.id_b, round(${cosS("x.v", "y.v")}, 6) AS score
-         |  FROM cand_$l p JOIN mem x ON x.vec_id = p.id_a
-         |    JOIN mem y ON y.vec_id = p.id_b),
-         |ed0_$l AS MATERIALIZED (
-         |  SELECT src, dst FROM (
-         |    SELECT src, dst, score,
-         |      row_number() OVER (PARTITION BY src
-         |        ORDER BY score DESC, dst ASC) AS rnk
-         |    FROM (SELECT id_a AS src, id_b AS dst, score FROM sc_$l
-         |          UNION ALL
-         |          SELECT id_b AS src, id_a AS dst, score FROM sc_$l) d_$l)
-         |  WHERE rnk <= $HnswM),
-         |nd_$l AS MATERIALIZED (
-         |  SELECT DISTINCT src, dst FROM (
-         |    SELECT src, dst FROM ed0_$l
-         |    UNION ALL
-         |    SELECT dst AS src, src AS dst FROM ed0_$l
-         |    UNION ALL
-         |    SELECT a.src, b.dst FROM ed0_$l a JOIN ed0_$l b
-         |      ON a.dst = b.src AND a.src != b.dst) u_$l),
-         |ed_$l AS MATERIALIZED (
-         |  SELECT src, dst, score, rnk FROM (
-         |    SELECT n.src, n.dst, round(${cosS("x.v", "y.v")}, 6) AS score,
-         |      row_number() OVER (PARTITION BY n.src
-         |        ORDER BY round(${cosS("x.v", "y.v")}, 6) DESC, n.dst ASC) AS rnk
-         |    FROM nd_$l n JOIN mem x ON x.vec_id = n.src
-         |      JOIN mem y ON y.vec_id = n.dst) nds_$l
-         |  WHERE rnk <= $HnswM)""".stripMargin
+      val bucketed =
+        s"""cand_$l AS MATERIALIZED (
+           |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+           |  FROM mb a JOIN mb b2
+           |    ON a.tbl = b2.tbl AND a.bucket % $mask = b2.bucket % $mask
+           |  WHERE a.lvl >= $l AND b2.lvl >= $l
+           |    AND a.tbl < ${HnswTables(l)} AND a.vec_id < b2.vec_id),
+           |sc_$l AS MATERIALIZED (
+           |  SELECT p.id_a, p.id_b, round(${cosS("x.v", "y.v")}, 6) AS score
+           |  FROM cand_$l p JOIN mem x ON x.vec_id = p.id_a
+           |    JOIN mem y ON y.vec_id = p.id_b),
+           |ed0_$l AS MATERIALIZED (
+           |  SELECT src, dst FROM (
+           |    SELECT src, dst, score,
+           |      row_number() OVER (PARTITION BY src
+           |        ORDER BY score DESC, dst ASC) AS rnk
+           |    FROM (SELECT id_a AS src, id_b AS dst, score FROM sc_$l
+           |          UNION ALL
+           |          SELECT id_b AS src, id_a AS dst, score FROM sc_$l) d_$l)
+           |  WHERE rnk <= $HnswM)""".stripMargin
+      // NN-descent rounds mirroring HnswIndex.buildEdges: round r reads
+      // ed{r-1}_l, the final round is named ed_l (what the walk joins)
+      val rounds = (1 to HnswNdRounds).map { r =>
+        val prev = if (r == 1) s"ed0_$l" else s"ed${r - 1}_$l"
+        val out = if (r == HnswNdRounds) s"ed_$l" else s"ed${r}_$l"
+        val keep = if (r == HnswNdRounds) "src, dst, score, rnk" else "src, dst"
+        s"""nd${r}_$l AS MATERIALIZED (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT src, dst FROM $prev
+           |    UNION ALL
+           |    SELECT dst AS src, src AS dst FROM $prev
+           |    UNION ALL
+           |    SELECT a.src, b.dst FROM $prev a JOIN $prev b
+           |      ON a.dst = b.src AND a.src != b.dst) u${r}_$l),
+           |$out AS MATERIALIZED (
+           |  SELECT $keep FROM (
+           |    SELECT n.src, n.dst, round(${cosS("x.v", "y.v")}, 6) AS score,
+           |      row_number() OVER (PARTITION BY n.src
+           |        ORDER BY round(${cosS("x.v", "y.v")}, 6) DESC, n.dst ASC) AS rnk
+           |    FROM nd${r}_$l n JOIN mem x ON x.vec_id = n.src
+           |      JOIN mem y ON y.vec_id = n.dst) nds${r}_$l
+           |  WHERE rnk <= $HnswM)""".stripMargin
+      }
+      (bucketed +: rounds).mkString(",\n")
     }
     (Seq(mem, mb) ++ perLayer).mkString(",\n")
   }
@@ -957,10 +963,11 @@ object VectorQueries {
          |    SELECT u.query_id, u.qv, u.cand,
          |      row_number() OVER (PARTITION BY u.query_id
          |        ORDER BY round(${cosS("u.qv", "m.v")}, 6) DESC, u.cand ASC) AS rn
-         |    FROM (SELECT p.query_id, p.qv, p.node AS cand FROM $prev p
+         |    FROM (SELECT DISTINCT query_id, qv, cand FROM (
+         |          SELECT p.query_id, p.qv, p.node AS cand FROM $prev p
          |          UNION ALL
          |          SELECT p.query_id, p.qv, e.dst AS cand FROM $prev p
-         |          JOIN ed_$l e ON e.src = p.node) u
+         |          JOIN ed_$l e ON e.src = p.node) uu_$out) u
          |    JOIN mem m ON m.vec_id = u.cand) t_$out
          |  WHERE rn <= $k)""".stripMargin
     val s0 =
@@ -968,8 +975,12 @@ object VectorQueries {
          |  (SELECT vec_id FROM mem ORDER BY lvl DESC, vec_id ASC LIMIT 1) AS node
          |FROM q)""".stripMargin
     // query-adaptive seeds: the query's top-B over the same 6-bit
-    // pair-weight buckets (v7's exact selection shape: max-dedup over
-    // tables, rank on the unrounded score, vec_id tie-break)
+    // pair-weight buckets, MULTI-PROBE (v13's shape: each table probes
+    // the query's own bucket plus every hamming-1 neighbor — probe
+    // expansion on the query side only; max-dedup over (table, probe),
+    // rank on the unrounded score, vec_id tie-break)
+    val seedMasks = (0L +: (0 until rpWeightsPair(0).length)
+      .map(b => 1L << b)).map(m => s"($m)").mkString(",")
     val seedCtes =
       s"""qb2 AS MATERIALIZED (
          |  SELECT s.query_id, w.tbl,
@@ -977,10 +988,13 @@ object VectorQueries {
          |             THEN (1::BIGINT << w.bit) ELSE 0 END) AS BIGINT) AS bucket
          |  FROM q s, w
          |  GROUP BY s.query_id, w.tbl),
+         |qprob AS MATERIALIZED (
+         |  SELECT DISTINCT query_id, tbl, xor(bucket, pm.m) AS bucket
+         |  FROM qb2, (VALUES $seedMasks) pm(m)),
          |scand AS MATERIALIZED (
          |  SELECT query_id, vec_id, max(score) AS score FROM (
          |    SELECT b.query_id, cb.vec_id, ${cosS("qq.qv", "mm.v")} AS score
-         |    FROM qb2 b JOIN mb cb ON cb.tbl = b.tbl AND cb.bucket = b.bucket
+         |    FROM qprob b JOIN mb cb ON cb.tbl = b.tbl AND cb.bucket = b.bucket
          |      JOIN q qq ON qq.query_id = b.query_id
          |      JOIN mem mm ON mm.vec_id = cb.vec_id) sx
          |  GROUP BY 1, 2),

@@ -58,14 +58,18 @@ class HnswSpec extends SparkSpec {
     delta.unpersist()
   }
 
-  test("hg3 recall curve is monotone in hops and beats the 0.4 floor") {
+  test("hg3 recall curve is monotone in hops and serving-grade (>= 0.8)") {
     val rows = VectorQueries.hg3HnswRecall(spark, sf)
       .orderBy("hops").collect()
       .map(r => (r.getLong(0), r.getDouble(2)))
     assert(rows.length == VectorQueries.HnswHopsZero + 1)
     assert(rows.sliding(2).forall { case Array(x, y) => y._2 >= x._2 },
       s"recall must not decrease with hops: ${rows.mkString(", ")}")
-    assert(rows.last._2 >= 0.4,
-      s"seeded graph search recall too low: ${rows.last._2}")
+    // round-9 floor: 2 NN-descent rounds + multi-probe seeds measure
+    // 0.95 at sf0.01 and 0.925 at sf0.1 (was 0.525 with 1 round +
+    // single-probe seeds) — 0.8 is the serving-grade bar from the
+    // round-8 verdict, with headroom for fixture drift
+    assert(rows.last._2 >= 0.8,
+      s"seeded graph search recall below serving grade: ${rows.last._2}")
   }
 }
