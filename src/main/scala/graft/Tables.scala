@@ -23,16 +23,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * has no native type for. Read nanos as long (legacy conf) and convert
-    * with integer division — `div`, not `/`, since ~1.7e18 ns overflows a
-    * double's 53-bit mantissa. Truncation to micros matches how DuckDB
-    * (the oracle) reads TIMESTAMP_NS.
+  /** events.parquet's `ts` encoding has varied across fixture generations:
+    * parquet TIMESTAMP(NANOS) (no native Spark type — read nanos as long via
+    * the legacy conf and truncate with integer `div`, matching how DuckDB
+    * reads TIMESTAMP_NS), or parquet timestamp[us] (read as TIMESTAMP_NTZ or
+    * TIMESTAMP depending on isAdjustedToUTC). Dispatch on the loaded type and
+    * normalize every variant to session-tz TimestampType — the session runs
+    * UTC, so NTZ→TZ is value-preserving and downstream unix_micros / window /
+    * comparison semantics are identical across fixtures.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet type $other in $d")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -26,6 +26,44 @@ object FitOrLoad {
 
   private val ManifestName = "_graft_manifest"
 
+  /** Cheap input-CONTENT signal for the manifest: fold (relative path,
+    * size, mtime) of every file under `p` into one hash. Row count alone
+    * is not enough — the r9 fixture regeneration kept counts identical
+    * while changing values/encoding, which a warm cache would have
+    * silently survived. Stat-only (no data read), so it stays metadata
+    * cost even when the input is a multi-file 100 TB table; an in-place
+    * rewrite always moves mtime (and usually size), forcing a refit.
+    * Non-path tags (unit-test strings) hash to a constant, preserving
+    * the old row-count-only behavior for non-file-backed inputs. */
+  def contentSig(root: String): String = {
+    val base = new java.io.File(root)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    if (!base.exists()) "none"
+    else {
+      val h = java.security.MessageDigest.getInstance("MD5")
+      walk(base).foreach { f =>
+        h.update(s"${f.getName}|${f.length()}|${f.lastModified()};".getBytes("UTF-8"))
+      }
+      h.digest().map("%02x".format(_)).mkString.take(16)
+    }
+  }
+
+  /** Content signal from a DataFrame's resolved input files (for callers
+    * holding a derived DataFrame rather than a fixture dir). */
+  def contentSig(df: DataFrame): String =
+    contentSigPaths(df.inputFiles.toSeq)
+
+  private def contentSigPaths(paths: Seq[String]): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+    paths.sorted.foreach { p =>
+      val f = new java.io.File(p.stripPrefix("file:"))
+      h.update(s"${f.getName}|${f.length()}|${f.lastModified()};".getBytes("UTF-8"))
+    }
+    h.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
   /** Cache at an explicit parquet path. `fingerprint` must capture
     * every build parameter and the input row count. */
   def parquetAt(spark: SparkSession, path: String, fingerprint: String)
@@ -54,6 +92,6 @@ object FitOrLoad {
              (build: => DataFrame): DataFrame = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_" +
       graft.Dist.pathTag(tag + "|" + params)
-    parquetAt(spark, path, s"$params|n=$inputCount")(build)
+    parquetAt(spark, path, s"$params|n=$inputCount|sig=${contentSig(tag)}")(build)
   }
 }

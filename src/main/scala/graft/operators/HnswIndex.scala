@@ -181,6 +181,31 @@ object HnswIndex {
       .select("layer", "src", "dst", "score", "rnk")
   }
 
+  /** Compaction: fold a merged candidate edge multiset (old edges with
+    * possibly-stale scores + upsert deltas + their reverses) into a
+    * clean serving table — rescore every edge against the CURRENT
+    * vectors, drop endpoints no longer in the corpus (the inner joins),
+    * and re-enforce the top-M degree cap per (layer, src). This is the
+    * merge-on-read debt collector for deltaEdges: edges from unchanged
+    * nodes TO replaced vectors carry stale scores until compaction
+    * (IndexStore.compact's analog for the graph index). Cost is
+    * O(|E|·rescore) — no candidate generation, no bucket join: at
+    * 100 TB this is one shuffle-join of the edge table against the
+    * vector table, embarrassingly parallel on the edge partitioning.
+    * edges: (layer, src, dst, ...); corpus: (vec_id, v). */
+  def compactEdges(edges: DataFrame, corpus: DataFrame, m: Int): DataFrame = {
+    val vs = corpus.select(col("vec_id").as("src"), col("v").as("vs"))
+    val vd = corpus.select(col("vec_id").as("dst"), col("v").as("vd"))
+    val sc = edges.select("layer", "src", "dst").distinct()
+      .filter(col("src") =!= col("dst"))
+      .join(vs, "src").join(vd, "dst")
+      .select(col("layer"), col("src"), col("dst"),
+        round(Vec.cosine(col("vs"), col("vd")), 6).as("score"))
+    graft.plans.TopK.perKey(sc, Seq("layer", "src"),
+      Seq(col("score").desc, col("dst").asc), m)
+      .select("layer", "src", "dst", "score", "rnk")
+  }
+
   /** One greedy/beam step at one layer: the cursor SET moves to the
     * top-`k` of {itself} ∪ its layer-l neighbors by rounded cosine
     * (ties to the smaller vec_id). k=1 is greedy descent (upper

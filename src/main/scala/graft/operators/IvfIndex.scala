@@ -68,6 +68,6 @@ object IvfIndex {
                          fitSampleRows: Long = 65536): DataFrame =
     FitOrLoad.parquetAt(corpus.sparkSession, path,
       s"k=$k;seed=$seed;iter=$maxIter;sample=$fitSampleRows;" +
-        s"n=${corpus.count()}")(
+        s"n=${corpus.count()};sig=${FitOrLoad.contentSig(corpus)}")(
       kmeansCentroids(corpus, k, seed, maxIter, fitSampleRows))
 }

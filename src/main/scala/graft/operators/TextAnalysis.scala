@@ -478,7 +478,11 @@ object TextAnalysis {
     // 1-indexed — the two formulations are kept aligned by the specs
     val cond = phrase.zipWithIndex
       .map { case (t, j) => s"tk[i + $j] = '$t'" }.mkString(" AND ")
-    docs.withColumn("tk", tokens(col(textCol)))
+    // spread AFTER computing tk: the Exchange materializes the token
+    // array into a real row field (normalize()'s pattern), so the
+    // sequence-filter lambda reads it O(1) instead of re-tokenizing per
+    // step — and the fold parallelizes off the single-file scan
+    graft.Dist.spread(docs.withColumn("tk", tokens(col(textCol))))
       .filter(size(col("tk")) >= n)
       .withColumn("n_occ",
         expr(s"size(filter(sequence(0, size(tk) - $n), i -> $cond))").cast("long"))

@@ -348,12 +348,18 @@ object VectorSearch {
     * tables cost a full extra corpus shuffle copy each.
     */
   def knnLshRpMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
-                         w: Array[Array[Array[Double]]]): DataFrame = {
+                         w: Array[Array[Array[Double]]],
+                         radius: Int = 1): DataFrame = {
     val bits = w(0).length
     val cb = spread(corpus).withColumn("vn", Vec.norm(col("v")))
       .select(col("vec_id"), col("v"), col("vn"),
         posexplode(hyperplaneBuckets(col("v"), w)).as(Seq("tbl", "bucket")))
-    val masks = array((lit(0L) +: (0 until bits).map(b => lit(1L << b))): _*)
+    // all XOR masks with <= radius sign bits flipped: radius 0 is the
+    // plain single-bucket probe, 1 the hamming-1 expansion, 2 adds the
+    // \binom{bits}{2} two-bit flips — query-side only, corpus unchanged
+    val masks = array(
+      (0L until (1L << bits)).filter(java.lang.Long.bitCount(_) <= radius)
+        .map(lit): _*)
     val qb = queries.withColumn("qn", Vec.norm(col("qv")))
       .select(col("query_id"), col("qv"), col("qn"),
         posexplode(hyperplaneBuckets(col("qv"), w)).as(Seq("tbl", "bucket0")))

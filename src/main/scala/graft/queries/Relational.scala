@@ -868,6 +868,64 @@ object Relational {
       |  count(*) AS n_rows
       |FROM events GROUP BY 1""".stripMargin
 
+  // ---- sk2/sk3: planted-Zipf skew, salted vs plain (r8 verdict task 4)
+
+  /** A deterministic PLANTED-skew key over events: h spreads event_ids
+    * uniformly over [0, 1000003); the geometric CASE ladder then lands
+    * 50% of all rows on key 0, 25% on key 1, ... — a Zipf-like
+    * distribution with one melting-hot key, the shape a single-domain/
+    * single-template training corpus produces. Integer-only (both
+    * engines compute identical keys). */
+  private val SkewLadder: Seq[(Long, Int)] = {
+    val mod = 1000003L
+    (0 until 9).map(k => (mod - mod / (1L << (k + 1)), k))
+  }
+
+  private def skewKeyCol: org.apache.spark.sql.Column = {
+    val h = pmod(col("event_id") * lit(2654435761L), lit(1000003L))
+    // fold hottest-last so key 0's (smallest) threshold lands OUTERMOST
+    // — in a when-chain the outermost condition wins
+    SkewLadder.reverse.foldLeft(lit(9): org.apache.spark.sql.Column) {
+      case (acc, (thr, k)) => when(h < thr, lit(k)).otherwise(acc)
+    }
+  }
+
+  private val skewKeyS: String = {
+    val h = "((event_id * 2654435761) % 1000003)"
+    SkewLadder.reverse.foldLeft("9") { case (acc, (thr, k)) =>
+      s"CASE WHEN $h < $thr THEN $k ELSE $acc END"
+    }
+  }
+
+  /** sk2_skew_salted_agg — two-phase salted aggregation on the planted
+    * hot key: phase 1 aggregates on (key, salt) so the 50%-of-table key
+    * spreads over 8 reducers, phase 2 combines bare-key partials.
+    * sk3 is the UNSALTED twin; the pair's bench delta measures what
+    * salting buys on a genuinely skewed distribution (on a real
+    * cluster the plain form puts half the table through one reducer —
+    * the salted plan's max reducer load is 1/8 of that). */
+  def sk2SkewSaltedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Dist.saltedSum(
+      Tables.events(spark, sfDir).select(skewKeyCol.as("skew_key"), col("value")),
+      "skew_key", "value", 8)
+      .select(col("skew_key"), round(col("sum_value"), 2).as("sum_value"),
+        col("n_rows"))
+
+  /** sk3_skew_plain_agg — the unsalted control for sk2 (same planted
+    * key, single-phase groupBy): row-identical output, one hot reducer. */
+  def sk3SkewPlainAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(skewKeyCol.as("skew_key"), col("value"))
+      .groupBy("skew_key")
+      .agg(round(sum("value"), 2).as("sum_value"), count(lit(1)).as("n_rows"))
+
+  lazy val sk2Sql: String =
+    s"""SELECT $skewKeyS AS skew_key, round(sum(value), 2) AS sum_value,
+       |  count(*) AS n_rows
+       |FROM events GROUP BY 1""".stripMargin
+
+  lazy val sk3Sql: String = sk2Sql
+
   /** fj1_fuzzy_join — blocked edit-distance join (entity resolution on
     * dirty keys): deterministically misspelled nation names (3rd char
     * dropped) joined back within Levenshtein <= 2. Blocking =

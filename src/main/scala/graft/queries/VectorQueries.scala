@@ -777,6 +777,7 @@ object VectorQueries {
   val HnswHopsUpper = 2
   val HnswHopsZero = 4
   val HnswBeam = 16 // layer-0 ef-search beam width
+  val HnswProbes = 1 // seed-probe hamming radius (HnswTune's knee)
   // NN-descent refinement rounds in the build: round 8 shipped 1 and
   // measured recall@5 0.525 at sf0.1 — graph quality (not beam slots)
   // was the binding constraint; a second round roughly squares
@@ -798,11 +799,26 @@ object VectorQueries {
     * fixture at corpus scale; seeding the beam from the query's own
     * buckets is what production graph-ANN serving does (then the
     * graph hops refine). */
-  private def hnswSeeds(s: SparkSession, d: String): DataFrame =
+  private def hnswSeeds(s: SparkSession, d: String,
+                        probes: Int = HnswProbes,
+                        beam: Int = HnswBeam): DataFrame =
     VectorSearch.knnLshRpMultiProbe(queryVecs(s, d), hnswCorpus(s, d),
-      HnswBeam, rpWeightsPair)
+      beam, rpWeightsPair, probes)
       .join(queryVecs(s, d), "query_id")
       .select(col("query_id"), col("qv"), col("vec_id").as("node"))
+
+  /** The hg2 walk with explicit serving knobs — the (probes, beam,
+    * hops) frontier is swept by graft.tools.HnswTune; hg2/hg3 serve at
+    * the knee baked into the Hnsw* constants. */
+  def hg2SearchCfg(s: SparkSession, d: String, probes: Int, beam: Int,
+                   hopsUpper: Int, hopsZero: Int): DataFrame = {
+    val edges = hnswEdgesCached(s, d)
+    val vis = graft.operators.HnswIndex.visitedStates(queryVecs(s, d), edges,
+      hnswCorpus(s, d), HnswMaxLevel, hopsUpper, hopsZero, beam,
+      Some(hnswSeeds(s, d, probes, beam)))
+    graft.operators.HnswIndex.resultsFromVisited(vis, edges,
+      hnswCorpus(s, d), K)
+  }
 
   /** The hg1 graph persisted fit-or-load per dataset (chroma persists
     * its HNSW index and serves every query from it,
@@ -818,14 +834,8 @@ object VectorQueries {
   /** hg2_hnsw_search — deterministic greedy descent + LSH-seeded
     * layer-0 beam over the hg1 graph, top-K from the visited
     * neighborhoods. */
-  def hg2HnswSearch(s: SparkSession, d: String): DataFrame = {
-    val edges = hnswEdgesCached(s, d)
-    val vis = graft.operators.HnswIndex.visitedStates(queryVecs(s, d), edges,
-      hnswCorpus(s, d), HnswMaxLevel, HnswHopsUpper, HnswHopsZero, HnswBeam,
-      Some(hnswSeeds(s, d)))
-    graft.operators.HnswIndex.resultsFromVisited(vis, edges,
-      hnswCorpus(s, d), K)
-  }
+  def hg2HnswSearch(s: SparkSession, d: String): DataFrame =
+    hg2SearchCfg(s, d, HnswProbes, HnswBeam, HnswHopsUpper, HnswHopsZero)
 
   /** hg3_hnsw_recall — recall@K vs brute force as layer-0 hops grow
     * 0→2 (the v18-style tuning curve for the graph index). */
@@ -862,6 +872,27 @@ object VectorQueries {
     val merged = corpus.filter(col("vec_id") % 10 =!= 0).unionByName(batch)
     graft.operators.HnswIndex.deltaEdges(batch, merged, rpWeightsPair,
       HnswBits, HnswTables, HnswM)
+  }
+
+  /** hg5_hnsw_compact — the debt collector for hg4's merge-on-read
+    * design: surviving pre-upsert edges (non-batch sources) + the
+    * fresh delta + its REVERSE direction (unchanged nodes gain fresh
+    * candidates toward the moved vectors — exactly the edges whose
+    * scores went stale) are rescored against the merged vectors and
+    * re-capped at M per (layer, src). Output is a clean serving
+    * table: every score is current, every degree ≤ M. */
+  def hg5HnswCompact(s: SparkSession, d: String): DataFrame = {
+    val corpus = hnswCorpus(s, d)
+    val batch = corpus.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), transform(col("v"), x => -x).as("v"))
+    val merged = corpus.filter(col("vec_id") % 10 =!= 0).unionByName(batch)
+    val old = hnswEdgesCached(s, d).filter(col("src") % 10 =!= 0)
+      .select("layer", "src", "dst")
+    val delta = hg4HnswUpsert(s, d).select("layer", "src", "dst")
+    val rev = delta.select(col("layer"), col("dst").as("src"),
+      col("src").as("dst"))
+    graft.operators.HnswIndex.compactEdges(
+      old.unionByName(delta).unionByName(rev), merged, HnswM)
   }
 
   // ---- hg oracle SQL: the identical hierarchy, edges and unrolled
@@ -1047,7 +1078,10 @@ object VectorQueries {
        |  WHERE rnk <= $K)""".stripMargin
   }
 
-  lazy val hg4Sql: String = {
+  /** The hg4 delta CTEs (merged corpus `mrg`, its buckets `mb3`, and
+    * per-layer fresh batch edges `ued_l`) — shared by the hg4 oracle
+    * and the hg5 compaction oracle. */
+  private lazy val hnswDeltaCtesS: String = {
     val perLayer = HnswBits.indices.map { l =>
       val mask = 1L << HnswBits(l)
       s"""ucand_$l AS MATERIALIZED (
@@ -1065,10 +1099,7 @@ object VectorQueries {
          |      JOIN mrg y ON y.vec_id = p.dst) us_$l
          |  WHERE rnk <= $HnswM)""".stripMargin
     }
-    s"""WITH $cCte,
-       |w(tbl, bit, wv) AS (VALUES
-       |    $rpWeightRowsPairS),
-       |mrg AS MATERIALIZED (
+    s"""mrg AS MATERIALIZED (
        |  SELECT vec_id, v, ${hnswLvlS("vec_id")} AS lvl FROM (
        |    SELECT vec_id, v FROM c WHERE vec_id % 10 != 0
        |    UNION ALL
@@ -1080,9 +1111,46 @@ object VectorQueries {
        |             THEN (1::BIGINT << w.bit) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM mrg s, w
        |  GROUP BY s.vec_id, w.tbl),
-       |${perLayer.mkString(",\n")}
+       |${perLayer.mkString(",\n")}""".stripMargin
+  }
+
+  lazy val hg4Sql: String =
+    s"""WITH $cCte,
+       |w(tbl, bit, wv) AS (VALUES
+       |    $rpWeightRowsPairS),
+       |$hnswDeltaCtesS
        |${HnswBits.indices.map(l =>
           s"SELECT $l AS layer, src, dst, score, rnk FROM ued_$l")
+         .mkString("\nUNION ALL\n")}""".stripMargin
+
+  /** hg5 oracle: merged candidate set (surviving old edges + delta +
+    * reversed delta) rescored against the merged vectors, re-capped. */
+  lazy val hg5Sql: String = {
+    val perLayer = HnswBits.indices.map { l =>
+      s"""cin_$l AS MATERIALIZED (
+         |  SELECT src, dst FROM ed_$l WHERE src % 10 != 0
+         |  UNION
+         |  SELECT src, dst FROM ued_$l
+         |  UNION
+         |  SELECT dst AS src, src AS dst FROM ued_$l),
+         |cmp_$l AS MATERIALIZED (
+         |  SELECT src, dst, score, rnk FROM (
+         |    SELECT c2.src, c2.dst, round(${cosS("x.v", "y.v")}, 6) AS score,
+         |      row_number() OVER (PARTITION BY c2.src
+         |        ORDER BY round(${cosS("x.v", "y.v")}, 6) DESC, c2.dst ASC) AS rnk
+         |    FROM (SELECT src, dst FROM cin_$l WHERE src != dst) c2
+         |      JOIN mrg x ON x.vec_id = c2.src
+         |      JOIN mrg y ON y.vec_id = c2.dst) cs_$l
+         |  WHERE rnk <= $HnswM)""".stripMargin
+    }
+    s"""WITH $cCte,
+       |w(tbl, bit, wv) AS (VALUES
+       |    $rpWeightRowsPairS),
+       |$hnswEdgeCtesS,
+       |$hnswDeltaCtesS,
+       |${perLayer.mkString(",\n")}
+       |${HnswBits.indices.map(l =>
+          s"SELECT $l AS layer, src, dst, score, rnk FROM cmp_$l")
          .mkString("\nUNION ALL\n")}""".stripMargin
   }
 

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.FitOrLoad
+import org.apache.spark.sql.functions._
+
+/** The staleness contract of the fit-or-load cache (SURVEY §5; r9
+  * verdict task 4): a cached offline artifact must be rebuilt when the
+  * INPUT CONTENT changes, even if the row count is identical — the r9
+  * fixture regeneration swapped values/encoding in place with unchanged
+  * counts, the exact scenario a count-only manifest silently survives.
+  */
+class FitOrLoadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(name: String): java.io.File = {
+    val d = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_spec_$name")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del)
+      f.delete()
+    }
+    del(d); d.mkdirs(); d
+  }
+
+  test("in-place input rewrite with identical row count forces a refit") {
+    val in = freshDir("folin"); val path = in.getAbsolutePath
+    Seq(1, 2, 3).toDF("x").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    var builds = 0
+    def cached() = FitOrLoad.parquet(spark, "folspec", path, "p=1",
+      spark.read.parquet(path).count()) {
+      builds += 1
+      spark.read.parquet(path).agg(sum("x").as("s"))
+    }
+    assert(cached().as[Long].head() == 6L && builds == 1)
+    // warm hit: same content, same count — served from cache
+    assert(cached().as[Long].head() == 6L && builds == 1)
+    // the r9 scenario: rewrite in place, SAME row count, different values
+    Seq(10, 20, 30).toDF("x").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    assert(cached().as[Long].head() == 60L,
+      "stale cache served after in-place input swap")
+    assert(builds == 2, s"expected a refit, got builds=$builds")
+  }
+
+  test("parameter change refits; unchanged params stay warm") {
+    val in = freshDir("folpar"); val path = in.getAbsolutePath
+    Seq(4, 5).toDF("x").write.mode("overwrite").parquet(path)
+    var builds = 0
+    def cached(p: String) = FitOrLoad.parquet(spark, "folspec2", path, p,
+      spark.read.parquet(path).count()) {
+      builds += 1
+      spark.read.parquet(path).agg(sum("x").as("s"))
+    }
+    cached("k=1").collect(); cached("k=1").collect()
+    assert(builds == 1)
+    cached("k=2").collect()
+    assert(builds == 2)
+  }
+
+  test("contentSig: stable on unchanged dir, moves on rewrite, constant for non-paths") {
+    val in = freshDir("folsig"); val path = in.getAbsolutePath
+    Seq(1).toDF("x").write.mode("overwrite").parquet(path)
+    val s1 = FitOrLoad.contentSig(path)
+    assert(s1 == FitOrLoad.contentSig(path))
+    Thread.sleep(5) // mtime granularity
+    Seq(2).toDF("x").write.mode("overwrite").parquet(path)
+    assert(s1 != FitOrLoad.contentSig(path))
+    assert(FitOrLoad.contentSig("not/a/real/path") == "none")
+  }
+}

@@ -58,6 +58,41 @@ class HnswSpec extends SparkSpec {
     delta.unpersist()
   }
 
+  test("hg5 compaction: degrees re-capped, scores current, searches serve (parity)") {
+    import graft.operators.HnswIndex
+    import graft.functions.Vec
+    val compacted = VectorQueries.hg5HnswCompact(spark, sf).cache()
+    // degree cap re-enforced after folding delta + reverse edges
+    assert(compacted.agg(max("rnk")).head.getInt(0) <= VectorQueries.HnswM)
+    assert(compacted.filter(col("src") === col("dst")).count() == 0)
+    // no stale scores: every edge score equals the cosine of the
+    // CURRENT (merged) vectors — recompute independently and compare
+    val corpus = Tables.embeddings(spark, sf).filter(col("vec_id") >= 8)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val batch = corpus.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), transform(col("v"), x => -x).as("v"))
+    val merged = corpus.filter(col("vec_id") % 10 =!= 0).unionByName(batch)
+    val stale = compacted
+      .join(merged.select(col("vec_id").as("src"), col("v").as("xs")), "src")
+      .join(merged.select(col("vec_id").as("dst"), col("v").as("xd")), "dst")
+      .filter(col("score") =!= round(Vec.cosine(col("xs"), col("xd")), 6))
+      .count()
+    assert(stale == 0, s"$stale stale edge scores survived compaction")
+    // parity: the walk over the compacted table still serves k results
+    // per query, deterministically
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val vis = HnswIndex.visitedStates(queries, compacted, merged,
+      VectorQueries.HnswMaxLevel, VectorQueries.HnswHopsUpper,
+      VectorQueries.HnswHopsZero, VectorQueries.HnswBeam)
+    val res = HnswIndex.resultsFromVisited(vis, compacted, merged,
+      VectorQueries.K).cache()
+    assert(res.count() == 8 * VectorQueries.K,
+      "compacted graph must serve k results per query")
+    assert(res.agg(max("rnk")).head.getInt(0) <= VectorQueries.K)
+    res.unpersist(); compacted.unpersist()
+  }
+
   test("hg3 recall curve is monotone in hops and serving-grade (>= 0.8)") {
     val rows = VectorQueries.hg3HnswRecall(spark, sf)
       .orderBy("hops").collect()
