@@ -35,7 +35,15 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n)) }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // offline-artifact BUILD rows run before their consumers (they
+    // write the fit-or-load cache; alphabetical order would otherwise
+    // land the one-time build cost on whichever report sorts first —
+    // cd1 before d8, hg2 before... hg1 sorts first but previously did
+    // not persist). Within each tier, alphabetical as before.
+    val buildRows = Set("d8_dedup_groups", "hg1_hnsw_build")
+    val results = selected.toSeq
+      .sortBy { case (n, _) => (if (buildRows(n)) 0 else 1, n) }
+      .map { case (name, fn) =>
       // per-query state hygiene: several operators eagerly
       // localCheckpoint() multi-consumer intermediates (BM25 tf table,
       // Dist.runningTotal, normalize) and nothing unpersists them, so

@@ -774,10 +774,15 @@ object VectorQueries {
   // expected occupancy N_l/2^bits_l at every layer (see HnswIndex)
   val HnswBits = Array(6, 4, 2, 0)
   val HnswTables = Array(8, 8, 8, 1) // bits=0 → one table IS all-pairs
-  val HnswHopsUpper = 2
-  val HnswHopsZero = 4
-  val HnswBeam = 16 // layer-0 ef-search beam width
-  val HnswProbes = 1 // seed-probe hamming radius (HnswTune's knee)
+  // serving knobs at HnswTune's measured knee (sf0.1, edge cache warm):
+  // (probes=2, beam=8, hUp=1, hZero=2) -> recall@5 = 1.000 at 4.9 s vs
+  // the r9 config (1, 16, 2, 4) -> 0.925 at 6.9 s and the r8 single-
+  // probe config -> 0.55. Seed quality (probe radius) dominates; extra
+  // hops/beam past the knee buy nothing at 2x the step-job count.
+  val HnswHopsUpper = 1
+  val HnswHopsZero = 2
+  val HnswBeam = 8 // layer-0 ef-search beam width
+  val HnswProbes = 2 // seed-probe hamming radius (HnswTune's knee)
   // NN-descent refinement rounds in the build: round 8 shipped 1 and
   // measured recall@5 0.525 at sf0.1 — graph quality (not beam slots)
   // was the binding constraint; a second round roughly squares
@@ -825,6 +830,13 @@ object VectorQueries {
     * /root/reference/src/chroma.py:76-106 — same cost attribution as
     * v8's centroids: the build is hg1's row, serving rows pay one
     * parquet scan). */
+  /** hg1's registry entry: build-and-persist through the same cache
+    * its consumers read (the d8 pattern) — in bench order hg1 runs
+    * first, pays the build ONCE, and hg2/hg3/hg5 serve from the
+    * persisted edge table instead of cold-building it a second time. */
+  def hg1HnswBuildCached(s: SparkSession, d: String): DataFrame =
+    hnswEdgesCached(s, d)
+
   private def hnswEdgesCached(s: SparkSession, d: String): DataFrame =
     graft.operators.FitOrLoad.parquet(s, "hnsw_edges", d,
       s"bits=${HnswBits.mkString(".")};tbl=${HnswTables.mkString(".")};" +
@@ -1006,12 +1018,14 @@ object VectorQueries {
          |  (SELECT vec_id FROM mem ORDER BY lvl DESC, vec_id ASC LIMIT 1) AS node
          |FROM q)""".stripMargin
     // query-adaptive seeds: the query's top-B over the same 6-bit
-    // pair-weight buckets, MULTI-PROBE (v13's shape: each table probes
-    // the query's own bucket plus every hamming-1 neighbor — probe
-    // expansion on the query side only; max-dedup over (table, probe),
-    // rank on the unrounded score, vec_id tie-break)
-    val seedMasks = (0L +: (0 until rpWeightsPair(0).length)
-      .map(b => 1L << b)).map(m => s"($m)").mkString(",")
+    // pair-weight buckets, MULTI-PROBE (v13's shape generalized: each
+    // table probes every bucket within hamming radius HnswProbes of
+    // the query's own — probe expansion on the query side only;
+    // max-dedup over (table, probe), rank on the unrounded score,
+    // vec_id tie-break)
+    val seedMasks = (0L until (1L << rpWeightsPair(0).length))
+      .filter(java.lang.Long.bitCount(_) <= HnswProbes)
+      .map(m => s"($m)").mkString(",")
     val seedCtes =
       s"""qb2 AS MATERIALIZED (
          |  SELECT s.query_id, w.tbl,

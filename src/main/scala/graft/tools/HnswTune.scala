@@ -36,9 +36,7 @@ object HnswTune {
 
     val configs = Seq(
       // (probes, beam, hopsUpper, hopsZero)
-      (0, 8, 2, 4), (1, 8, 2, 4), (1, 16, 2, 4), (2, 16, 2, 4),
-      (1, 16, 2, 2), (1, 16, 1, 2), (1, 8, 1, 2), (0, 16, 1, 2),
-      (1, 16, 1, 1), (1, 16, 0, 2))
+      (2, 16, 1, 2), (2, 8, 1, 2), (2, 16, 2, 2), (1, 16, 1, 2))
     println(f"${"probes"}%6s ${"beam"}%5s ${"hUp"}%4s ${"hZero"}%6s " +
       f"${"recall"}%8s ${"wall_s"}%8s")
     configs.foreach { case (p, b, hu, hz) =>

@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""sf1 (10x) scale gate: full-registry DuckDB compare with a JSON artifact.
+
+Runs AFTER:
+  python3 tools/make_sf1.py                      # /tmp/sf1 fixture
+  sbt "runMain graft.Verify /tmp/sf1 /tmp/verify_sf1"
+
+Then:
+  python3 tools/gate_sf1.py /tmp/sf1 /tmp/verify_sf1 CORRECTNESS_sf1.json
+
+Same comparison as tools/check.py (imported), plus:
+  - a per-query status JSON artifact for the round record;
+  - NAMED exclusions for oracles that exceed the sandbox's disk: the
+    g1/v12 DuckDB recursive/hybrid SQL spills >79 GB temp at sf1 (the
+    machine has 79 GB free; both queries are hash-green at sf0.01 and
+    sf0.1, and their Spark side completes at sf1 — the exclusion is an
+    oracle-resource limit, not an engine failure). Excluded oracles
+    still get a rows-only check on the Spark output.
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+import check  # noqa: E402
+import duckdb  # noqa: E402
+
+EXCLUDE = {
+    "g1_pagerank": "oracle-resource: DuckDB recursive-CTE transitive "
+                   "closure spills >79GB temp disk at sf1; hash-green at "
+                   "sf0.01/sf0.1; Spark side completes at sf1",
+    "v12_hybrid_search": "oracle-resource: DuckDB hybrid-retrieval SQL "
+                         "spills >79GB temp disk at sf1; hash-green at "
+                         "sf0.01/sf0.1; Spark side completes at sf1",
+}
+
+
+def main(sf_dir: str, out_dir: str, artifact: str) -> int:
+    out = Path(out_dir)
+    oracle = json.loads((out / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in check.TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    statuses, failures = {}, 0
+    for qdir in sorted(d for d in out.iterdir() if d.is_dir()):
+        name = qdir.name
+        t0 = time.time()
+        sdf = con.execute(f"SELECT * FROM '{qdir}/*.parquet'").df()
+        if name in EXCLUDE:
+            ok = len(sdf) > 0
+            statuses[name] = {
+                "status": "excluded" if ok else "fail",
+                "rows": len(sdf), "reason": EXCLUDE[name]}
+            print(f"[excluded] {name}: {len(sdf)} rows "
+                  f"({'OK' if ok else 'EMPTY!'}) — {EXCLUDE[name][:60]}...")
+            failures += 0 if ok else 1
+            continue
+        if name not in oracle:
+            ok = len(sdf) > 0
+            statuses[name] = {"status": "rows_only" if ok else "fail",
+                              "rows": len(sdf)}
+            print(f"[rows-only] {name}: {len(sdf)} rows "
+                  f"({'OK' if ok else 'EMPTY!'})")
+            failures += 0 if ok else 1
+            continue
+        try:
+            odf = con.execute(oracle[name]).df()
+        except Exception as e:
+            statuses[name] = {"status": "fail",
+                              "error": f"oracle error: {e}"[:300]}
+            print(f"[FAIL] {name}: oracle error: {e}")
+            failures += 1
+            continue
+        ok = check.compare(name, sdf, odf)
+        statuses[name] = {"status": "pass" if ok else "fail",
+                          "rows": len(sdf),
+                          "oracle_sec": round(time.time() - t0, 1)}
+        failures += 0 if ok else 1
+
+    n = len(statuses)
+    green = sum(1 for v in statuses.values() if v["status"] == "pass")
+    summary = {"sf": sf_dir, "n": n, "pass": green,
+               "rows_only": sum(1 for v in statuses.values()
+                                if v["status"] == "rows_only"),
+               "excluded": sum(1 for v in statuses.values()
+                               if v["status"] == "excluded"),
+               "fail": failures, "queries": statuses}
+    Path(artifact).write_text(json.dumps(summary, indent=1))
+    print(f"\n{green}/{n} pass, {failures} failure(s) -> {artifact}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    a = sys.argv[1:]
+    sys.exit(main(a[0] if a else "/tmp/sf1",
+                  a[1] if len(a) > 1 else "/tmp/verify_sf1",
+                  a[2] if len(a) > 2 else "CORRECTNESS_sf1.json"))

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Synthesize a local sf1 (10x sf0.1) fixture for the scale gate.
+
+The driver ships no sf1 testdata, so the gate builds one from sf0.1:
+ten copies of every fact table, copy c's keys offset by c*10^8 so
+joins stay within-copy (cardinalities scale linearly, never 10x-squared),
+dims (region/nation) kept single-copy with FK columns untouched.
+
+events.ts gets +c MICROseconds per copy so (event_type, ts) stays
+unique across copies (several oracles order by ts within a type; an
+exact tie would make row_number engine-dependent). The r8 gate run
+caught exactly this with sub-microsecond jitter vanishing in a
+nanos->micros conversion — microsecond-integer jitter survives any
+timestamp encoding.
+
+embeddings copy 0 keeps vec_id < 8 as the query set; offset copies
+only ever enlarge the CORPUS side (vec_id >= 10^8 > 8).
+
+Usage: python3 tools/make_sf1.py [src_dir] [dst_dir]
+  defaults: /root/testdata/sf0.1 -> /tmp/sf1
+"""
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+COPIES = 10
+OFFSET = 10**8
+
+# per-table integer key columns to offset per copy (facts only; dims
+# region/nation stay single-copy so FK columns remain valid everywhere)
+KEYED = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+SINGLE = ["region", "nation"]
+
+
+def offset_copy(table: pa.Table, name: str, c: int) -> pa.Table:
+    if c == 0:
+        return table
+    for col in KEYED[name]:
+        i = table.schema.get_field_index(col)
+        table = table.set_column(
+            i, col, pc.add(table.column(col), c * OFFSET))
+    if name == "events":
+        i = table.schema.get_field_index("ts")
+        ts = table.column("ts").cast(pa.int64())
+        ts = pc.add(ts, c)  # +c microseconds: unique (event_type, ts)
+        table = table.set_column(i, "ts", ts.cast(table.schema.field("ts").type))
+    return table
+
+
+def main(src: str, dst: str) -> None:
+    import os
+    os.makedirs(dst, exist_ok=True)
+    for name in SINGLE:
+        pq.write_table(pq.read_table(f"{src}/{name}.parquet"),
+                       f"{dst}/{name}.parquet")
+        print(f"{name}: copied")
+    for name in KEYED:
+        base = pq.read_table(f"{src}/{name}.parquet")
+        out = pa.concat_tables(
+            [offset_copy(base, name, c) for c in range(COPIES)])
+        pq.write_table(out, f"{dst}/{name}.parquet")
+        print(f"{name}: {base.num_rows} -> {out.num_rows}")
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    main(args[0] if args else "/root/testdata/sf0.1",
+         args[1] if len(args) > 1 else "/tmp/sf1")
