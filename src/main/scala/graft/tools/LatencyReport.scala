@@ -1,0 +1,110 @@
+package graft.tools
+
+import graft.operators.{HnswIndex, IrMetrics, IvfIndex, Latency, VectorSearch}
+import graft.queries.VectorQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity latency artifact (r8 verdict task 7): the
+  * reference's whole deliverable is the per-query latency table its
+  * serving loop stamps (queries.py latency capture → metrics.py:13-42
+  * P50/P95/P99). This main serves 100+ queries INDIVIDUALLY — the
+  * interactive request path, one Spark job per request — from BOTH
+  * persisted index families (IVF cells and the HNSW edge table),
+  * captures wall-clock per query, and emits the percentile table plus
+  * recall@5 / NDCG@5 against exact brute force as one JSON artifact.
+  *
+  * Usage: sbt "runMain graft.tools.LatencyReport /tmp/sf1 LATENCY_sf1.json 128"
+  */
+object LatencyReport {
+
+  private val K = VectorQueries.K
+  private val Nprobe = 4
+  private val IvfCells = 64
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val sfDir = args.headOption.getOrElse("/tmp/sf1")
+    val outPath = if (args.length > 1) args(1) else "LATENCY_sf1.json"
+    val nQueries = if (args.length > 2) args(2).toInt else 128
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val corpus = VectorQueries.corpusVecs(spark, sfDir)
+      .select("vec_id", "v").localCheckpoint()
+    // 100+ measured queries: a deterministic mixed-hash draw of corpus
+    // vectors (the fixture ships only 8 dedicated query vectors)
+    val queries = corpus
+      .orderBy(graft.operators.Sampling.mixedHash(col("vec_id")).asc,
+        col("vec_id").asc)
+      .limit(nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .localCheckpoint()
+    val qIds = queries.select("query_id").collect().map(_.getLong(0)).toSeq
+
+    // ground truth: exact brute-force top-K, one batch job
+    val exact = VectorSearch.knnCosine(queries, corpus, K)
+      .select("query_id", "vec_id").localCheckpoint()
+
+    // ---- IVF family: persisted centroids + assigned corpus ----
+    val centroids = IvfIndex.fitOrLoadCentroids(corpus, IvfCells,
+      s"${System.getProperty("java.io.tmpdir")}/graft_latrep_centroids_" +
+        graft.Dist.pathTag(sfDir))
+    val assigned = VectorSearch.assignCells(corpus, centroids).localCheckpoint()
+    def serveIvf(q: DataFrame): DataFrame =
+      VectorSearch.knnIvfAssigned(q, assigned, centroids, K, Nprobe)
+
+    // ---- HNSW family: persisted edge table + seeded walk ----
+    val edges = VectorQueries.hg1HnswBuildCached(spark, sfDir).localCheckpoint()
+    def serveHnsw(q: DataFrame): DataFrame = {
+      val seeds = VectorSearch.knnLshRpMultiProbe(q, corpus,
+        VectorQueries.HnswBeam, VectorQueries.rpWeightsPair,
+        VectorQueries.HnswProbes)
+        .join(q, "query_id")
+        .select(col("query_id"), col("qv"), col("vec_id").as("node"))
+      val vis = HnswIndex.visitedStates(q, edges, corpus,
+        VectorQueries.HnswMaxLevel, VectorQueries.HnswHopsUpper,
+        VectorQueries.HnswHopsZero, VectorQueries.HnswBeam, Some(seeds))
+      HnswIndex.resultsFromVisited(vis, edges, corpus, K)
+    }
+
+    def family(name: String, serve: DataFrame => DataFrame): String = {
+      // warm one request outside the measurement (codegen, broadcasts)
+      serve(queries.limit(1)).count()
+      val lat = Latency.measure[Long](qIds, qid =>
+        serve(queries.filter(col("query_id") === qid)).count())
+      // metrics from the SAME serving plan, batched over all queries
+      val batch = serve(queries)
+      val judged = batch.join(exact.withColumn("rel", lit(1)),
+          Seq("query_id", "vec_id"), "left")
+        .na.fill(0, Seq("rel"))
+      val summary = IrMetrics.irSummary(
+        IrMetrics.recallPerQuery(judged), IrMetrics.ndcgPerQuery(judged)).head()
+      val sorted = lat.map(_._2).sorted
+      def pct(p: Double) =
+        sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+      System.err.println(f"[latency] $name%-5s n=${lat.size} " +
+        f"P50=${pct(0.50)}%8.1f ms P95=${pct(0.95)}%8.1f ms " +
+        f"P99=${pct(0.99)}%8.1f ms recall@$K=${summary.getDouble(0)}%.3f " +
+        f"ndcg@$K=${summary.getDouble(1)}%.3f")
+      f""""$name":{"n_queries":${lat.size},"p50_ms":${pct(0.5)}%.1f,""" +
+        f""""p95_ms":${pct(0.95)}%.1f,"p99_ms":${pct(0.99)}%.1f,""" +
+        f""""recall_at_$K":${summary.getDouble(0)}%.4f,""" +
+        f""""ndcg_at_$K":${summary.getDouble(1)}%.4f}"""
+    }
+
+    val fams = Seq(family("ivf", serveIvf), family("hnsw", serveHnsw))
+    val json = s"""{"sf":"$sfDir","k":$K,"nprobe":$Nprobe,""" +
+      s""""ivf_cells":$IvfCells,${fams.mkString(",")}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

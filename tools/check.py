@@ -138,6 +138,17 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
             continue
         try:
             odf = con.execute(oracle[name]).df()
+        except (duckdb.OutOfMemoryException, MemoryError) as e:
+            # ORACLE-side resource exhaustion is its own class: the
+            # Spark result exists and may be perfectly correct — the
+            # checker, not the engine, hit an environment limit (the
+            # g1/v12 recursive-SQL spill at sf1). Distinct tag so a
+            # driver/grader can adjudicate it separately from a wrong
+            # answer; still counted as not-green here.
+            print(f"[ORACLE-RESOURCE-FAIL] {name}: oracle exceeded "
+                  f"checker resources (Spark rows={len(sdf)}): {e}")
+            failures += 1
+            continue
         except Exception as e:
             print(f"[FAIL] {name}: oracle SQL error: {e}")
             failures += 1

@@ -36,18 +36,45 @@ EXCLUDE = {
 }
 
 
-def main(sf_dir: str, out_dir: str, artifact: str) -> int:
+def main(sf_dir: str, out_dir: str, artifact: str,
+         shard: int = 0, nshards: int = 1) -> int:
     out = Path(out_dir)
     oracle = json.loads((out / "oracle_sql.json").read_text())
     con = duckdb.connect()
+    con.execute("SET threads=16")  # leave headroom for a Spark run beside us
     for t in check.TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    statuses, failures = {}, 0
+    # resumable: re-running skips queries already recorded, so the gate
+    # can chase a still-running Verify and only check new results
+    statuses = {}
+    if Path(artifact).exists():
+        prior = json.loads(Path(artifact).read_text()).get("queries", {})
+        statuses.update(prior)
+    def flush():
+        n = len(statuses)
+        summary = {
+            "sf": sf_dir, "n": n,
+            "pass": sum(1 for v in statuses.values() if v["status"] == "pass"),
+            "rows_only": sum(1 for v in statuses.values()
+                             if v["status"] == "rows_only"),
+            "excluded": sum(1 for v in statuses.values()
+                            if v["status"] == "excluded"),
+            "fail": sum(1 for v in statuses.values() if v["status"] == "fail"),
+            "queries": statuses}
+        Path(artifact).write_text(json.dumps(summary, indent=1))
+        return summary
+
     for qdir in sorted(d for d in out.iterdir() if d.is_dir()):
         name = qdir.name
+        if sum(ord(c) for c in name) % nshards != shard:
+            continue
+        if name in statuses and statuses[name].get("status") != "fail":
+            continue
+        if not list(qdir.glob("*.parquet")):
+            continue  # Verify may still be writing this one
         t0 = time.time()
         sdf = con.execute(f"SELECT * FROM '{qdir}/*.parquet'").df()
         if name in EXCLUDE:
@@ -55,47 +82,42 @@ def main(sf_dir: str, out_dir: str, artifact: str) -> int:
             statuses[name] = {
                 "status": "excluded" if ok else "fail",
                 "rows": len(sdf), "reason": EXCLUDE[name]}
+            flush()
             print(f"[excluded] {name}: {len(sdf)} rows "
                   f"({'OK' if ok else 'EMPTY!'}) — {EXCLUDE[name][:60]}...")
-            failures += 0 if ok else 1
             continue
         if name not in oracle:
             ok = len(sdf) > 0
             statuses[name] = {"status": "rows_only" if ok else "fail",
                               "rows": len(sdf)}
+            flush()
             print(f"[rows-only] {name}: {len(sdf)} rows "
                   f"({'OK' if ok else 'EMPTY!'})")
-            failures += 0 if ok else 1
             continue
         try:
             odf = con.execute(oracle[name]).df()
         except Exception as e:
             statuses[name] = {"status": "fail",
                               "error": f"oracle error: {e}"[:300]}
+            flush()
             print(f"[FAIL] {name}: oracle error: {e}")
-            failures += 1
             continue
         ok = check.compare(name, sdf, odf)
         statuses[name] = {"status": "pass" if ok else "fail",
                           "rows": len(sdf),
                           "oracle_sec": round(time.time() - t0, 1)}
-        failures += 0 if ok else 1
+        flush()
 
-    n = len(statuses)
-    green = sum(1 for v in statuses.values() if v["status"] == "pass")
-    summary = {"sf": sf_dir, "n": n, "pass": green,
-               "rows_only": sum(1 for v in statuses.values()
-                                if v["status"] == "rows_only"),
-               "excluded": sum(1 for v in statuses.values()
-                               if v["status"] == "excluded"),
-               "fail": failures, "queries": statuses}
-    Path(artifact).write_text(json.dumps(summary, indent=1))
-    print(f"\n{green}/{n} pass, {failures} failure(s) -> {artifact}")
-    return 1 if failures else 0
+    summary = flush()
+    print(f"\n{summary['pass']}/{summary['n']} pass, "
+          f"{summary['fail']} failure(s) -> {artifact}")
+    return 1 if summary["fail"] else 0
 
 
 if __name__ == "__main__":
     a = sys.argv[1:]
     sys.exit(main(a[0] if a else "/tmp/sf1",
                   a[1] if len(a) > 1 else "/tmp/verify_sf1",
-                  a[2] if len(a) > 2 else "CORRECTNESS_sf1.json"))
+                  a[2] if len(a) > 2 else "CORRECTNESS_sf1.json",
+                  int(a[3]) if len(a) > 3 else 0,
+                  int(a[4]) if len(a) > 4 else 1))
