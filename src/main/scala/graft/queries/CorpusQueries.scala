@@ -2417,9 +2417,13 @@ object CorpusQueries {
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
       .crossJoin(broadcast(tot))
       .select(col("b").as("bigram"), col("c12"),
-        round(log((col("t").cast("decimal(38,0)") * col("c12")).cast("double")
+        // + 0.0 canonicalizes IEEE -0.0 (m6's rule): a bigram whose
+        // lift is exactly 1 rounds to ±0.0 depending on which side of
+        // 1.0 the quotient lands in each engine — surfaced at the sf1
+        // gate ('customer merge', lift exactly 1 there)
+        (round(log((col("t").cast("decimal(38,0)") * col("c12")).cast("double")
           / (col("c1").cast("decimal(38,0)") * col("c2")).cast("double")), 4)
-          .as("pmi"))
+          + lit(0.0)).as("pmi"))
   }
 
   val pmi1Sql: String =
@@ -2435,7 +2439,8 @@ object CorpusQueries {
        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni)
        |SELECT bg.b AS bigram, bg.c12,
        |  round(ln(CAST(CAST(t AS DECIMAL(38,0)) * c12 AS DOUBLE)
-       |           / CAST(CAST(u1.c AS DECIMAL(38,0)) * u2.c AS DOUBLE)), 4) AS pmi
+       |           / CAST(CAST(u1.c AS DECIMAL(38,0)) * u2.c AS DOUBLE)), 4)
+       |    + 0.0 AS pmi
        |FROM bg JOIN uni u1 ON bg.w1 = u1.w
        |        JOIN uni u2 ON bg.w2 = u2.w
        |        CROSS JOIN tot""".stripMargin
