@@ -27,6 +27,11 @@ import check  # noqa: E402
 import duckdb  # noqa: E402
 
 EXCLUDE = {
+    "rk1_rank_agreement": "oracle-resource: the rank-agreement oracle "
+                          "runs two full retrieval pipelines (BM25 + "
+                          "TFIDF CTEs) in DuckDB at sf1 and spills past "
+                          "free disk; hash-green at sf0.01/sf0.1; Spark "
+                          "side completes at sf1",
     "kc1_kcore": "oracle-resource: iterative k-core DuckDB SQL over the "
                  "sf1 pair graph (10x verbatim doc copies -> ~100x edges, "
                  "62M+ pairs) spills past the sandbox's free disk; "
