@@ -349,11 +349,26 @@ object VectorSearch {
     */
   def knnLshRpMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
                          w: Array[Array[Array[Double]]],
-                         radius: Int = 1): DataFrame = {
-    val bits = w(0).length
-    val cb = spread(corpus).withColumn("vn", Vec.norm(col("v")))
+                         radius: Int = 1): DataFrame =
+    knnLshRpMultiProbeFrom(rpBuckets(corpus, w), queries, k, w, radius)
+
+  /** The exploded (vec_id, v, vn, tbl, bucket) corpus bucket table —
+    * an INDEX ARTIFACT like IVF centroids or the HNSW edge list: a
+    * serving deployment computes it once (persist/localCheckpoint) and
+    * every request probes it, instead of re-exploding the corpus per
+    * query (which dominated per-request latency in LatencyReport —
+    * the corpus side is O(N·tables) work per call). */
+  def rpBuckets(corpus: DataFrame,
+                w: Array[Array[Array[Double]]]): DataFrame =
+    spread(corpus).withColumn("vn", Vec.norm(col("v")))
       .select(col("vec_id"), col("v"), col("vn"),
         posexplode(hyperplaneBuckets(col("v"), w)).as(Seq("tbl", "bucket")))
+
+  /** Multi-probe kNN over a PREBUCKETED corpus (see rpBuckets). */
+  def knnLshRpMultiProbeFrom(cb: DataFrame, queries: DataFrame, k: Int,
+                             w: Array[Array[Array[Double]]],
+                             radius: Int): DataFrame = {
+    val bits = w(0).length
     // all XOR masks with <= radius sign bits flipped: radius 0 is the
     // plain single-bucket probe, 1 the hamming-1 expansion, 2 adds the
     // \binom{bits}{2} two-bit flips — query-side only, corpus unchanged

@@ -60,17 +60,23 @@ object LatencyReport {
     def serveIvf(q: DataFrame): DataFrame =
       VectorSearch.knnIvfAssigned(q, assigned, centroids, K, Nprobe)
 
-    // ---- HNSW family: persisted edge table + seeded walk ----
+    // ---- HNSW family: persisted edge table + seeded walk. The seed
+    // LSH's corpus bucket table is ALSO a precomputed index artifact —
+    // re-exploding the corpus per request dominated the first cut of
+    // this report (~5 s of the ~6 s P50) ----
     val edges = VectorQueries.hg1HnswBuildCached(spark, sfDir).localCheckpoint()
-    def serveHnsw(q: DataFrame): DataFrame = {
-      val seeds = VectorSearch.knnLshRpMultiProbe(q, corpus,
+    val buckets = VectorSearch.rpBuckets(corpus, VectorQueries.rpWeightsPair)
+      .localCheckpoint()
+    def seedsFor(q: DataFrame): DataFrame =
+      VectorSearch.knnLshRpMultiProbeFrom(buckets, q,
         VectorQueries.HnswBeam, VectorQueries.rpWeightsPair,
         VectorQueries.HnswProbes)
         .join(q, "query_id")
         .select(col("query_id"), col("qv"), col("vec_id").as("node"))
+    def serveHnsw(q: DataFrame): DataFrame = {
       val vis = HnswIndex.visitedStates(q, edges, corpus,
         VectorQueries.HnswMaxLevel, VectorQueries.HnswHopsUpper,
-        VectorQueries.HnswHopsZero, VectorQueries.HnswBeam, Some(seeds))
+        VectorQueries.HnswHopsZero, VectorQueries.HnswBeam, Some(seedsFor(q)))
       HnswIndex.resultsFromVisited(vis, edges, corpus, K)
     }
 
@@ -99,7 +105,21 @@ object LatencyReport {
         f""""ndcg_at_$K":${summary.getDouble(1)}%.4f}"""
     }
 
-    val fams = Seq(family("ivf", serveIvf), family("hnsw", serveHnsw))
+    // the shallow serving variant: the knee sweep showed the probe-2
+    // seed set carries recall on this fixture; one layer-0 expansion
+    // collapses the walk from ~10 sequential jobs to 3 per request —
+    // the latency-critical configuration a point-lookup deployment
+    // would start from (trade: the graph contributes one refinement
+    // hop instead of a full descent)
+    def serveHnswFast(q: DataFrame): DataFrame = {
+      val vis = HnswIndex.visitedStates(q, edges, corpus,
+        VectorQueries.HnswMaxLevel, 0, 1,
+        VectorQueries.HnswBeam, Some(seedsFor(q)))
+      HnswIndex.resultsFromVisited(vis, edges, corpus, K)
+    }
+
+    val fams = Seq(family("ivf", serveIvf), family("hnsw", serveHnsw),
+      family("hnsw_1hop", serveHnswFast))
     val json = s"""{"sf":"$sfDir","k":$K,"nprobe":$Nprobe,""" +
       s""""ivf_cells":$IvfCells,${fams.mkString(",")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
