@@ -26,6 +26,14 @@ object FitOrLoad {
 
   private val ManifestName = "_graft_manifest"
 
+  /** Wall-clock seconds spent BUILDING cache artifacts in this JVM
+    * (cache misses only; warm loads add nothing). Bench snapshots this
+    * around each query so one-time artifact construction lands in an
+    * explicit build_sec field instead of silently inflating whichever
+    * consumer happens to run first (the r10 rk1/b2 attribution gap). */
+  private val buildNanosAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+  def buildSeconds: Double = buildNanosAcc.get() / 1e9
+
   /** Cheap input-CONTENT signal for the manifest: fold (relative path,
     * size, mtime) of every file under `p` into one hash. Row count alone
     * is not enough — the r9 fixture regeneration kept counts identical
@@ -38,13 +46,21 @@ object FitOrLoad {
   def contentSig(root: String): String = {
     val base = new java.io.File(root)
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      if (f.isDirectory)
+        // null-safe: listFiles() returns null on an unreadable dir
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .toSeq.sortBy(_.getName).flatMap(walk)
       else Seq(f)
     if (!base.exists()) "none"
     else {
+      val basePath = base.toPath.toAbsolutePath
       val h = java.security.MessageDigest.getInstance("MD5")
       walk(base).foreach { f =>
-        h.update(s"${f.getName}|${f.length()}|${f.lastModified()};".getBytes("UTF-8"))
+        // hash the path RELATIVE TO root (not just the leaf name), so
+        // moving or swapping same-named files between subdirs changes
+        // the signature
+        val rel = basePath.relativize(f.toPath.toAbsolutePath)
+        h.update(s"$rel|${f.length()}|${f.lastModified()};".getBytes("UTF-8"))
       }
       h.digest().map("%02x".format(_)).mkString.take(16)
     }
@@ -77,8 +93,10 @@ object FitOrLoad {
         else None
       } catch { case _: Exception => None }
     cached.getOrElse {
+      val t0 = System.nanoTime()
       build.write.mode(SaveMode.Overwrite).parquet(path)
       java.nio.file.Files.write(mf.toPath, fingerprint.getBytes("UTF-8"))
+      buildNanosAcc.addAndGet(System.nanoTime() - t0)
       spark.read.parquet(path)
     }
   }

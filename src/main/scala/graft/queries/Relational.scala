@@ -882,7 +882,12 @@ object Relational {
   }
 
   private def skewKeyCol: org.apache.spark.sql.Column = {
-    val h = pmod(col("event_id") * lit(2654435761L), lit(1000003L))
+    // reduce mod 1000003 BEFORE multiplying: (a*M) mod m == ((a mod m)*M)
+    // mod m, and the reduced product stays <= 1e6 * 2.7e9 ~ 2.7e15 —
+    // signed-64 safe for ANY event_id (the unreduced form silently wraps
+    // past event_id ~3.4e9 while DuckDB raises, diverging at scale)
+    val h = pmod(pmod(col("event_id"), lit(1000003L)) * lit(2654435761L),
+      lit(1000003L))
     // fold hottest-last so key 0's (smallest) threshold lands OUTERMOST
     // — in a when-chain the outermost condition wins
     SkewLadder.reverse.foldLeft(lit(9): org.apache.spark.sql.Column) {
@@ -891,7 +896,7 @@ object Relational {
   }
 
   private val skewKeyS: String = {
-    val h = "((event_id * 2654435761) % 1000003)"
+    val h = "(((event_id % 1000003) * 2654435761) % 1000003)"
     SkewLadder.reverse.foldLeft("9") { case (acc, (thr, k)) =>
       s"CASE WHEN $h < $thr THEN $k ELSE $acc END"
     }
@@ -906,21 +911,28 @@ object Relational {
     * the salted plan's max reducer load is 1/8 of that). */
   def sk2SkewSaltedAgg(spark: SparkSession, sfDir: String): DataFrame =
     graft.Dist.saltedSum(
-      Tables.events(spark, sfDir).select(skewKeyCol.as("skew_key"), col("value")),
-      "skew_key", "value", 8)
-      .select(col("skew_key"), round(col("sum_value"), 2).as("sum_value"),
-        col("n_rows"))
+      Tables.events(spark, sfDir)
+        // sum integer cents, not doubles: float addition is non-associative
+        // and the salt assignment is plan-dependent, so a double partial-sum
+        // could drift past round(_,2) at scale; floor(value*100) is
+        // per-row deterministic in both engines and integer sums are
+        // exactly associative under ANY grouping
+        .select(skewKeyCol.as("skew_key"),
+          floor(col("value") * 100).as("cents")),
+      "skew_key", "cents", 8)
+      .select(col("skew_key"), col("sum_cents"), col("n_rows"))
 
   /** sk3_skew_plain_agg — the unsalted control for sk2 (same planted
     * key, single-phase groupBy): row-identical output, one hot reducer. */
   def sk3SkewPlainAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
-      .select(skewKeyCol.as("skew_key"), col("value"))
+      .select(skewKeyCol.as("skew_key"), floor(col("value") * 100).as("cents"))
       .groupBy("skew_key")
-      .agg(round(sum("value"), 2).as("sum_value"), count(lit(1)).as("n_rows"))
+      .agg(sum("cents").as("sum_cents"), count(lit(1)).as("n_rows"))
 
   lazy val sk2Sql: String =
-    s"""SELECT $skewKeyS AS skew_key, round(sum(value), 2) AS sum_value,
+    s"""SELECT $skewKeyS AS skew_key,
+       |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
        |  count(*) AS n_rows
        |FROM events GROUP BY 1""".stripMargin
 

@@ -69,7 +69,7 @@ class SkewSaltingSpec extends SparkSpec {
   test("sk2 registry query equals its sk3 plain twin on the real fixture") {
     val a = Relational.sk2SkewSaltedAgg(spark, sf).collect().toSet
     val b = Relational.sk3SkewPlainAgg(spark, sf)
-      .select("skew_key", "sum_value", "n_rows").collect().toSet
+      .select("skew_key", "sum_cents", "n_rows").collect().toSet
     assert(a.nonEmpty && a == b)
     // the ladder plants real skew on the fixture too: key 0 ≈ half
     val n = Relational.sk3SkewPlainAgg(spark, sf)

@@ -63,6 +63,19 @@ def main(sf_dir: str, out_dir: str, artifact: str,
         prior = json.loads(Path(artifact).read_text()).get("queries", {})
         statuses.update(prior)
     def flush():
+        # concurrent-shard safe: re-read + merge the artifact under this
+        # process's view before writing (two shards share one file; a
+        # blind write would drop the other shard's rows), and write via
+        # tmp+rename so a crash mid-flush never corrupts the resumable
+        # artifact. Races between the read and the rename can still lose
+        # a peer's LAST in-flight row, but re-running the gate is
+        # idempotent and re-checks anything missing.
+        try:
+            on_disk = json.loads(Path(artifact).read_text()).get("queries", {})
+            for k, v in on_disk.items():
+                statuses.setdefault(k, v)
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
         n = len(statuses)
         summary = {
             "sf": sf_dir, "n": n,
@@ -73,7 +86,9 @@ def main(sf_dir: str, out_dir: str, artifact: str,
                             if v["status"] == "excluded"),
             "fail": sum(1 for v in statuses.values() if v["status"] == "fail"),
             "queries": statuses}
-        Path(artifact).write_text(json.dumps(summary, indent=1))
+        tmp = Path(artifact).with_suffix(".tmp")
+        tmp.write_text(json.dumps(summary, indent=1))
+        tmp.replace(Path(artifact))
         return summary
 
     for qdir in sorted(d for d in out.iterdir() if d.is_dir()):

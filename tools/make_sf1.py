@@ -52,9 +52,20 @@ def offset_copy(table: pa.Table, name: str, c: int) -> pa.Table:
             i, col, pc.add(table.column(col), c * OFFSET))
     if name == "events":
         i = table.schema.get_field_index("ts")
+        ts_type = table.schema.field("ts").type
         ts = table.column("ts").cast(pa.int64())
-        ts = pc.add(ts, c)  # +c microseconds: unique (event_type, ts)
-        table = table.set_column(i, "ts", ts.cast(table.schema.field("ts").type))
+        # +c MICROseconds per copy: unique (event_type, ts). cast(int64)
+        # yields the column's NATIVE unit, so scale the offset by it —
+        # adding a bare +c to a timestamp[ns] column is c NANOs, which
+        # vanish in the engine's nanos->micros truncation and reintroduce
+        # the engine-dependent row_number tie this jitter prevents.
+        unit_scale = {"s": None, "ms": None, "us": 1, "ns": 1000}.get(
+            getattr(ts_type, "unit", "us"))
+        if unit_scale is None:
+            raise SystemExit(
+                f"events.ts unit {ts_type} too coarse for microsecond jitter")
+        ts = pc.add(ts, c * unit_scale)
+        table = table.set_column(i, "ts", ts.cast(ts_type))
     return table
 
 
