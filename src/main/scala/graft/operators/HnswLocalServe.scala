@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Driver-side per-request HNSW serving runtime (r10 verdict task 4).
+  *
+  * The distributed walk (HnswIndex.visitedStates) runs one Spark job
+  * per hop; per-request that is ~7 sequential job launches and P50 sat
+  * at 2.5 s — pure scheduling overhead, not compute (BASELINE.json
+  * itself flags that online ANN serving wants a separate runtime; the
+  * reference serves from chroma's in-process HNSW,
+  * /root/reference/src/chroma.py:96-106). This class IS that runtime:
+  * the persisted index artifacts — edge table (M-degree-bounded,
+  * metadata-sized at any corpus), LSH seed buckets, and the node
+  * vectors the walk touches — are collected ONCE, and each request is
+  * pure driver compute with zero job launches.
+  *
+  * Scale honesty: the edge table and bucket directory stay
+  * metadata-sized at any corpus, but holding EVERY node vector
+  * in-heap does not (at 100 TB the vector map would be backed by a
+  * KV/object store paging by vec_id; the walk touches only
+  * O(hops·beam·M) vectors per request, so the access pattern is
+  * point-lookup-friendly). The distributed path remains the batch
+  * contract — hg2/hg3's registry rows still run it.
+  *
+  * Parity is bit-exact with the distributed walk, pinned by
+  * HnswLocalServeSpec: the same sequential double fold as Vec.dot,
+  * the same HALF_UP round(_, 6) Spark's Round applies, the same
+  * (score desc, vec_id asc) tie-breaks, the same seed/descent/beam
+  * schedule — so recall is IDENTICAL by construction, not re-tuned.
+  */
+final class HnswLocalServer(
+    layerAdj: Array[Map[Long, Array[Long]]],   // index = layer
+    vectors: Map[Long, Array[Float]],
+    buckets: Map[(Int, Long), Array[Long]],
+    w: Array[Array[Array[Double]]],
+    entry: Long,
+    maxLevel: Int, probes: Int, beam: Int,
+    hopsUpper: Int, hopsZero: Int, k: Int) extends Serializable {
+
+  // masks with <= probes bits set: the multi-probe expansion
+  // (VectorSearch.knnLshRpMultiProbeFrom's query-side xor set)
+  private val probeMasks: Array[Long] = {
+    val bits = w(0).length
+    (0L until (1L << bits)).filter(java.lang.Long.bitCount(_) <= probes).toArray
+  }
+
+  /** Sequential double fold, the exact order Vec.dot/DotProduct uses. */
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+  private def dotW(a: Array[Float], plane: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * plane(i); i += 1 }
+    s
+  }
+  private def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+
+  /** Spark Round(HALF_UP) semantics on double — BigDecimal.valueOf
+    * (shortest-decimal), NOT new BigDecimal(double). */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def bucketOf(qv: Array[Float], table: Array[Array[Double]]): Long = {
+    var b = 0L; var i = 0
+    while (i < table.length) {
+      if (dotW(qv, table(i)) >= 0.0) b |= (1L << i); i += 1
+    }
+    b
+  }
+
+  /** Top-`n` of `cands` by (key desc, id asc). */
+  private def top(cands: Iterable[(Long, Double)], n: Int): Array[Long] =
+    cands.toArray
+      .sortBy { case (id, sc) => (-sc, id) }
+      .take(n).map(_._1)
+
+  /** LSH-seeded beam entry points: the query's top-`beam` over the
+    * multi-probed buckets (unrounded score, vec_id tie-break) —
+    * knnLshRpMultiProbeFrom's semantics. */
+  private def seeds(qv: Array[Float], qn: Double): Array[Long] = {
+    val cand = scala.collection.mutable.LongMap.empty[Boolean]
+    var t = 0
+    while (t < w.length) {
+      val b0 = bucketOf(qv, w(t))
+      probeMasks.foreach { m =>
+        buckets.getOrElse((t, b0 ^ m), Array.empty[Long])
+          .foreach(id => cand.update(id, true))
+      }
+      t += 1
+    }
+    top(cand.keys.map { id =>
+      val v = vectors(id)
+      id -> dot(qv, v) / (qn * norm(v))
+    }, beam)
+  }
+
+  /** One HnswIndex.step: cursors move to the top-`width` of
+    * {cursors} ∪ {their layer-`l` neighbors} by round6(cosine). */
+  private def step(cur: Array[Long], layer: Int, qv: Array[Float],
+                   qn: Double, width: Int): Array[Long] = {
+    val adj = layerAdj(layer)
+    val cand = scala.collection.mutable.LongMap.empty[Boolean]
+    cur.foreach { n =>
+      cand.update(n, true)
+      adj.getOrElse(n, Array.empty[Long]).foreach(d => cand.update(d, true))
+    }
+    top(cand.keys.map { id =>
+      val v = vectors(id)
+      id -> round6(dot(qv, v) / (qn * norm(v)))
+    }, width)
+  }
+
+  /** Serve one request: top-k (vec_id, score, rnk) for `qv` — the
+    * exact result hg2's distributed walk produces for this query. */
+  def search(qv: Array[Float]): Array[(Long, Double, Int)] = {
+    val qn = norm(qv)
+    // greedy descent, upper layers (k=1 per step)
+    var cur = Array(entry)
+    var l = maxLevel
+    while (l >= 1) {
+      var h = 0
+      while (h < hopsUpper) { cur = step(cur, l, qv, qn, 1); h += 1 }
+      l -= 1
+    }
+    // union the LSH seeds into the layer-0 beam; collect visited states
+    val visited = scala.collection.mutable.LongMap.empty[Boolean]
+    cur = (cur ++ seeds(qv, qn)).distinct
+    cur.foreach(visited.update(_, true))
+    var h = 0
+    while (h < hopsZero) {
+      cur = step(cur, 0, qv, qn, beam)
+      cur.foreach(visited.update(_, true))
+      h += 1
+    }
+    // result set: visited ∪ their layer-0 neighborhoods, top-k
+    val adj0 = layerAdj(0)
+    val cand = scala.collection.mutable.LongMap.empty[Boolean]
+    visited.foreachKey { n =>
+      cand.update(n, true)
+      adj0.getOrElse(n, Array.empty[Long]).foreach(d => cand.update(d, true))
+    }
+    cand.keys.map { id =>
+      val v = vectors(id)
+      id -> round6(dot(qv, v) / (qn * norm(v)))
+    }.toArray
+      .sortBy { case (id, sc) => (-sc, id) }
+      .take(k)
+      .zipWithIndex
+      .map { case ((id, sc), i) => (id, sc, i + 1) }
+  }
+}
+
+object HnswLocalServer {
+
+  /** Build the runtime from the persisted artifacts: one edge-table
+    * collect (metadata-sized: |corpus|·M·~1.33 rows), one corpus
+    * collect for the vector map (the piece a 100 TB deployment backs
+    * with a KV store), and a driver-side bucket directory computed
+    * from the same hyperplanes the Spark path uses (identical dot
+    * fold → identical sign bits → identical buckets). */
+  def fromArtifacts(edges: DataFrame, corpus: DataFrame,
+                    w: Array[Array[Array[Double]]],
+                    maxLevel: Int, probes: Int, beam: Int,
+                    hopsUpper: Int, hopsZero: Int, k: Int): HnswLocalServer = {
+    val vecs = corpus.select("vec_id", "v").collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray
+    }.toMap
+    val adj = Array.fill(maxLevel + 1)(
+      scala.collection.mutable.HashMap.empty[Long,
+        scala.collection.mutable.ArrayBuffer[Long]])
+    edges.select("layer", "src", "dst").collect().foreach { r =>
+      val (l, s, d) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      adj(l).getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += d
+    }
+    // bucket directory + level assignment, driver-side
+    val buckets = scala.collection.mutable.HashMap.empty[(Int, Long),
+      scala.collection.mutable.ArrayBuffer[Long]]
+    vecs.foreach { case (id, v) =>
+      var t = 0
+      while (t < w.length) {
+        var b = 0L; var i = 0
+        while (i < w(t).length) {
+          var s = 0.0; var j = 0
+          while (j < v.length) { s += v(j).toDouble * w(t)(i)(j); j += 1 }
+          if (s >= 0.0) b |= (1L << i)
+          i += 1
+        }
+        buckets.getOrElseUpdate((t, b),
+          scala.collection.mutable.ArrayBuffer.empty) += id
+        t += 1
+      }
+    }
+    // entry point: smallest vec_id among max-level nodes
+    // (HnswIndex.withLevels order: lvl desc, vec_id asc, limit 1)
+    def level(id: Long): Int = {
+      var h = 0L
+      id.toString.foreach(c => h = (h * 31L + c.toInt) % Embed.HashMod)
+      h = (h * 2654435761L) % Embed.HashMod
+      if (h % 4L != 0L) 0
+      else {
+        var l = 1
+        while (l < maxLevel && h % (1L << (2 * (l + 1))) == 0L) l += 1
+        l
+      }
+    }
+    val entry = vecs.keys.toArray.map(id => (level(id), id))
+      .sortBy { case (lvl, id) => (-lvl, id) }.head._2
+    new HnswLocalServer(
+      adj.map(_.map { case (s, ds) => s -> ds.toArray }.toMap),
+      vecs,
+      buckets.map { case (kk, ids) => kk -> ids.toArray }.toMap,
+      w, entry, maxLevel, probes, beam, hopsUpper, hopsZero, k)
+  }
+}
