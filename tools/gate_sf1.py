@@ -26,23 +26,14 @@ sys.path.insert(0, str(Path(__file__).parent))
 import check  # noqa: E402
 import duckdb  # noqa: E402
 
-EXCLUDE = {
-    "rk1_rank_agreement": "oracle-resource: the rank-agreement oracle "
-                          "runs two full retrieval pipelines (BM25 + "
-                          "TFIDF CTEs) in DuckDB at sf1 and spills past "
-                          "free disk; hash-green at sf0.01/sf0.1; Spark "
-                          "side completes at sf1",
-    "kc1_kcore": "oracle-resource: iterative k-core DuckDB SQL over the "
-                 "sf1 pair graph (10x verbatim doc copies -> ~100x edges, "
-                 "62M+ pairs) spills past the sandbox's free disk; "
-                 "hash-green at sf0.01/sf0.1; Spark side completes at sf1",
-    "g1_pagerank": "oracle-resource: DuckDB recursive-CTE transitive "
-                   "closure spills >79GB temp disk at sf1; hash-green at "
-                   "sf0.01/sf0.1; Spark side completes at sf1",
-    "v12_hybrid_search": "oracle-resource: DuckDB hybrid-retrieval SQL "
-                         "spills >79GB temp disk at sf1; hash-green at "
-                         "sf0.01/sf0.1; Spark side completes at sf1",
-}
+# r10 carried 4 oracle-resource exclusions here (g1/v12/kc1/rk1: the
+# 10x-verbatim-copy fixture squared the near-dup pair graph and their
+# DuckDB oracles spilled past the sandbox's 79 GB temp disk). The r11
+# fixture de-degeneration (make_sf1.py per-copy token suffixing) makes
+# pair volume scale linearly, so every oracle runs — the mechanism
+# stays for a future genuinely-unrunnable oracle, but it must carry a
+# named reason and r11 ships EMPTY.
+EXCLUDE: dict = {}
 
 
 def main(sf_dir: str, out_dir: str, artifact: str,

@@ -19,6 +19,7 @@ only ever enlarge the CORPUS side (vec_id >= 10^8 > 8).
 Usage: python3 tools/make_sf1.py [src_dir] [dst_dir]
   defaults: /root/testdata/sf0.1 -> /tmp/sf1
 """
+import re
 import sys
 
 import pyarrow as pa
@@ -27,6 +28,19 @@ import pyarrow.parquet as pq
 
 COPIES = 10
 OFFSET = 10**8
+
+# Copied documents get every token suffixed with the copy number
+# (deterministic, data-level — both engines read the same perturbed
+# parquet, so no oracle mirroring is needed). Without this, 10x
+# VERBATIM doc copies square the near-dup pair graph (~100x edges:
+# every cross-copy pair of the same doc is an exact dup, and the tiny
+# shared vocabulary makes cross-copy shingle buckets explode), which
+# blew the g1/v12/kc1/rk1 DuckDB oracles past the sandbox's 79 GB
+# temp disk at sf1. Suffixed copies have pairwise-DISJOINT
+# vocabularies across copies, so pair volume scales ~linearly — the
+# shape a real corpus has. Within-copy near-dup structure (what the
+# dedup family actually measures) is untouched.
+TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
 
 # per-table integer key columns to offset per copy (facts only; dims
 # region/nation stay single-copy so FK columns remain valid everywhere)
@@ -66,6 +80,15 @@ def offset_copy(table: pa.Table, name: str, c: int) -> pa.Table:
                 f"events.ts unit {ts_type} too coarse for microsecond jitter")
         ts = pc.add(ts, c * unit_scale)
         table = table.set_column(i, "ts", ts.cast(ts_type))
+    if name == "documents":
+        suffix = str(c)
+        texts = [TOKEN_RE.sub(lambda m: m.group(0) + suffix, t)
+                 for t in table.column("text").to_pylist()]
+        ti = table.schema.get_field_index("text")
+        table = table.set_column(ti, "text", pa.array(texts, pa.string()))
+        ni = table.schema.get_field_index("n_chars")
+        table = table.set_column(
+            ni, "n_chars", pa.array([len(t) for t in texts], pa.int64()))
     return table
 
 
