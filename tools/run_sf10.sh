@@ -1,0 +1,26 @@
+#!/bin/bash
+# sf10 scale rung (100x sf0.1): synthesize the fixture, verify the
+# representative subset (tools/repr50.txt), gate it against DuckDB,
+# and bench the same subset. Everything is resumable: re-running skips
+# recorded gate rows, and Verify only re-dumps the queries passed.
+#
+# Usage: tools/run_sf10.sh [fixture_dir]
+set -u
+cd "$(dirname "$0")/.."
+SF10=${1:-/tmp/sf10}
+
+if [ ! -f "$SF10/lineitem.parquet" ]; then
+  python3 tools/make_sfN.py 100 /root/testdata/sf0.1 "$SF10" || exit 1
+fi
+
+QUERIES=$(grep -v '^#' tools/repr50.txt | grep -v '^$' | tr '\n' ' ')
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
+  sbt "runMain graft.Verify $SF10 /tmp/verify_sf10 $QUERIES" || exit 1
+
+python3 tools/gate_sf1.py "$SF10" /tmp/verify_sf10 CORRECTNESS_sf10.json
+
+SPARK_GRAFT_SF_DIR="$SF10" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
+  SPARK_GRAFT_QUERIES=$(grep -v '^#' tools/repr50.txt | grep -v '^$' | paste -sd,) \
+  sbt "runMain graft.Bench" | grep '"metric"' | sed 's/^\[info\] //' \
+  > BENCH_sf10.json
+cat BENCH_sf10.json
