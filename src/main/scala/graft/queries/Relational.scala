@@ -421,17 +421,52 @@ object Relational {
       |EXCEPT
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin
 
-  /** m4_approx_pcts — the 100 TB percentile path: approx_percentile
-    * (t-digest-style sketch, mergeable map-side) instead of the exact
-    * sort+interpolate in m1. Rows-only check: sketch implementations
-    * differ across engines by design.
-    */
-  def m4ApproxPcts(spark: SparkSession, sfDir: String): DataFrame =
+  /** The raw 100 TB percentile path: approx_percentile (t-digest-style
+    * sketch, mergeable map-side) instead of the exact sort+interpolate
+    * in m1. Production callers use THIS; sketch values are
+    * engine-specific, so the gate entry below attests the bound
+    * instead of hashing them. */
+  def m4ApproxRaw(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy("event_type")
       .agg(round(expr("approx_percentile(value, 0.5, 10000)"), 6).as("p50"),
            round(expr("approx_percentile(value, 0.95, 10000)"), 6).as("p95"),
            round(expr("approx_percentile(value, 0.99, 10000)"), 6).as("p99"))
+
+  /** m4_approx_pcts — gate entry: the sketch percentiles joined against
+    * exact per-group order statistics, emitting RANK-bracket
+    * attestation flags instead of the raw estimates. The sketch's
+    * actual contract is a rank bound (±n/accuracy ranks), not a value
+    * bound — tail quantiles of a spread-out distribution can differ
+    * >5% in VALUE between adjacent ranks, so a value-relative check
+    * would flake on exactly the data shapes sketches exist for. The
+    * flag asserts approx ∈ [orderstat(pos−slack), orderstat(pos+slack)]
+    * with slack = 1 rank (interpolation/convention) + n·ε (sketch).
+    * The oracle expects every flag = 1 → a sketch past its rank bound
+    * is a HASH failure in the driver gate, not a bare rows-only row.
+    * (The exact arm is the verification harness; at 100 TB you run
+    * m4ApproxRaw alone.) */
+  def m4ApproxPcts(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = Tables.events(spark, sfDir).groupBy("event_type")
+      .agg(sort_array(collect_list(col("value"))).as("arr"))
+      .select(col("event_type"), col("arr"), size(col("arr")).cast("long").as("n"))
+    def ok(q: Double, a: String) = {
+      val pos = (col("n") - 1) * lit(q)        // 0-based target rank
+      val slack = lit(1.0) + col("n") / lit(10000.0) // convention + eps*n
+      val lo = greatest(lit(1L), (floor(pos - slack) + 1).cast("long"))
+      val hi = least(col("n"), (ceil(pos + slack) + 1).cast("long"))
+      when(col(a).between(
+        element_at(col("arr"), lo.cast("int")) - lit(1e-6),
+        element_at(col("arr"), hi.cast("int")) + lit(1e-6)), 1).otherwise(0)
+    }
+    m4ApproxRaw(spark, sfDir).join(stats, "event_type")
+      .select(col("event_type"), ok(0.50, "p50").as("ok_p50"),
+        ok(0.95, "p95").as("ok_p95"), ok(0.99, "p99").as("ok_p99"))
+  }
+
+  val m4Sql: String =
+    """SELECT event_type, 1 AS ok_p50, 1 AS ok_p95, 1 AS ok_p99
+      |FROM events GROUP BY 1""".stripMargin
 
   /** a1_asof — as-of join: each purchase event matched to the user's
     * latest click at or before it (graft.operators.AsOfJoin, the linear
@@ -602,16 +637,39 @@ object Relational {
       |FROM events WHERE event_type IN ('click', 'purchase')
       |GROUP BY 1""".stripMargin
 
-  /** q12_approx_distinct — HyperLogLog++ distinct counts per group (the
-    * 100 TB path for q10's exact multi-distinct: one pass, fixed-size
-    * sketch state, no distinct shuffle). Rows-only driver check —
-    * sketch estimates are engine-specific — with the spec bounding the
-    * error against the exact counts. */
-  def q12ApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+  /** The raw HyperLogLog++ distinct counts per group (the 100 TB path
+    * for q10's exact multi-distinct: one pass, fixed-size sketch
+    * state, no distinct shuffle). Production path; estimates are
+    * engine-specific so the gate entry attests the bound. */
+  def q12ApproxRaw(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+
+  /** q12_approx_distinct — gate entry: HLL++ estimates joined against
+    * the exact multi-distinct twin; emits the exact counts (cross-
+    * engine hash-checkable) plus within-5% attestation flags. A sketch
+    * past the bound flips a flag and fails the driver's hash compare —
+    * the error bound is now gate-enforced, not just spec-enforced. */
+  def q12ApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(count_distinct(col("l_orderkey")).as("exact_orders"),
+        count_distinct(col("l_partkey")).as("exact_parts"))
+    def ok(a: String, e: String) =
+      when(abs(col(a) - col(e)) <= lit(0.05) * col(e), 1).otherwise(0)
+    q12ApproxRaw(spark, sfDir).join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+        ok("approx_orders", "exact_orders").as("orders_ok"),
+        ok("approx_parts", "exact_parts").as("parts_ok"))
+  }
+
+  val q12Sql: String =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  1 AS orders_ok, 1 AS parts_ok
+      |FROM lineitem GROUP BY 1""".stripMargin
 
   /** pw2_temporal_write — DATE-partitioned parquet layout + range-pruned
     * read-back: the standard 100 TB event-table layout (partition by
@@ -1557,10 +1615,10 @@ object Relational {
     * coarser granularity re-aggregates metadata-sized sketch state
     * instead of the fact table (the re-aggregatable metrics cube every
     * 100 TB analytics stack keeps; same mergeable-state principle as
-    * inc1 and hh1's sketch). Rows-only: HLL (DataSketches HLL_4)
-    * estimates are engine-specific; the spec bounds the error vs exact
-    * distinct counts and pins merged-vs-direct consistency. */
-  def roll1HllRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    * inc1 and hh1's sketch). HLL (DataSketches HLL_4) estimates are
+    * engine-specific; the spec additionally pins merged-vs-direct
+    * consistency. Production path — the gate entry below wraps it. */
+  def roll1HllRaw(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = Tables.events(spark, sfDir)
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .groupBy("day")
@@ -1571,6 +1629,27 @@ object Relational {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
         sum("n_events").as("n_events"))
   }
+
+  /** roll1_hll_rollup — gate entry: the merged-sketch monthly rollup
+    * joined against the exact per-month distinct twin; emits month,
+    * event counts, exact distinct users (all hash-checkable vs DuckDB)
+    * plus a within-5% attestation flag on the sketch estimate. The
+    * sketch drifting past the bound fails the driver hash compare. */
+  def roll1HllRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(trunc(to_date(col("ts")), "month").as("month"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    roll1HllRaw(spark, sfDir).join(exact, "month")
+      .select(col("month"), col("n_events"), col("exact_users"),
+        when(abs(col("approx_users") - col("exact_users"))
+          <= lit(0.05) * col("exact_users"), 1).otherwise(0).as("users_ok"))
+  }
+
+  val roll1Sql: String =
+    """SELECT date_trunc('month', CAST(ts AS DATE)) AS month,
+      |  count(*) AS n_events, count(DISTINCT user_id) AS exact_users,
+      |  1 AS users_ok
+      |FROM events GROUP BY 1""".stripMargin
 
   /** q17_funnel — ordered event-funnel conversion (the product-analytics
     * staple): per user, first view → first click strictly after that

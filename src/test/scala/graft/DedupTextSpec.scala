@@ -204,7 +204,7 @@ class DedupTextSpec extends SparkSpec {
   }
 
   test("q12 approx distinct tracks exact multi-distinct within 5%") {
-    val approx = graft.queries.Relational.q12ApproxDistinct(spark, sf)
+    val approx = graft.queries.Relational.q12ApproxRaw(spark, sf)
     val exact = Tables.lineitem(spark, sf).groupBy("l_returnflag")
       .agg(countDistinct("l_orderkey").as("eo"), countDistinct("l_partkey").as("ep"))
     val joined = approx.join(exact, "l_returnflag").collect()

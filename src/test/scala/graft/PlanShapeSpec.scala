@@ -189,4 +189,47 @@ class PlanShapeSpec extends SparkSpec {
       s"deletion-neighborhood join degenerated to all-pairs:\n$p")
     assert(p.contains("levenshtein"), s"missing exact verify filter:\n$p")
   }
+
+  test("sk2 salted agg is two-phase: a (key, salt) exchange under a bare-key exchange") {
+    val p = plan(graft.queries.Relational.sk2SkewSaltedAgg(spark, sf))
+    // phase 1 partials shuffle on (skew_key, __salt) — the hot key is
+    // spread over the salt space BEFORE any reducer sees it whole
+    val saltEx = p.split("\n").filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("__salt"))
+    assert(saltEx.nonEmpty, s"no (key, salt) exchange — salting lost:\n$p")
+    // phase 2 combines on the bare key: a second exchange WITHOUT __salt
+    val bareEx = p.split("\n").filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("skew_key") &&
+        !l.contains("__salt"))
+    assert(bareEx.nonEmpty, s"no bare-key combine exchange:\n$p")
+    // the unsalted control stays single-phase (exactly one exchange)
+    val p3 = plan(graft.queries.Relational.sk3SkewPlainAgg(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p3).size == 1,
+      s"sk3 control must be the plain one-exchange aggregation:\n$p3")
+  }
+
+  test("hg5 compaction rescoring is equi-join only — no candidate regeneration") {
+    val p = plan(VectorQueries.hg5HnswCompact(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"compaction rescoring degenerated past an equi-join:\n$p")
+  }
+
+  test("prebucketed LSH serving probes the bucket artifact, never re-explodes the corpus") {
+    import graft.operators.VectorSearch
+    val corpus = VectorQueries.corpusVecs(spark, sf)
+    val cb = VectorSearch.rpBuckets(corpus, VectorQueries.rpWeightsPair)
+      .localCheckpoint()
+    val q = VectorQueries.queryVecs(spark, sf)
+    val p = plan(VectorSearch.knnLshRpMultiProbeFrom(
+      cb, q, 8, VectorQueries.rpWeightsPair, 1))
+    // the corpus side must be the checkpointed bucket artifact...
+    assert(p.contains("Scan ExistingRDD"),
+      s"bucket table not served from the checkpoint:\n$p")
+    // ...and the only Generates are the QUERY side's probe expansion
+    // (bucket posexplode + mask explode). A third Generate means the
+    // O(N*tables) corpus re-explosion crept back into the request path.
+    val generates = "Generate ".r.findAllIn(p).size
+    assert(generates <= 2,
+      s"corpus re-exploded per request ($generates Generates):\n$p")
+  }
 }

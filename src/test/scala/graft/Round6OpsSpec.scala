@@ -71,7 +71,7 @@ class Round6OpsSpec extends SparkSpec {
   }
 
   test("roll1 HLL rollup: merged daily sketches track exact distincts within 5%") {
-    val got = Relational.roll1HllRollup(spark, sf)
+    val got = Relational.roll1HllRaw(spark, sf)
       .collect().map(r => r.getDate(0) -> (r.getLong(1), r.getLong(2))).toMap
     val exact = Tables.events(spark, sf)
       .select(trunc(to_date(col("ts")), "month").as("month"), col("user_id"))
@@ -94,7 +94,7 @@ class Round6OpsSpec extends SparkSpec {
       .groupBy(trunc(col("day"), "month").as("month"))
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
       .collect().map(r => r.getDate(0) -> r.getLong(1)).toMap
-    val merged = Relational.roll1HllRollup(spark, sf)
+    val merged = Relational.roll1HllRaw(spark, sf)
       .collect().map(r => r.getDate(0) -> r.getLong(1)).toMap
     // HLL union of per-day sketches is lossless for HLL_4 at one lgK:
     // merging must not cost accuracy vs sketching the month directly

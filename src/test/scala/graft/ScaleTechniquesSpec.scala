@@ -68,12 +68,18 @@ class ScaleTechniquesSpec extends SparkSpec {
     val exact = graft.queries.MetricQueries.m1LatencyPcts(spark, sf)
       .withColumnRenamed("p50", "e50").withColumnRenamed("p95", "e95")
       .withColumnRenamed("p99", "e99")
-    val approx = graft.queries.Relational.m4ApproxPcts(spark, sf)
+    val approx = graft.queries.Relational.m4ApproxRaw(spark, sf)
     val joined = exact.join(approx, "event_type").collect()
     assert(joined.nonEmpty)
     joined.foreach { r =>
       assert(math.abs(r.getAs[Double]("p50") - r.getAs[Double]("e50"))
         <= 0.05 * math.max(1.0, r.getAs[Double]("e50").abs)) }
+    // and the gate entry attests exactly that bound: every flag = 1
+    val gate = graft.queries.Relational.m4ApproxPcts(spark, sf).collect()
+    assert(gate.nonEmpty)
+    gate.foreach { r =>
+      assert(r.getAs[Int]("ok_p50") == 1 && r.getAs[Int]("ok_p95") == 1 &&
+        r.getAs[Int]("ok_p99") == 1, s"bound flag down in $r") }
   }
 
   test("bucketed tables join without a shuffle exchange") {
