@@ -52,8 +52,12 @@ object CorpusQueries {
   /** `toks` over the Zipf-remapped corpus (same name as toksCte so the
     * downstream CTE bodies are shared verbatim). */
   val zToksCte: String =
+    // MATERIALIZED: the zipf remap is per-token polyhash+pow over the
+    // whole corpus and `toks` is referenced by several downstream CTEs
+    // — DuckDB 1.0 inlines by default and would re-tokenize per
+    // reference (the kc1 oracle-blowup class; see pairGraphCtes note)
     s"""rawtoks AS (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk FROM documents),
-       |toks AS (SELECT doc_id, list_transform(range(1, len(tk) + 1),
+       |toks AS MATERIALIZED (SELECT doc_id, list_transform(range(1, len(tk) + 1),
        |  __zi -> ${zipfTermS("tk[__zi]", "__zi")}) AS tk FROM rawtoks)""".stripMargin
 
   /** Discriminative query gen over zipf `toks` → `qry` (mirrors
@@ -65,7 +69,7 @@ object CorpusQueries {
        |  HAVING count(*) >= ${graft.operators.TextAnalysis.ZipfQueryMinDf}),
        |rankedq AS (SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id
        |    ORDER BY df ASC, tok ASC) AS rnk FROM qdt JOIN gdf USING (tok)),
-       |qry AS (SELECT doc_id AS query_id, string_agg(tok, ' ' ORDER BY rnk) AS query
+       |qry AS MATERIALIZED (SELECT doc_id AS query_id, string_agg(tok, ' ' ORDER BY rnk) AS query
        |        FROM rankedq WHERE rnk <= 3 GROUP BY doc_id)""".stripMargin
 
   val shingleCte: String =
@@ -1068,17 +1072,22 @@ object CorpusQueries {
     graft.operators.Bm25.searchFromTf(tf, queries, "query", Bm25K)
   }
 
-  val b2Sql: String = {
+  /** b2's full CTE chain (ending in `sc`) + the ranked final select as
+    * separate fragments: qe1 composes the same chain and MUST NOT
+    * re-declare it — with the MATERIALIZED hints DuckDB binds CTE
+    * names query-wide, so a nested duplicate `toks` is a binder error
+    * (it was only ever accidental duplication anyway). */
+  private lazy val b2Ctes: String = {
     val K1 = graft.operators.Bm25.K1
     val B = graft.operators.Bm25.B
-    s"""WITH $zToksCte,
+    s"""$zToksCte,
        |$zQryCtes,
        |tk2 AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
-       |tf AS (SELECT doc_id, t AS term, count(*) AS tf, any_value(dl) AS dl FROM (
+       |tf AS MATERIALIZED (SELECT doc_id, t AS term, count(*) AS tf, any_value(dl) AS dl FROM (
        |         SELECT doc_id, len(tk) AS dl, unnest(tk) AS t FROM tk2)
        |       GROUP BY 1, 2),
        |stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM tk2),
-       |qt AS (SELECT query_id, unnest(list_distinct(
+       |qt AS MATERIALIZED (SELECT query_id, unnest(list_distinct(
        |         list_filter(string_split(query, ' '), t -> length(t) > 0))) AS term
        |       FROM qry),
        |tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
@@ -1088,13 +1097,17 @@ object CorpusQueries {
        |         round(sum((q.idf * (t.tf * ${K1 + 1.0}))
        |           / (t.tf + ($K1 * (${1.0 - B} + (($B * t.dl) / s2.avgdl))))), 4) AS score
        |       FROM tf t JOIN qdf q USING (term) CROSS JOIN stats s2
-       |       GROUP BY 1, 2)
-       |SELECT query_id, doc_id, score, rnk FROM (
+       |       GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val b2RankedBody: String =
+    s"""SELECT query_id, doc_id, score, rnk FROM (
        |  SELECT query_id, doc_id, score,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY score DESC, doc_id ASC) AS rnk
        |  FROM sc) WHERE rnk <= $Bm25K""".stripMargin
-  }
+
+  lazy val b2Sql: String = s"WITH $b2Ctes\n$b2RankedBody"
 
   // ---- prc1_filter_pr_curve -------------------------------------------
 
@@ -1507,16 +1520,9 @@ object CorpusQueries {
   }
 
   lazy val qe1Sql: String =
-    s"""WITH fb AS (SELECT query_id, doc_id FROM ($b2Sql) WHERE rnk <= 3),
-       |$zToksCte,
-       |tf2 AS (SELECT doc_id, t AS term, count(*) AS tf FROM (
-       |          SELECT doc_id, unnest(tk) AS t FROM toks WHERE len(tk) > 0)
-       |        GROUP BY 1, 2),
-       |$zQryCtes,
-       |qt AS (SELECT query_id,
-       |         unnest(list_distinct(list_filter(string_split(query, ' '),
-       |           __qe -> length(__qe) > 0))) AS term
-       |       FROM qry),
+    s"""WITH $b2Ctes,
+       |fb AS (SELECT query_id, doc_id FROM ($b2RankedBody) WHERE rnk <= 3),
+       |tf2 AS (SELECT doc_id, term, tf FROM tf),
        |cand AS (SELECT f.query_id, t.term, CAST(sum(t.tf) AS BIGINT) AS fb_tf
        |         FROM fb f JOIN tf2 t ON t.doc_id = f.doc_id
        |         LEFT JOIN qt ON qt.query_id = f.query_id AND qt.term = t.term
@@ -1587,7 +1593,7 @@ object CorpusQueries {
        |${p}c AS (SELECT $idCol, list_transform(range(0, $HybridDim),
        |    __${p}bb -> CAST(len(list_filter(buckets, __${p}z -> __${p}z = __${p}bb)) AS DOUBLE)) AS counts
        |  FROM ${p}b),
-       |$outCte AS (SELECT $idCol,
+       |$outCte AS MATERIALIZED (SELECT $idCol,
        |    list_transform(counts, __${p}x -> round(__${p}x /
        |      sqrt(list_dot_product(counts, counts)), 6)) AS vec
        |  FROM ${p}c)""".stripMargin
@@ -1602,11 +1608,11 @@ object CorpusQueries {
       "(sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(d.vec, d.vec)))"
     s"""$zToksCte,
        |$zQryCtes,
-       |tk2 AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
-       |tf AS (SELECT doc_id, t AS term, count(*) AS tf, any_value(dl) AS dl FROM (
+       |tk2 AS MATERIALIZED (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+       |tf AS MATERIALIZED (SELECT doc_id, t AS term, count(*) AS tf, any_value(dl) AS dl FROM (
        |         SELECT doc_id, len(tk) AS dl, unnest(tk) AS t FROM tk2)
        |       GROUP BY 1, 2),
-       |stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM tk2),
+       |stats AS MATERIALIZED (SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM tk2),
        |qt AS (SELECT query_id, unnest(list_distinct(
        |         list_filter(string_split(query, ' '), t -> length(t) > 0))) AS term
        |       FROM qry),
@@ -1618,7 +1624,7 @@ object CorpusQueries {
        |           / (t.tf + ($K1 * (${1.0 - B} + (($B * t.dl) / s2.avgdl))))), 4) AS score
        |       FROM tf t JOIN qdf q USING (term) CROSS JOIN stats s2
        |       GROUP BY 1, 2),
-       |lexrank AS (SELECT query_id, doc_id, rnk FROM (
+       |lexrank AS MATERIALIZED (SELECT query_id, doc_id, rnk FROM (
        |  SELECT query_id, doc_id,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY score DESC, doc_id ASC) AS rnk
@@ -1628,7 +1634,7 @@ object CorpusQueries {
        |          list_filter(string_split(query, ' '), t -> length(t) > 0) AS tk
        |        FROM qry),
        |${embedCteS("q", "qtk", "query_id", "qemb")},
-       |vecrank AS (SELECT query_id, doc_id, rnk FROM (
+       |vecrank AS MATERIALIZED (SELECT query_id, doc_id, rnk FROM (
        |  SELECT q.query_id, d.doc_id,
        |    row_number() OVER (PARTITION BY q.query_id
        |      ORDER BY $cos DESC, d.doc_id ASC) AS rnk
@@ -1792,17 +1798,26 @@ object CorpusQueries {
   /** The df-capped shingle-hash inverted index as CTEs ending in `ex`
     * (doc_id, h, nsh) — reads from `toks`; shared by the jaccard (d2/
     * d8/g1) and containment (d13) pair oracles. */
+  // NOTE the MATERIALIZED hints on every multi-referenced CTE below
+  // (and in the unrolled-iteration oracles that consume these): DuckDB
+  // 1.0 INLINES CTEs by default, so an unrolled k-core round chain
+  // (eN referencing e(N-1) three times) re-plans the whole shingle
+  // self-join 3^rounds times — ~50x the work and >60 GB of temp spill
+  // at sf1, which is what actually caused the r10 "oracle-resource"
+  // exclusions (measured: kc1 at sf0.1 plain 65 s / materialized
+  // 1.3 s, identical rows). Results are unchanged; only the oracle's
+  // own evaluation strategy is pinned.
   private def shingleIndexCtes: String =
     s"""exs AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
-       |ex0 AS (SELECT doc_id, ${polyhashS("s")} AS h FROM exs),
+       |ex0 AS MATERIALIZED (SELECT doc_id, ${polyhashS("s")} AS h FROM exs),
        |hot AS (SELECT h FROM ex0 GROUP BY h HAVING count(*) > ${Dedup.DropDfCap}),
        |exk AS (SELECT doc_id, h FROM ex0 WHERE h NOT IN (SELECT h FROM hot)),
-       |ex AS (SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS nsh FROM exk)""".stripMargin
+       |ex AS MATERIALIZED (SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS nsh FROM exk)""".stripMargin
 
   private def pairGraphCtes: String =
     s"""$toksCte, $shingleCte,
        |$shingleIndexCtes,
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT id_a, id_b FROM (
        |    SELECT id_a, id_b, inter::DOUBLE / (na + nb - inter) AS jaccard FROM (
        |      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
@@ -1810,7 +1825,7 @@ object CorpusQueries {
        |      FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
        |      GROUP BY 1, 2))
        |  WHERE jaccard >= $JaccardMin),
-       |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |sym AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
        |        UNION SELECT id_b, id_a FROM pairs)""".stripMargin
 
   val d8Sql: String =
@@ -1837,7 +1852,7 @@ object CorpusQueries {
 
   val tc1Sql: String =
     s"""WITH $pairGraphCtes,
-       |tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+       |tri AS MATERIALIZED (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
        |        FROM pairs e1 JOIN pairs e2 ON e1.id_b = e2.id_a
        |        JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
        |corners AS (SELECT a AS doc_id FROM tri
@@ -1934,7 +1949,7 @@ object CorpusQueries {
   val g1Sql: String = {
     val tele = PrScale * 15L / 100L
     val iters = (1 to PrIters).map { i =>
-      s"""p$i AS (SELECT e.dst AS id,
+      s"""p$i AS MATERIALIZED (SELECT e.dst AS id,
          |  $tele // (SELECT n FROM nn)
          |    + CAST((85 * sum(p.pr // g.deg)) // 100 AS BIGINT) AS pr
          |  FROM sym e JOIN p${i - 1} p ON e.src = p.id
@@ -1942,8 +1957,8 @@ object CorpusQueries {
          |  GROUP BY e.dst)""".stripMargin
     }.mkString(",\n")
     s"""WITH $pairGraphCtes,
-       |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
-       |nn AS (SELECT count(*) AS n FROM deg),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
        |p0 AS (SELECT src AS id, $PrScale // (SELECT n FROM nn) AS pr FROM deg),
        |$iters
        |SELECT id AS doc_id, pr FROM p$PrIters""".stripMargin
@@ -1964,9 +1979,9 @@ object CorpusQueries {
 
   val kc1Sql: String = {
     val rounds = (1 to KcoreRounds).map { i =>
-      s"""a$i AS (SELECT src AS id FROM e${i - 1}
+      s"""a$i AS MATERIALIZED (SELECT src AS id FROM e${i - 1}
          |        GROUP BY 1 HAVING count(*) >= $KcoreK),
-         |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
          |        JOIN a$i x ON e.src = x.id
          |        JOIN a$i y ON e.dst = y.id)""".stripMargin
     }.mkString(",\n")
