@@ -20,7 +20,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce folds the whole
+      // upstream into the single output task, so any shuffle-free plan
+      // (brute-force kNN's broadcast nested-loop scan) runs on ONE
+      // core — at sf10 that serialized a 40-minute corpus scan. The
+      // repartition exchange keeps the compute at full parallelism and
+      // only the parquet write is single-task (row order is
+      // irrelevant: both gates sort before hashing).
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -1634,11 +1634,13 @@ object CorpusQueries {
        |          list_filter(string_split(query, ' '), t -> length(t) > 0) AS tk
        |        FROM qry),
        |${embedCteS("q", "qtk", "query_id", "qemb")},
+       |vscored AS MATERIALIZED (SELECT q.query_id, d.doc_id, $cos AS vcos
+       |  FROM qemb q, demb d),
        |vecrank AS MATERIALIZED (SELECT query_id, doc_id, rnk FROM (
-       |  SELECT q.query_id, d.doc_id,
-       |    row_number() OVER (PARTITION BY q.query_id
-       |      ORDER BY $cos DESC, d.doc_id ASC) AS rnk
-       |  FROM qemb q, demb d) WHERE rnk <= $HybridArmK)""".stripMargin
+       |  SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY vcos DESC, doc_id ASC) AS rnk
+       |  FROM vscored) WHERE rnk <= $HybridArmK)""".stripMargin
   }
 
   val v12Sql: String =

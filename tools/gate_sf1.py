@@ -42,6 +42,13 @@ def main(sf_dir: str, out_dir: str, artifact: str,
     oracle = json.loads((out / "oracle_sql.json").read_text())
     con = duckdb.connect()
     con.execute("SET threads=16")  # leave headroom for a Spark run beside us
+    # cap the oracle's footprint: the default (80% of RAM) let one
+    # cross-join window sort grow to ~100 GB RSS and starve a
+    # concurrent Spark run; spilling at 48 GB is fine for the gate.
+    # insertion order is irrelevant (both gates sort before hashing)
+    # and dropping it lets DuckDB stream instead of buffer.
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET preserve_insertion_order=false")
     for t in check.TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if Path(p).exists():
