@@ -462,9 +462,17 @@ object VectorQueries {
       NearDupMinCos)
 
   val d5Sql: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    // norms precomputed once per vector (MATERIALIZED), not re-derived
+    // inside every pair: the all-pairs join is O(N^2) dot products
+    // either way, but the inline cosS form re-ran BOTH norm dot
+    // products per pair — 3x the list ops, which is hours at sf10's
+    // 20B pairs. Same arithmetic, same values.
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+       |  FROM embeddings)
        |SELECT id_a, id_b, round(score, 6) AS score FROM (
-       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosS("a.v", "b.v")} AS score
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    list_dot_product(a.v, b.v) / (a.vn * b.vn) AS score
        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
        |WHERE score >= $NearDupMinCos""".stripMargin
 

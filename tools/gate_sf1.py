@@ -18,6 +18,7 @@ Same comparison as tools/check.py (imported), plus:
     still get a rows-only check on the Spark output.
 """
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -29,10 +30,12 @@ import duckdb  # noqa: E402
 # r10 carried 4 oracle-resource exclusions here (g1/v12/kc1/rk1: the
 # 10x-verbatim-copy fixture squared the near-dup pair graph and their
 # DuckDB oracles spilled past the sandbox's 79 GB temp disk). The r11
-# fixture de-degeneration (make_sf1.py per-copy token suffixing) makes
-# pair volume scale linearly, so every oracle runs — the mechanism
-# stays for a future genuinely-unrunnable oracle, but it must carry a
-# named reason and r11 ships EMPTY.
+# fixture de-degeneration (make_sf1.py per-copy token suffixing) plus
+# the MATERIALIZED-CTE oracle fixes close ALL of them at sf1, so the
+# base set ships EMPTY. Per-rung exclusions (sf10's brute-force tiers)
+# live in a JSON file passed as argv[4] — every entry must carry a
+# named reason, and an excluded name with no Spark dump is still
+# recorded (rows: null) so the artifact accounts for the full subset.
 EXCLUDE: dict = {}
 
 
@@ -40,6 +43,11 @@ def main(sf_dir: str, out_dir: str, artifact: str,
          shard: int = 0, nshards: int = 1) -> int:
     out = Path(out_dir)
     oracle = json.loads((out / "oracle_sql.json").read_text())
+    # per-rung named exclusions (env GRAFT_GATE_EXCLUSIONS = json file
+    # of {query: reason}) merge into the base set
+    excl_path = os.environ.get("GRAFT_GATE_EXCLUSIONS")
+    if excl_path:
+        EXCLUDE.update(json.loads(Path(excl_path).read_text()))
     con = duckdb.connect()
     con.execute("SET threads=16")  # leave headroom for a Spark run beside us
     # cap the oracle's footprint: the default (80% of RAM) let one
@@ -129,6 +137,15 @@ def main(sf_dir: str, out_dir: str, artifact: str,
                           "rows": len(sdf),
                           "oracle_sec": round(time.time() - t0, 1)}
         flush()
+
+    # an excluded query whose Spark dump never materialized (e.g. the
+    # run hit a node-resource limit) still gets a named row — the
+    # artifact must account for the whole subset, not silently shrink
+    for name, reason in EXCLUDE.items():
+        if name not in statuses:
+            statuses[name] = {"status": "excluded", "rows": None,
+                              "reason": reason}
+            print(f"[excluded] {name}: no dump — {reason[:70]}...")
 
     summary = flush()
     print(f"\n{summary['pass']}/{summary['n']} pass, "

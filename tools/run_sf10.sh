@@ -17,7 +17,8 @@ QUERIES=$(grep -v '^#' tools/repr50.txt | grep -v '^$' | tr '\n' ' ')
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
   sbt "runMain graft.Verify $SF10 /tmp/verify_sf10 $QUERIES" || exit 1
 
-python3 tools/gate_sf1.py "$SF10" /tmp/verify_sf10 CORRECTNESS_sf10.json
+GRAFT_GATE_EXCLUSIONS=tools/exclusions_sf10.json \
+  python3 tools/gate_sf1.py "$SF10" /tmp/verify_sf10 CORRECTNESS_sf10.json
 
 SPARK_GRAFT_SF_DIR="$SF10" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
   SPARK_GRAFT_QUERIES=$(grep -v '^#' tools/repr50.txt | grep -v '^$' | paste -sd,) \
