@@ -18,24 +18,37 @@ object Relational {
   /** q1_pricing — TPC-H Q1 shape: multi-key grouped aggregation over the
     * fact table with a pushed-down timestamp filter. Map-side partial agg
     * reduces 6 rows out of every partition regardless of input size.
+    *
+    * The money sums accumulate fixed-point cents in a decimal, not
+    * float64: at sf10 a per-group sum reaches ~4.6e11 over 8.7M rows,
+    * where double addition is order-dependent by more than the 2-dp
+    * rounding (measured ±0.07 Spark vs DuckDB), so a float sum makes the
+    * result plan- and partitioning-dependent. l_extendedprice and
+    * l_discount are exact 2-dp values; scaling to integers makes the
+    * aggregation exactly associative in both engines at any scale.
     */
-  def q1Pricing(spark: SparkSession, sfDir: String): DataFrame =
+  def q1Pricing(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents    = round(col("l_extendedprice") * 100, 0).cast("decimal(18,0)")
+    val discPct  = round(col("l_discount") * 100, 0).cast("decimal(18,0)")
     Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(cents).cast("double") / 100.0, 2).as("sum_base_price"),
+        round(sum(cents * (lit(100).cast("decimal(18,0)") - discPct)).cast("double") / 10000.0, 2)
+          .as("sum_disc_price"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
+  }
 
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))::DOUBLE / 100.0, 2) AS sum_base_price,
+      |  round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |            * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))::DOUBLE / 10000.0, 2) AS sum_disc_price,
       |  round(avg(l_quantity), 4) AS avg_qty,
       |  round(avg(l_discount), 4) AS avg_disc,
       |  count(*) AS count_order
