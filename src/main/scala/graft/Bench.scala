@@ -31,9 +31,20 @@ object Bench {
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
 
-    // optional comma-separated filter for profiling single queries
+    // os load average at start/end (r11 verdict task 8: BENCH_r11 was
+    // committed under concurrent DuckDB-gate load and the +14% drift
+    // needed a judge to adjudicate — the artifact now carries the
+    // evidence itself; anything ≳ cpus at start means a loaded box)
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg
+
+    // optional comma-separated filter for profiling single queries;
+    // benchQueries = registry with sketch rows on their raw production
+    // paths (the registered attestation wrappers time the exact twin)
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) =>
+    val selected = SparkEntry.benchQueries.filter { case (n, _) =>
       only.forall(_.contains(n)) }
     // offline-artifact BUILD rows run before their consumers (they
     // write the fit-or-load cache; alphabetical order would otherwise
@@ -84,17 +95,20 @@ object Bench {
     // fit-or-load artifact construction attributed by FitOrLoad's
     // accumulator; query_sec = sec - build_sec is the serve cost a
     // warm deployment pays
+    val loadEnd = loadAvg
+    val loadS =
+      f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f"""
     val fullJson = {
       val qs = results.map { case (k, v, b) =>
         f""""$k":{"sec":$v%.3f,"build_sec":$b%.3f,"query_sec":${v - b}%.3f}"""
       }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"build_sec_total":${results.map(_._3).sum}%.2f,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"build_sec_total":${results.map(_._3).sum}%.2f,$loadS,"queries":$qs,"sf":"$sfDir"}"""
     }
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(detailPath, fullJson.getBytes("UTF-8"))
     val worst = results.sortBy(-_._2).take(25)
       .map { case (k, v, _) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"mean_sec":${total / math.max(1, results.size)}%.3f,"queries":$worst,"queries_file":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"mean_sec":${total / math.max(1, results.size)}%.3f,$loadS,"queries":$worst,"queries_file":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -309,30 +309,56 @@ object Dedup {
   }
 
   val SimhashBits = 30
-  val SimhashBands = 3
-  val SimhashBandBits = 10 // bands cover bits [10b, 10b+10) of the 30-bit fingerprint
+  val SimhashBlocks = 6
+  val SimhashBlockBits = 5 // block b covers bits [5b, 5b+5) of the fingerprint
+
+  /** The (blocks − maxHamming)-block agreement keys: one XOR-mask per
+    * way of choosing which `maxHamming` blocks are ALLOWED to differ;
+    * the key is the fingerprint with those blocks zeroed. C(6,2) = 15
+    * combos for the hamming-≤2 contract. */
+  def simhashComboMasks(maxHamming: Int): Seq[Long] = {
+    val blockMask = (1L << SimhashBlockBits) - 1
+    val full = (1L << (SimhashBlocks * SimhashBlockBits)) - 1
+    (0 until SimhashBlocks).combinations(maxHamming).map { blocks =>
+      blocks.foldLeft(full)((m, b) => m & ~(blockMask << (b * SimhashBlockBits)))
+    }.toSeq
+  }
 
   /** Near-duplicate pairs under a Hamming-distance bound on SimHash
     * fingerprints — an EXACT algorithm with a bucket-bounded join: by
-    * pigeonhole, two 30-bit fingerprints differing in ≤ maxHamming <
-    * SimhashBands bits agree on at least one of the 3 disjoint 10-bit
-    * bands, so candidates are the per-band equi-join (never all-pairs)
-    * and the bit_count(xor) rescore filters exactly. Rows through the
-    * join are (band, id, simhash) — 24 bytes, no payload problem. */
+    * pigeonhole, the ≤ maxHamming differing bits of a qualifying pair
+    * touch ≤ maxHamming of the 6 disjoint 5-bit blocks, so the pair
+    * agrees exactly on the other (6 − maxHamming) blocks — i.e. it
+    * collides on the combo key that masks out exactly the touched
+    * blocks. Candidates are the per-combo equi-join on the MASKED
+    * fingerprint and the bit_count(xor) rescore filters exactly.
+    *
+    * Scale shape (the r11 sf10 lesson): the previous 3×10-bit band
+    * split keyed on ONE agreeing band — a 2^10 key space whose
+    * within-bucket pair volume grows ~N²/2^10 (6.3 B scored pairs at
+    * 500 k docs). The (6−2)-block agreement key spans 20 bits, so
+    * random-collision volume is C(6,2)·N²/2^20 — 2^10× finer for one
+    * extra explode row per doc (15 vs 3), with the SAME exact output
+    * (both are complete for hamming ≤ 2; the banding is pure execution
+    * strategy). Saturation, not the join, is the deeper ceiling: any
+    * fixed-width fingerprint family degrades once N approaches 2^bits.
+    * Rows through the join are (combo, key, id, simhash) — no payload
+    * problem. */
   def simhashPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming < SimhashBands,
-      s"pigeonhole guarantee needs maxHamming < $SimhashBands bands")
-    val banded = sims.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until SimhashBands).map(b =>
-        shiftright(col("simhash"), b * SimhashBandBits) % lit(1 << SimhashBandBits)): _*))
-        .as(Seq("band_idx", "band_val")))
-    val a = banded.select(col("band_idx"), col("band_val"),
+    require(maxHamming < SimhashBlocks,
+      s"pigeonhole guarantee needs maxHamming < $SimhashBlocks blocks")
+    val masks = simhashComboMasks(maxHamming)
+    val keyed = sims.select(col("doc_id"), col("simhash"),
+      posexplode(array(masks.map(m =>
+        col("simhash").bitwiseAND(lit(m))): _*))
+        .as(Seq("combo", "key")))
+    val a = keyed.select(col("combo"), col("key"),
       col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band_idx"), col("band_val"),
+    val b = keyed.select(col("combo"), col("key"),
       col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band_idx", "band_val")).filter(col("id_a") < col("id_b"))
+    a.join(b, Seq("combo", "key")).filter(col("id_a") < col("id_b"))
       // filter BEFORE the pair-dedup groupBy: only matching pairs
-      // shuffle; cross-band duplicates of the same pair collapse after
+      // shuffle; cross-combo duplicates of the same pair collapse after
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .groupBy("id_a", "id_b")

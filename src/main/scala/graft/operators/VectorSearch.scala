@@ -132,6 +132,40 @@ object VectorSearch {
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
   }
 
+  /** Brute-force near-dup attestation SLICE: exactly nearDupPairs'
+    * output restricted to pairs touching the deterministic 1/mod
+    * id-sample (vec_id % mod = 0) — every sampled vector scored
+    * against the ENTIRE corpus, exact within the slice. This is the
+    * scale-rung oracle device (r11 verdict task 4): at rungs where the
+    * full all-pairs DuckDB arm is infeasible (2e10 dot products at
+    * sf10), both engines compute the identical ~2N²/mod-pair slice
+    * with the same (id_a < id_b) convention and arithmetic. Built as
+    * two sample×corpus arms (not an all-pairs join with a mod filter)
+    * so NEITHER engine enumerates N² candidates: arm 1 takes pairs
+    * whose smaller id is sampled, arm 2 pairs whose larger id is
+    * sampled and smaller is not — each qualifying pair exactly once.
+    * The big corpus side streams; only the 1/mod sample broadcasts. */
+  def nearDupPairsSampled(vectors: DataFrame, minCosine: Double,
+                          mod: Int): DataFrame = {
+    val base = spread(vectors.select(col("vec_id"), col("v")))
+      .withColumn("vn", Vec.norm(col("v")))
+    val samp = base.filter(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("sid"), col("v").as("sv"), col("vn").as("sn"))
+    val arm1 = base.crossJoin(broadcast(samp))
+      .filter(col("sid") < col("vec_id"))
+      .select(col("sid").as("id_a"), col("sv").as("va"), col("sn").as("na"),
+        col("vec_id").as("id_b"), col("v").as("vb"), col("vn").as("nb"))
+    val arm2 = base.filter(col("vec_id") % mod =!= 0)
+      .crossJoin(broadcast(samp))
+      .filter(col("vec_id") < col("sid"))
+      .select(col("vec_id").as("id_a"), col("v").as("va"), col("vn").as("na"),
+        col("sid").as("id_b"), col("sv").as("vb"), col("sn").as("nb"))
+    arm1.unionAll(arm2)
+      .withColumn("score", Vec.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("score") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+  }
+
   /** LSH-bucketed near-dup: candidate pairs only form inside a shared
     * sign bucket (equi-join on bucket id), then exact cosine rescoring
     * at the threshold — the 100 TB shape of nearDupPairs: shuffle and

@@ -468,10 +468,11 @@ object CorpusQueries {
   val SimhashMaxHamming = 2
 
   /** Exact Hamming-≤`SimhashMaxHamming` (=2) pairs over simhashes,
-    * band-join bounded (the 3-band pigeonhole guarantee only covers
-    * differences strictly below the band count). Runs on the
-    * dup-planted corpus so the planted exact duplicates (hamming 0)
-    * guarantee pairs exist. */
+    * bounded by the (6−2)-block agreement join (see Dedup.simhashPairs
+    * for the pigeonhole argument and why the 20-bit combo keys replace
+    * r11's quadratic 10-bit band keys). Runs on the dup-planted corpus
+    * so the planted exact duplicates (hamming 0) guarantee pairs
+    * exist. */
   def d7SimhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(
       Dedup.simhashes(docsWithDups(s, d), "text"), SimhashMaxHamming)
@@ -490,14 +491,16 @@ object CorpusQueries {
        |           THEN (1::BIGINT << i) ELSE 0 END)),
        |    (a, b) -> a + b) AS simhash
        |  FROM th),
-       |banded AS (SELECT doc_id, simhash, r.range AS band_idx,
-       |    (simhash // (1::BIGINT << (r.range * ${Dedup.SimhashBandBits}))) % ${1 << Dedup.SimhashBandBits} AS band_val
-       |  FROM sh, range(0, ${Dedup.SimhashBands}) r)
+       |cm(combo, keepmask) AS (VALUES
+       |    ${Dedup.simhashComboMasks(SimhashMaxHamming).zipWithIndex
+              .map { case (m, i) => s"($i, ${m}::BIGINT)" }.mkString(", ")}),
+       |keyed AS (SELECT doc_id, simhash, cm.combo, simhash & cm.keepmask AS key
+       |  FROM sh, cm)
        |SELECT id_a, id_b, hamming FROM (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |    any_value(bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)))::INT AS hamming
-       |  FROM banded a JOIN banded b
-       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+       |  FROM keyed a JOIN keyed b
+       |    ON a.combo = b.combo AND a.key = b.key AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |WHERE hamming <= $SimhashMaxHamming""".stripMargin
 
@@ -1558,18 +1561,36 @@ object CorpusQueries {
   val HybridArmK = 10
   val HybridK = 5
   val HybridDim = 64
+  // query ids are doc_id % 10 = 0 docs, so % 1000 keeps 1 query in 100
+  // — the v12_s97/rk1_s97 attestation subset (oracle dense arm shrinks
+  // 100×; the corpus-side structures stay full-size)
+  val HybridSubMod = 1000
 
   /** Hybrid retrieval: BM25 lexical arm + hash-TF-embedding cosine arm
     * over the SAME q0-generated queries and corpus, fused by RRF. The
     * vector arm embeds the query TEXT with the same embedder as the
     * docs (the reference's query flow, chroma.py:96-106, with v0's
     * deterministic model). */
-  def v12Hybrid(s: SparkSession, d: String): DataFrame = {
+  def v12Hybrid(s: SparkSession, d: String): DataFrame =
+    v12HybridQ(s, d, identity)
+
+  /** v12_hybrid_s97 — v12 on the deterministic query subset
+    * (query_id % HybridSubMod = 0): the scale-rung attestation row
+    * (r11 task 4) whose oracle's dense arm is 1/100th of the full
+    * cross join — exact within the subset, same fusion arithmetic.
+    * The corpus side (tf table, doc embeddings) is untouched: only
+    * the query set shrinks, so the row still exercises the full-size
+    * retrieval structures. */
+  def v12HybridS(s: SparkSession, d: String): DataFrame =
+    v12HybridQ(s, d, _.filter(col("query_id") % HybridSubMod === 0))
+
+  private def v12HybridQ(s: SparkSession, d: String,
+                         qf: DataFrame => DataFrame): DataFrame = {
     val docs = TextAnalysis.zipfDocsCached(
       Tables.documents(s, d).select("doc_id", "text"), "text", d)
     val tf = graft.operators.Bm25.tfTableCached(docs, "text", d)
-    val queries = TextAnalysis.zipfQueriesCached(tf, d)
-      .select(col("doc_id").as("query_id"), col("query"))
+    val queries = qf(TextAnalysis.zipfQueriesCached(tf, d)
+      .select(col("doc_id").as("query_id"), col("query")))
     val lex = graft.operators.Bm25.searchFromTf(tf, queries, "query", HybridArmK)
       .select("query_id", "doc_id", "rnk")
     val dEmb = Embed.embedDocsCached(docs, "text", HybridDim, d)
@@ -1600,14 +1621,18 @@ object CorpusQueries {
 
   /** CTE chain ending in `lexrank` + `vecrank` (v12's two retrieval
     * arms at HybridArmK) — shared by the v12 fusion oracle and the rk1
-    * rank-agreement oracle. */
-  private def hybridArmCtes: String = {
+    * rank-agreement oracle. `qryWhere` (e.g. the % HybridSubMod subset
+    * filter) cuts the query set only — corpus-side CTEs are full. */
+  private def hybridArmCtes: String = hybridArmCtesW("")
+
+  private def hybridArmCtesW(qryWhere: String): String = {
     val K1 = graft.operators.Bm25.K1
     val B = graft.operators.Bm25.B
     val cos = "list_dot_product(q.vec, d.vec) / " +
       "(sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(d.vec, d.vec)))"
     s"""$zToksCte,
        |$zQryCtes,
+       |qryv AS (SELECT query_id, query FROM qry$qryWhere),
        |tk2 AS MATERIALIZED (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
        |tf AS MATERIALIZED (SELECT doc_id, t AS term, count(*) AS tf, any_value(dl) AS dl FROM (
        |         SELECT doc_id, len(tk) AS dl, unnest(tk) AS t FROM tk2)
@@ -1615,7 +1640,7 @@ object CorpusQueries {
        |stats AS MATERIALIZED (SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM tk2),
        |qt AS (SELECT query_id, unnest(list_distinct(
        |         list_filter(string_split(query, ' '), t -> length(t) > 0))) AS term
-       |       FROM qry),
+       |       FROM qryv),
        |tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
        |qdf AS (SELECT query_id, term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
        |        FROM qt JOIN tdf USING (term) CROSS JOIN stats),
@@ -1632,7 +1657,7 @@ object CorpusQueries {
        |${embedCteS("d", "toks", "doc_id", "demb")},
        |qtk AS (SELECT query_id,
        |          list_filter(string_split(query, ' '), t -> length(t) > 0) AS tk
-       |        FROM qry),
+       |        FROM qryv),
        |${embedCteS("q", "qtk", "query_id", "qemb")},
        |vscored AS MATERIALIZED (SELECT q.query_id, d.doc_id, $cos AS vcos
        |  FROM qemb q, demb d),
@@ -1643,8 +1668,12 @@ object CorpusQueries {
        |  FROM vscored) WHERE rnk <= $HybridArmK)""".stripMargin
   }
 
-  val v12Sql: String =
-    s"""WITH $hybridArmCtes,
+  val v12Sql: String = v12SqlW("")
+  lazy val v12SSql: String =
+    v12SqlW(s" WHERE query_id % $HybridSubMod = 0")
+
+  private def v12SqlW(qryWhere: String): String =
+    s"""WITH ${hybridArmCtesW(qryWhere)},
        |contrib AS (
        |  SELECT query_id, doc_id, 1.0 / (${graft.operators.Hybrid.RrfK} + rnk) AS c FROM lexrank
        |  UNION ALL
@@ -1676,12 +1705,22 @@ object CorpusQueries {
     * whether RRF fusion has anything to fuse). Agreement counts are
     * exact integers; the depth-weighted sum is one fixed-order
     * expression with shared literal coefficients. */
-  def rk1RankAgreement(s: SparkSession, d: String): DataFrame = {
+  def rk1RankAgreement(s: SparkSession, d: String): DataFrame =
+    rk1RankAgreementQ(s, d, identity)
+
+  /** rk1_rank_agreement_s97 — rk1 on the % HybridSubMod query subset
+    * (the v12_s97 rule): the scale-rung attestation row whose oracle
+    * dense arm is 1/100th of the full cross join. */
+  def rk1RankAgreementS(s: SparkSession, d: String): DataFrame =
+    rk1RankAgreementQ(s, d, _.filter(col("query_id") % HybridSubMod === 0))
+
+  private def rk1RankAgreementQ(s: SparkSession, d: String,
+                                qf: DataFrame => DataFrame): DataFrame = {
     val docs = TextAnalysis.zipfDocsCached(
       Tables.documents(s, d).select("doc_id", "text"), "text", d)
     val tf = graft.operators.Bm25.tfTableCached(docs, "text", d)
-    val queries = TextAnalysis.zipfQueriesCached(tf, d)
-      .select(col("doc_id").as("query_id"), col("query"))
+    val queries = qf(TextAnalysis.zipfQueriesCached(tf, d)
+      .select(col("doc_id").as("query_id"), col("query")))
     val lex = graft.operators.Bm25.searchFromTf(tf, queries, "query", HybridArmK)
       .select(col("query_id"), col("doc_id"), col("rnk").as("lr"))
       .filter(col("lr") <= RboDepth)
@@ -1706,13 +1745,17 @@ object CorpusQueries {
       round(expr(rboExpr), 6).as("rbo"))
   }
 
-  lazy val rk1Sql: String = {
+  lazy val rk1Sql: String = rk1SqlW("")
+  lazy val rk1SSql: String =
+    rk1SqlW(s" WHERE query_id % $HybridSubMod = 0")
+
+  private def rk1SqlW(qryWhere: String): String = {
     val sums = (1 to RboDepth).map(dd =>
       s"CAST(sum(CASE WHEN m <= $dd THEN 1 ELSE 0 END) AS BIGINT) AS a$dd")
       .mkString(", ")
     val rboExpr = rboCoefs.zipWithIndex
       .map { case (c, i) => s"CAST($c AS DOUBLE) * a${i + 1}" }.mkString(" + ")
-    s"""WITH $hybridArmCtes,
+    s"""WITH ${hybridArmCtesW(qryWhere)},
        |j AS (SELECT l.query_id, greatest(l.rnk, v.rnk) AS m
        |      FROM lexrank l JOIN vecrank v USING (query_id, doc_id)
        |      WHERE l.rnk <= $RboDepth AND v.rnk <= $RboDepth),

@@ -447,39 +447,80 @@ object Relational {
            round(expr("approx_percentile(value, 0.99, 10000)"), 6).as("p99"))
 
   /** m4_approx_pcts — gate entry: the sketch percentiles joined against
-    * exact per-group order statistics, emitting RANK-bracket
-    * attestation flags instead of the raw estimates. The sketch's
-    * actual contract is a rank bound (±n/accuracy ranks), not a value
-    * bound — tail quantiles of a spread-out distribution can differ
-    * >5% in VALUE between adjacent ranks, so a value-relative check
-    * would flake on exactly the data shapes sketches exist for. The
-    * flag asserts approx ∈ [orderstat(pos−slack), orderstat(pos+slack)]
-    * with slack = 1 rank (interpolation/convention) + n·ε (sketch).
-    * The oracle expects every flag = 1 → a sketch past its rank bound
-    * is a HASH failure in the driver gate, not a bare rows-only row.
-    * (The exact arm is the verification harness; at 100 TB you run
-    * m4ApproxRaw alone.) */
+    * exact per-group order statistics, emitting the pinned-convention
+    * EXACT percentile values (oracle-hash-checked numbers, not just
+    * flags) plus RANK-bracket attestation flags. The sketch's actual
+    * contract is a rank bound (±n/accuracy ranks), not a value bound —
+    * tail quantiles of a spread-out distribution can differ >5% in
+    * VALUE between adjacent ranks, so a value-relative check would
+    * flake on exactly the data shapes sketches exist for. The flag
+    * asserts approx ∈ [orderstat(pos−slack), orderstat(pos+slack)]
+    * with slack = 1 rank (interpolation/convention) + n·ε (sketch);
+    * exact_pXX is orderstat(floor(pos)+1) — the LOWER order statistic,
+    * a convention both engines compute without interpolation
+    * arithmetic, so the r11-ADVICE gap (an oracle that cross-checked
+    * nothing numeric) is closed with a value DuckDB independently
+    * derives. Order statistics come from a per-group rank window
+    * joined to the ≤9 target ranks per group — no collect_list of the
+    * group (the r11 entry materialized every group's full value set
+    * into one row: an OOM hazard above sf10). The oracle expects every
+    * flag = 1 → a sketch past its rank bound is a HASH failure in the
+    * driver gate. (The exact arm is the verification harness; at
+    * 100 TB you run m4ApproxRaw alone — Bench measures that path via
+    * SparkEntry.benchQueries.) */
   def m4ApproxPcts(spark: SparkSession, sfDir: String): DataFrame = {
-    val stats = Tables.events(spark, sfDir).groupBy("event_type")
-      .agg(sort_array(collect_list(col("value"))).as("arr"))
-      .select(col("event_type"), col("arr"), size(col("arr")).cast("long").as("n"))
-    def ok(q: Double, a: String) = {
-      val pos = (col("n") - 1) * lit(q)        // 0-based target rank
+    val ev = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val qs = Seq("50" -> 0.50, "95" -> 0.95, "99" -> 0.99)
+    // per-group target ranks (1-based): bracket [lo, hi] and the exact
+    // lower order statistic ex, all doubles-deterministic in both
+    // engines (pos/slack arithmetic is IEEE double in DuckDB too — the
+    // oracle casts its literals to DOUBLE so DECIMAL exactness can't
+    // shift a floor)
+    val targets = counts.select(col("event_type") +: qs.flatMap { case (t, q) =>
+      val pos = (col("n") - 1) * lit(q)
       val slack = lit(1.0) + col("n") / lit(10000.0) // convention + eps*n
-      val lo = greatest(lit(1L), (floor(pos - slack) + 1).cast("long"))
-      val hi = least(col("n"), (ceil(pos + slack) + 1).cast("long"))
-      when(col(a).between(
-        element_at(col("arr"), lo.cast("int")) - lit(1e-6),
-        element_at(col("arr"), hi.cast("int")) + lit(1e-6)), 1).otherwise(0)
-    }
-    m4ApproxRaw(spark, sfDir).join(stats, "event_type")
-      .select(col("event_type"), ok(0.50, "p50").as("ok_p50"),
-        ok(0.95, "p95").as("ok_p95"), ok(0.99, "p99").as("ok_p99"))
+      Seq(greatest(lit(1L), (floor(pos - slack) + 1).cast("long")).as(s"lo$t"),
+        least(col("n"), (ceil(pos + slack) + 1).cast("long")).as(s"hi$t"),
+        (floor(pos) + 1).cast("long").as(s"ex$t"))
+    }: _*)
+    val kinds = qs.flatMap { case (t, _) => Seq(s"lo$t", s"hi$t", s"ex$t") }
+    val want = targets.select(col("event_type"), explode(array(kinds.map(k =>
+      struct(lit(k).as("kind"), col(k).as("rn"))): _*)).as("w"))
+      .select(col("event_type"), col("w.kind").as("kind"), col("w.rn").as("rn"))
+    val ranked = ev.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("value").asc)))
+    // ties rank arbitrarily but the VALUE at a given rank is invariant
+    // under any tie order — the only thing read downstream
+    val vals = ranked.join(broadcast(want), Seq("event_type", "rn"))
+      .groupBy("event_type")
+      .agg(kinds.map(k => max(when(col("kind") === k, col("value"))).as(s"v_$k"))
+        .head, kinds.tail.map(k =>
+        max(when(col("kind") === k, col("value"))).as(s"v_$k")): _*)
+    def ok(t: String) = when(col(s"p$t").between(
+      col(s"v_lo$t") - lit(1e-6), col(s"v_hi$t") + lit(1e-6)), 1).otherwise(0)
+    m4ApproxRaw(spark, sfDir).join(vals, "event_type")
+      .select(col("event_type"),
+        col("v_ex50").as("exact_p50"), col("v_ex95").as("exact_p95"),
+        col("v_ex99").as("exact_p99"),
+        ok("50").as("ok_p50"), ok("95").as("ok_p95"), ok("99").as("ok_p99"))
   }
 
   val m4Sql: String =
-    """SELECT event_type, 1 AS ok_p50, 1 AS ok_p95, 1 AS ok_p99
-      |FROM events GROUP BY 1""".stripMargin
+    """WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+      |r AS (SELECT event_type, value,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+      |      FROM events)
+      |SELECT n.event_type,
+      |  max(CASE WHEN r.rn = CAST(floor((n.n - 1) * CAST(0.50 AS DOUBLE)) + 1 AS BIGINT)
+      |      THEN r.value END) AS exact_p50,
+      |  max(CASE WHEN r.rn = CAST(floor((n.n - 1) * CAST(0.95 AS DOUBLE)) + 1 AS BIGINT)
+      |      THEN r.value END) AS exact_p95,
+      |  max(CASE WHEN r.rn = CAST(floor((n.n - 1) * CAST(0.99 AS DOUBLE)) + 1 AS BIGINT)
+      |      THEN r.value END) AS exact_p99,
+      |  1 AS ok_p50, 1 AS ok_p95, 1 AS ok_p99
+      |FROM n JOIN r USING (event_type) GROUP BY 1""".stripMargin
 
   /** a1_asof — as-of join: each purchase event matched to the user's
     * latest click at or before it (graft.operators.AsOfJoin, the linear
@@ -662,16 +703,21 @@ object Relational {
 
   /** q12_approx_distinct — gate entry: HLL++ estimates joined against
     * the exact multi-distinct twin; emits the exact counts (cross-
-    * engine hash-checkable) plus within-5% attestation flags. A sketch
+    * engine hash-checkable) plus within-8% attestation flags. A sketch
     * past the bound flips a flag and fails the driver's hash compare —
-    * the error bound is now gate-enforced, not just spec-enforced. */
+    * the error bound is gate-enforced, not just spec-enforced. The
+    * bound is 4σ of the configured rsd=0.02 (r11 ADVICE: the previous
+    * 5% was only 2.5σ — a legitimate HLL++ estimate on an unlucky
+    * cardinality could present as a hard hash FAIL); the test spec
+    * keeps the tighter 5% check as the advisory layer on the known
+    * fixtures. */
   def q12ApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     val exact = Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag")
       .agg(count_distinct(col("l_orderkey")).as("exact_orders"),
         count_distinct(col("l_partkey")).as("exact_parts"))
     def ok(a: String, e: String) =
-      when(abs(col(a) - col(e)) <= lit(0.05) * col(e), 1).otherwise(0)
+      when(abs(col(a) - col(e)) <= lit(0.08) * col(e), 1).otherwise(0)
     q12ApproxRaw(spark, sfDir).join(exact, "l_returnflag")
       .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
         ok("approx_orders", "exact_orders").as("orders_ok"),

@@ -389,6 +389,64 @@ object VectorQueries {
   lazy val rpWeightsPair: Array[Array[Array[Double]]] =
     VectorSearch.hyperplaneWeights(RpBitsPair, RpTables, 64, RpSeed)
 
+  // ---- N-adaptive pair-LSH width (the sf10 fix) -----------------------
+  // A FIXED bucket count is the one quadratic scale-killer the sf10
+  // rung exposed (kg1/hg1/hg2): with 2^b buckets, expected
+  // within-bucket pair volume is N²·L/2^(b+1) — quadratic in N at any
+  // fixed b. The production rule keeps expected OCCUPANCY constant:
+  // b = min b in [RpBitsPair, RpBitsPairMax] with N ≤ PairOcc·2^b, so
+  // pair volume grows ~N·PairOcc/2·L (linear). b is a deterministic
+  // integer both engines derive from the same count(*) — the Spark
+  // side via pairBits(embCount), the oracle via its `nb` CTE
+  // (pairNbCteS) — so the bucketed semantics stay oracle-exact at
+  // every width. Planes for bit < RpBitsPair are the EXACT arrays
+  // prior rounds shipped (any corpus ≤ PairOcc·2^6 = 2048 vectors —
+  // all spec fixtures, sf0.001/0.01/0.1 — is bit-identical to r11);
+  // planes above are per-plane seeded (seed ⊕ f(tbl, bit)) so the
+  // first-b slice never depends on which width was chosen.
+  val RpBitsPairMax = 16 // covers N ≤ PairOcc·2^16 = 2M vectors;
+                         // past that, widen this one knob (the VALUES
+                         // table and the range() bound grow with it)
+  val PairOcc = 32
+
+  /** Deterministic ±1 plane for (tbl, bit) independent of total width. */
+  private def pairPlaneExt(t: Int, b: Int): Array[Double] = {
+    val rnd = new scala.util.Random(RpSeed * 1000003L + t * 131L + b)
+    Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** RpBitsPairMax planes per table: bits < RpBitsPair are
+    * rpWeightsPair verbatim, the rest per-plane seeded. */
+  lazy val rpWeightsPairExt: Array[Array[Array[Double]]] =
+    Array.tabulate(RpTables) { t =>
+      Array.tabulate(RpBitsPairMax) { b =>
+        if (b < RpBitsPair) rpWeightsPair(t)(b) else pairPlaneExt(t, b)
+      }
+    }
+
+  /** min b in [RpBitsPair, RpBitsPairMax] with n ≤ PairOcc·2^b. */
+  def pairBits(n: Long): Int = {
+    var b = RpBitsPair
+    while (b < RpBitsPairMax && n > (PairOcc.toLong << b)) b += 1
+    b
+  }
+
+  /** The first `bits` pair planes of every table. */
+  def pairWeights(bits: Int): Array[Array[Array[Double]]] =
+    rpWeightsPairExt.map(_.take(bits))
+
+  private val embCountMemo =
+    new scala.collection.concurrent.TrieMap[String, Long]()
+
+  /** Memoized corpus size driving the pair-LSH width (one metadata
+    * count per dataset dir per JVM — parquet footer row counts). */
+  def embCount(s: SparkSession, d: String): Long =
+    embCountMemo.getOrElseUpdate(d, Tables.embeddings(s, d).count())
+
+  /** The adaptive pair weights for dataset `d`. */
+  def pairWeightsFor(s: SparkSession, d: String): Array[Array[Array[Double]]] =
+    pairWeights(pairBits(embCount(s, d)))
+
   /** The ±1 weight rows as a DuckDB VALUES list: (tbl, bit, wv). */
   private def weightRowsS(w: Array[Array[Array[Double]]]): String =
     w.zipWithIndex.flatMap { case (tbl, t) =>
@@ -398,7 +456,31 @@ object VectorQueries {
     }.mkString(",\n|    ")
 
   private lazy val rpWeightRowsS: String = weightRowsS(rpWeights)
-  private lazy val rpWeightRowsPairS: String = weightRowsS(rpWeightsPair)
+  /** All RpBitsPairMax planes — pair-family oracles filter
+    * `w.bit < (SELECT bits FROM nb)` so only the adaptive width's
+    * planes contribute to the bucket sum. */
+  private lazy val rpWeightRowsPairExtS: String = weightRowsS(rpWeightsPairExt)
+
+  /** The oracle's copy of pairBits(count(*)): the same minimal width
+    * with the same integer comparison, so both engines bucket with the
+    * identical plane set at every corpus size. */
+  private def pairNbCteS(srcTable: String = "embeddings"): String =
+    s"""nb AS (SELECT CAST(coalesce(min(r.range), $RpBitsPairMax) AS INT) AS bits
+       |  FROM (SELECT count(*) AS n FROM $srcTable) t,
+       |       range($RpBitsPair, ${RpBitsPairMax + 1}) r
+       |  WHERE t.n <= $PairOcc * (1::BIGINT << r.range))""".stripMargin
+
+  /** N-aware bucket CTE: rpBucketCteS with the plane set cut to the
+    * adaptive width from `nb`. */
+  private def rpBucketCteNS(out: String, src: String, idCol: String,
+                            vCol: String): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT s.$idCol, any_value(s.$vCol) AS $vCol, w.tbl,
+       |    CAST(sum(CASE WHEN list_dot_product(s.$vCol, w.wv) >= 0
+       |             THEN (1::BIGINT << w.bit) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM $src s, w
+       |  WHERE w.bit < (SELECT bits FROM nb)
+       |  GROUP BY s.$idCol, w.tbl)""".stripMargin
 
   /** Bucket CTE: one (id, payload, tbl, bucket) row per table, buckets
     * from the same ±1 hyperplane dot products the Spark side computes
@@ -476,18 +558,51 @@ object VectorQueries {
        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
        |WHERE score >= $NearDupMinCos""".stripMargin
 
+  // ---- d5_s97: the brute-force attestation slice ----------------------
+
+  val NearDupSampleMod = 97
+
+  /** d5_embed_neardup_s97 — d5's pairs restricted to those touching
+    * the deterministic vec_id % 97 sample, every sampled vector scored
+    * against the whole corpus (see VectorSearch.nearDupPairsSampled).
+    * The subset row that keeps d5's arithmetic hash-verified at rungs
+    * where the full all-pairs oracle is infeasible (r11 task 4): the
+    * full d5 row stays the documented O(N²) baseline tier; THIS row is
+    * what the sf10+ gate checks. */
+  def d5EmbedNearDupS(s: SparkSession, d: String): DataFrame =
+    VectorSearch.nearDupPairsSampled(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v")),
+      NearDupMinCos, NearDupSampleMod)
+
+  val d5SSql: String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+       |  FROM embeddings),
+       |samp AS MATERIALIZED (SELECT * FROM e WHERE vec_id % $NearDupSampleMod = 0)
+       |SELECT id_a, id_b, round(score, 6) AS score FROM (
+       |  SELECT s.vec_id AS id_a, b.vec_id AS id_b,
+       |    list_dot_product(s.v, b.v) / (s.vn * b.vn) AS score
+       |  FROM samp s JOIN e b ON s.vec_id < b.vec_id
+       |  UNION ALL
+       |  SELECT a.vec_id AS id_a, s.vec_id AS id_b,
+       |    list_dot_product(a.v, s.v) / (a.vn * s.vn) AS score
+       |  FROM samp s JOIN e a
+       |    ON a.vec_id < s.vec_id AND a.vec_id % $NearDupSampleMod != 0)
+       |WHERE score >= $NearDupMinCos""".stripMargin
+
   // ---- d6: LSH-bucketed near-dup (the 100 TB path for d5) -------------
 
   def d6NearDupLsh(s: SparkSession, d: String): DataFrame =
     VectorSearch.nearDupPairsLshRp(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v")),
-      NearDupMinCos, rpWeightsPair)
+      NearDupMinCos, pairWeightsFor(s, d))
 
   val d6Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |w(tbl, bit, wv) AS (VALUES
-       |    $rpWeightRowsPairS),
-       |${rpBucketCteS("b", "e", "vec_id", "v")}
+       |    $rpWeightRowsPairExtS),
+       |${pairNbCteS()},
+       |${rpBucketCteNS("b", "e", "vec_id", "v")}
        |SELECT id_a, id_b, round(score, 6) AS score FROM (
        |  SELECT id_a, id_b, max(score) AS score FROM (
        |    SELECT a.vec_id AS id_a, b2.vec_id AS id_b, ${cosS("a.v", "b2.v")} AS score
@@ -599,7 +714,7 @@ object VectorQueries {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
     val pops = graft.Dist.spread(e)
       .select(col("vec_id"), posexplode(
-        VectorSearch.hyperplaneBuckets(col("v"), rpWeightsPair))
+        VectorSearch.hyperplaneBuckets(col("v"), pairWeightsFor(s, d)))
         .as(Seq("tbl", "bucket")))
       .groupBy("tbl", "bucket").agg(count(lit(1)).as("c"))
     pops.groupBy("tbl").agg(
@@ -617,8 +732,9 @@ object VectorQueries {
   val ix2Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |w(tbl, bit, wv) AS (VALUES
-       |    $rpWeightRowsPairS),
-       |${rpBucketCteS("b", "e", "vec_id", "v")},
+       |    $rpWeightRowsPairExtS),
+       |${pairNbCteS()},
+       |${rpBucketCteNS("b", "e", "vec_id", "v")},
        |pops AS (SELECT tbl, bucket, count(*) AS c FROM b GROUP BY 1, 2)
        |SELECT CAST(tbl AS BIGINT) AS tbl,
        |  CAST(sum(c) AS BIGINT) AS n_vectors,
@@ -744,7 +860,7 @@ object VectorQueries {
   def kg1KnnGraph(s: SparkSession, d: String): DataFrame = {
     val pairs = VectorSearch.nearDupPairsLshRp(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v")),
-      -1.0, rpWeightsPair) // no threshold: every scored candidate pair
+      -1.0, pairWeightsFor(s, d)) // no threshold: every scored candidate pair
     val directed = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"), col("score"))
       .unionAll(pairs
@@ -757,8 +873,9 @@ object VectorQueries {
   val kg1Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |w(tbl, bit, wv) AS (VALUES
-       |    $rpWeightRowsPairS),
-       |${rpBucketCteS("b", "e", "vec_id", "v")},
+       |    $rpWeightRowsPairExtS),
+       |${pairNbCteS()},
+       |${rpBucketCteNS("b", "e", "vec_id", "v")},
        |cand AS (SELECT id_a, id_b, round(max(score), 6) AS score FROM (
        |    SELECT a.vec_id AS id_a, b2.vec_id AS id_b, ${cosS("a.v", "b2.v")} AS score
        |    FROM b a JOIN b b2
@@ -778,10 +895,19 @@ object VectorQueries {
   val HnswMaxLevel = 3
   val HnswM = 12
   // per-layer bucket bits: members thin 4× per layer while buckets
-  // coarsen 4× (prefix mask of the 6-bit pair planes) → constant
-  // expected occupancy N_l/2^bits_l at every layer (see HnswIndex)
-  val HnswBits = Array(6, 4, 2, 0)
-  val HnswTables = Array(8, 8, 8, 1) // bits=0 → one table IS all-pairs
+  // coarsen 4× (prefix mask of the layer-0 pair planes) → constant
+  // expected occupancy N_l/2^bits_l at every layer (see HnswIndex).
+  // Layer-0 width is the N-ADAPTIVE pairBits(N) (the sf10 fix: a fixed
+  // 6-bit layer 0 made candidate volume quadratic in N); the legacy
+  // constants below are the B=6 instance (any corpus ≤ 2048 vectors)
+  // kept for serving defaults and specs.
+  def hnswBitsFor(bits: Int): Array[Int] =
+    Array.tabulate(HnswMaxLevel + 1)(l => math.max(bits - 2 * l, 0))
+  def hnswTablesFor(bitsPerLayer: Array[Int]): Array[Int] =
+    bitsPerLayer.map(b => if (b == 0) 1 else RpTables) // bits=0 → one
+                                                       // table IS all-pairs
+  val HnswBits = hnswBitsFor(RpBitsPair)     // = (6, 4, 2, 0)
+  val HnswTables = hnswTablesFor(HnswBits)   // = (8, 8, 8, 1)
   // serving knobs at HnswTune's measured knee (sf0.1, edge cache warm):
   // (probes=2, beam=8, hUp=1, hZero=2) -> recall@5 = 1.000 at 4.9 s vs
   // the r9 config (1, 16, 2, 4) -> 0.925 at 6.9 s and the r8 single-
@@ -802,9 +928,11 @@ object VectorQueries {
 
   /** hg1_hnsw_build — the batch-built layered neighbor graph:
     * (layer, src, dst, score, rnk ≤ M). */
-  def hg1HnswBuild(s: SparkSession, d: String): DataFrame =
-    graft.operators.HnswIndex.buildEdges(hnswCorpus(s, d), rpWeightsPair,
-      HnswBits, HnswTables, HnswM, HnswNdRounds)
+  def hg1HnswBuild(s: SparkSession, d: String): DataFrame = {
+    val bits = hnswBitsFor(pairBits(embCount(s, d)))
+    graft.operators.HnswIndex.buildEdges(hnswCorpus(s, d),
+      pairWeights(bits(0)), bits, hnswTablesFor(bits), HnswM, HnswNdRounds)
+  }
 
   /** The query-adaptive extra entry points: the query's top-B from
     * the SAME 6-bit pair-weight LSH buckets the graph was built from.
@@ -816,7 +944,7 @@ object VectorQueries {
                         probes: Int = HnswProbes,
                         beam: Int = HnswBeam): DataFrame =
     VectorSearch.knnLshRpMultiProbe(queryVecs(s, d), hnswCorpus(s, d),
-      beam, rpWeightsPair, probes)
+      beam, pairWeightsFor(s, d), probes)
       .join(queryVecs(s, d), "query_id")
       .select(col("query_id"), col("qv"), col("vec_id").as("node"))
 
@@ -845,11 +973,13 @@ object VectorQueries {
   def hg1HnswBuildCached(s: SparkSession, d: String): DataFrame =
     hnswEdgesCached(s, d)
 
-  private def hnswEdgesCached(s: SparkSession, d: String): DataFrame =
+  private def hnswEdgesCached(s: SparkSession, d: String): DataFrame = {
+    val bits = hnswBitsFor(pairBits(embCount(s, d)))
     graft.operators.FitOrLoad.parquet(s, "hnsw_edges", d,
-      s"bits=${HnswBits.mkString(".")};tbl=${HnswTables.mkString(".")};" +
+      s"bits=${bits.mkString(".")};tbl=${hnswTablesFor(bits).mkString(".")};" +
         s"m=$HnswM;nd=$HnswNdRounds;seed=$RpSeed",
       hnswCorpus(s, d).count())(hg1HnswBuild(s, d))
+  }
 
   /** hg2_hnsw_search — deterministic greedy descent + LSH-seeded
     * layer-0 beam over the hg1 graph, top-K from the visited
@@ -890,8 +1020,9 @@ object VectorQueries {
     val batch = corpus.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id"), transform(col("v"), x => -x).as("v"))
     val merged = corpus.filter(col("vec_id") % 10 =!= 0).unionByName(batch)
-    graft.operators.HnswIndex.deltaEdges(batch, merged, rpWeightsPair,
-      HnswBits, HnswTables, HnswM)
+    val bits = hnswBitsFor(pairBits(embCount(s, d)))
+    graft.operators.HnswIndex.deltaEdges(batch, merged, pairWeights(bits(0)),
+      bits, hnswTablesFor(bits), HnswM)
   }
 
   /** hg5_hnsw_compact — the debt collector for hg4's merge-on-read
@@ -933,8 +1064,18 @@ object VectorQueries {
       .mkString("CASE ", " ", s" ELSE $HnswMaxLevel END")
   }
 
-  /** Shared CTEs: corpus members with levels, 6-bit buckets, and the
-    * per-layer edge lists ed_0..ed_3. */
+  /** Per-layer prefix mask / table cap as SQL over the adaptive width
+    * (the oracle's copies of hnswBitsFor / hnswTablesFor): layer l
+    * keeps the low max(bits−2l, 0) sign bits; a zero-bit layer runs
+    * one table (all-pairs among its geometrically-thinned members). */
+  private val nbBitsS = "(SELECT bits FROM nb)"
+  private def hnswMaskS(l: Int): String =
+    s"(1::BIGINT << greatest($nbBitsS - ${2 * l}, 0))"
+  private def hnswTblCapS(l: Int): String =
+    s"(CASE WHEN $nbBitsS <= ${2 * l} THEN 1 ELSE $RpTables END)"
+
+  /** Shared CTEs: corpus members with levels, adaptive-width buckets,
+    * and the per-layer edge lists ed_0..ed_3. */
   private lazy val hnswEdgeCtesS: String = {
     val mem =
       s"""mem AS MATERIALIZED (SELECT vec_id, v, ${hnswLvlS("vec_id")} AS lvl FROM c)"""
@@ -944,16 +1085,17 @@ object VectorQueries {
          |    CAST(sum(CASE WHEN list_dot_product(s.v, w.wv) >= 0
          |             THEN (1::BIGINT << w.bit) ELSE 0 END) AS BIGINT) AS bucket
          |  FROM mem s, w
+         |  WHERE w.bit < $nbBitsS
          |  GROUP BY s.vec_id, w.tbl)""".stripMargin
     val perLayer = HnswBits.indices.map { l =>
-      val mask = 1L << HnswBits(l)
+      val mask = hnswMaskS(l)
       val bucketed =
         s"""cand_$l AS MATERIALIZED (
            |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
            |  FROM mb a JOIN mb b2
            |    ON a.tbl = b2.tbl AND a.bucket % $mask = b2.bucket % $mask
            |  WHERE a.lvl >= $l AND b2.lvl >= $l
-           |    AND a.tbl < ${HnswTables(l)} AND a.vec_id < b2.vec_id),
+           |    AND a.tbl < ${hnswTblCapS(l)} AND a.vec_id < b2.vec_id),
            |sc_$l AS MATERIALIZED (
            |  SELECT p.id_a, p.id_b, round(${cosS("x.v", "y.v")}, 6) AS score
            |  FROM cand_$l p JOIN mem x ON x.vec_id = p.id_a
@@ -998,7 +1140,8 @@ object VectorQueries {
   lazy val hg1Sql: String =
     s"""WITH $cCte,
        |w(tbl, bit, wv) AS (VALUES
-       |    $rpWeightRowsPairS),
+       |    $rpWeightRowsPairExtS),
+       |${pairNbCteS()},
        |$hnswEdgeCtesS
        |${HnswBits.indices.map(l =>
           s"SELECT $l AS layer, src, dst, score, rnk FROM ed_$l")
@@ -1025,25 +1168,43 @@ object VectorQueries {
       s"""s0 AS MATERIALIZED (SELECT q.query_id, q.qv,
          |  (SELECT vec_id FROM mem ORDER BY lvl DESC, vec_id ASC LIMIT 1) AS node
          |FROM q)""".stripMargin
-    // query-adaptive seeds: the query's top-B over the same 6-bit
-    // pair-weight buckets, MULTI-PROBE (v13's shape generalized: each
-    // table probes every bucket within hamming radius HnswProbes of
-    // the query's own — probe expansion on the query side only;
+    // query-adaptive seeds: the query's top-B over the same adaptive-
+    // width pair-weight buckets, MULTI-PROBE (v13's shape generalized:
+    // each table probes every bucket within hamming radius HnswProbes
+    // of the query's own — probe expansion on the query side only;
     // max-dedup over (table, probe), rank on the unrounded score,
-    // vec_id tie-break)
-    val seedMasks = (0L until (1L << rpWeightsPair(0).length))
-      .filter(java.lang.Long.bitCount(_) <= HnswProbes)
-      .map(m => s"($m)").mkString(",")
+    // vec_id tie-break). The mask set enumerates XOR masks of ≤
+    // HnswProbes of the ADAPTIVE width's bits — generated with
+    // range(nb.bits) arms per radius, mirroring the Spark side's
+    // (0 until 1<<bits).filter(bitCount ≤ r) over the same width.
+    require(HnswProbes <= 2,
+      "seed-mask SQL generation is written for probe radius <= 2")
+    // range() only takes constant bounds in DuckDB — enumerate to the
+    // max width and cut to the adaptive width with a WHERE filter
+    val maskArms = Seq("SELECT 0::BIGINT AS m") ++
+      (if (HnswProbes >= 1) Seq(
+        s"""SELECT (1::BIGINT << i.range) AS m
+           |   FROM range(0, $RpBitsPairMax) i WHERE i.range < $nbBitsS"""
+          .stripMargin)
+       else Nil) ++
+      (if (HnswProbes >= 2) Seq(
+        s"""SELECT xor(1::BIGINT << i.range, 1::BIGINT << j.range) AS m
+           |   FROM range(0, $RpBitsPairMax) i, range(0, $RpBitsPairMax) j
+           |   WHERE i.range < j.range AND j.range < $nbBitsS""".stripMargin)
+       else Nil)
     val seedCtes =
-      s"""qb2 AS MATERIALIZED (
+      s"""pm AS MATERIALIZED (
+         |  ${maskArms.mkString("\n  UNION ALL\n  ")}),
+         |qb2 AS MATERIALIZED (
          |  SELECT s.query_id, w.tbl,
          |    CAST(sum(CASE WHEN list_dot_product(s.qv, w.wv) >= 0
          |             THEN (1::BIGINT << w.bit) ELSE 0 END) AS BIGINT) AS bucket
          |  FROM q s, w
+         |  WHERE w.bit < $nbBitsS
          |  GROUP BY s.query_id, w.tbl),
          |qprob AS MATERIALIZED (
          |  SELECT DISTINCT query_id, tbl, xor(bucket, pm.m) AS bucket
-         |  FROM qb2, (VALUES $seedMasks) pm(m)),
+         |  FROM qb2, pm),
          |scand AS MATERIALIZED (
          |  SELECT query_id, vec_id, max(score) AS score FROM (
          |    SELECT b.query_id, cb.vec_id, ${cosS("qq.qv", "mm.v")} AS score
@@ -1105,13 +1266,13 @@ object VectorQueries {
     * and the hg5 compaction oracle. */
   private lazy val hnswDeltaCtesS: String = {
     val perLayer = HnswBits.indices.map { l =>
-      val mask = 1L << HnswBits(l)
+      val mask = hnswMaskS(l)
       s"""ucand_$l AS MATERIALIZED (
          |  SELECT DISTINCT b.vec_id AS src, m2.vec_id AS dst
          |  FROM mb3 b JOIN mb3 m2
          |    ON b.tbl = m2.tbl AND b.bucket % $mask = m2.bucket % $mask
          |  WHERE b.vec_id % 10 = 0 AND b.lvl >= $l AND m2.lvl >= $l
-         |    AND b.tbl < ${HnswTables(l)} AND b.vec_id != m2.vec_id),
+         |    AND b.tbl < ${hnswTblCapS(l)} AND b.vec_id != m2.vec_id),
          |ued_$l AS MATERIALIZED (
          |  SELECT src, dst, score, rnk FROM (
          |    SELECT p.src, p.dst, round(${cosS("x.v", "y.v")}, 6) AS score,
@@ -1132,6 +1293,7 @@ object VectorQueries {
        |    CAST(sum(CASE WHEN list_dot_product(s.v, w.wv) >= 0
        |             THEN (1::BIGINT << w.bit) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM mrg s, w
+       |  WHERE w.bit < $nbBitsS
        |  GROUP BY s.vec_id, w.tbl),
        |${perLayer.mkString(",\n")}""".stripMargin
   }
@@ -1139,7 +1301,8 @@ object VectorQueries {
   lazy val hg4Sql: String =
     s"""WITH $cCte,
        |w(tbl, bit, wv) AS (VALUES
-       |    $rpWeightRowsPairS),
+       |    $rpWeightRowsPairExtS),
+       |${pairNbCteS()},
        |$hnswDeltaCtesS
        |${HnswBits.indices.map(l =>
           s"SELECT $l AS layer, src, dst, score, rnk FROM ued_$l")
@@ -1167,7 +1330,8 @@ object VectorQueries {
     }
     s"""WITH $cCte,
        |w(tbl, bit, wv) AS (VALUES
-       |    $rpWeightRowsPairS),
+       |    $rpWeightRowsPairExtS),
+       |${pairNbCteS()},
        |$hnswEdgeCtesS,
        |$hnswDeltaCtesS,
        |${perLayer.mkString(",\n")}
@@ -1179,7 +1343,8 @@ object VectorQueries {
   lazy val hg2Sql: String =
     s"""WITH $qCte, $cCte,
        |w(tbl, bit, wv) AS (VALUES
-       |    $rpWeightRowsPairS),
+       |    $rpWeightRowsPairExtS),
+       |${pairNbCteS()},
        |$hnswEdgeCtesS,
        |${hnswWalkCtesS._1},
        |${hnswResCtesS(HnswHopsZero)}
@@ -1188,7 +1353,8 @@ object VectorQueries {
   lazy val hg3Sql: String =
     s"""WITH $qCte, $cCte,
        |w(tbl, bit, wv) AS (VALUES
-       |    $rpWeightRowsPairS),
+       |    $rpWeightRowsPairExtS),
+       |${pairNbCteS()},
        |$hnswEdgeCtesS,
        |${hnswWalkCtesS._1},
        |${(0 to HnswHopsZero).map(hnswResCtesS).mkString(",\n")},
@@ -1386,17 +1552,19 @@ object VectorQueries {
   def d10NearDupLshMp(s: SparkSession, d: String): DataFrame =
     VectorSearch.nearDupPairsLshRpMultiProbe(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v")),
-      NearDupMinCos, rpWeightsPair)
+      NearDupMinCos, pairWeightsFor(s, d))
 
   val d10Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |w(tbl, bit, wv) AS (VALUES
-       |    $rpWeightRowsPairS),
-       |${rpBucketCteS("b", "e", "vec_id", "v")},
+       |    $rpWeightRowsPairExtS),
+       |${pairNbCteS()},
+       |${rpBucketCteNS("b", "e", "vec_id", "v")},
        |bp AS (SELECT vec_id, v, tbl,
        |         xor(bucket, CASE WHEN m.range < 0 THEN 0
        |                          ELSE (1::BIGINT << m.range) END) AS bucket
-       |       FROM b, range(-1, $RpBitsPair) m)
+       |       FROM b, range(-1, $RpBitsPairMax) m
+       |       WHERE m.range < (SELECT bits FROM nb))
        |SELECT id_a, id_b, round(score, 6) AS score FROM (
        |  SELECT id_a, id_b, max(score) AS score FROM (
        |    SELECT a.vec_id AS id_a, b2.vec_id AS id_b, ${cosS("a.v", "b2.v")} AS score

@@ -65,11 +65,11 @@ object LatencyReport {
     // re-exploding the corpus per request dominated the first cut of
     // this report (~5 s of the ~6 s P50) ----
     val edges = VectorQueries.hg1HnswBuildCached(spark, sfDir).localCheckpoint()
-    val buckets = VectorSearch.rpBuckets(corpus, VectorQueries.rpWeightsPair)
+    val buckets = VectorSearch.rpBuckets(corpus, VectorQueries.pairWeightsFor(spark, sfDir))
       .localCheckpoint()
     def seedsFor(q: DataFrame): DataFrame =
       VectorSearch.knnLshRpMultiProbeFrom(buckets, q,
-        VectorQueries.HnswBeam, VectorQueries.rpWeightsPair,
+        VectorQueries.HnswBeam, VectorQueries.pairWeightsFor(spark, sfDir),
         VectorQueries.HnswProbes)
         .join(q, "query_id")
         .select(col("query_id"), col("qv"), col("vec_id").as("node"))
@@ -131,7 +131,7 @@ object LatencyReport {
     // floor; this row is what a point-lookup deployment actually runs.
     val tBuild = System.nanoTime()
     val server = graft.operators.HnswLocalServer.fromArtifacts(
-      edges, corpus, VectorQueries.rpWeightsPair,
+      edges, corpus, VectorQueries.pairWeightsFor(spark, sfDir),
       VectorQueries.HnswMaxLevel, VectorQueries.HnswProbes,
       VectorQueries.HnswBeam, VectorQueries.HnswHopsUpper,
       VectorQueries.HnswHopsZero, K)

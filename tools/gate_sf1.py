@@ -101,7 +101,13 @@ def main(sf_dir: str, out_dir: str, artifact: str,
         name = qdir.name
         if sum(ord(c) for c in name) % nshards != shard:
             continue
-        if name in statuses and statuses[name].get("status") != "fail":
+        prior = statuses.get(name)
+        if prior is not None and prior.get("status") != "fail" and not (
+                # a no-dump excluded backfill row (rows: null) upgrades
+                # to a real rows count once its Spark dump lands — the
+                # blanket resume skip used to freeze it at null forever
+                prior.get("status") == "excluded"
+                and prior.get("rows") is None):
             continue
         if not list(qdir.glob("*.parquet")):
             continue  # Verify may still be writing this one

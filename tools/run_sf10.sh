@@ -13,9 +13,9 @@ if [ ! -f "$SF10/lineitem.parquet" ]; then
   python3 tools/make_sfN.py 100 /root/testdata/sf0.1 "$SF10" || exit 1
 fi
 
-# kg1's pair shuffle needs >65 GB spill at sf10 (named node-resource
-# exclusion in exclusions_sf10.json) — keep it out of both passes.
-QUERIES=$(grep -v '^#' tools/repr50.txt | grep -v '^$' | grep -v kg1_knn_graph | tr '\n' ' ')
+# r12: the pair-LSH family is N-adaptive (pairBits ~ log2(N/32)), so
+# kg1/hg1/hg2 run Spark-side within the node budget — no query skips.
+QUERIES=$(grep -v '^#' tools/repr50.txt | grep -v '^$' | tr '\n' ' ')
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
   sbt "runMain graft.Verify $SF10 /tmp/verify_sf10 $QUERIES" || exit 1
 
@@ -27,7 +27,7 @@ GRAFT_GATE_EXCLUSIONS=tools/exclusions_sf10.json \
 # the 10 s executor heartbeat (observed: a1_asof GC death spiral at
 # 72g; clean early-spill run at 16g).
 SPARK_DRIVER_MEM=16g SPARK_GRAFT_SF_DIR="$SF10" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
-  SPARK_GRAFT_QUERIES=$(grep -v '^#' tools/repr50.txt | grep -v '^$' | grep -v kg1_knn_graph | paste -sd,) \
+  SPARK_GRAFT_QUERIES=$(grep -v '^#' tools/repr50.txt | grep -v '^$' | paste -sd,) \
   sbt "runMain graft.Bench" | grep '"metric"' | sed 's/^\[info\] //' \
   > BENCH_sf10.json
 cat BENCH_sf10.json
