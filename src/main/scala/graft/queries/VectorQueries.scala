@@ -1089,13 +1089,20 @@ object VectorQueries {
          |  GROUP BY s.vec_id, w.tbl)""".stripMargin
     val perLayer = HnswBits.indices.map { l =>
       val mask = hnswMaskS(l)
+      // masked bucket as a MATERIALIZED COLUMN, then a plain-column
+      // equi-join: a join condition containing the nb scalar subquery
+      // (bucket % (1 << (SELECT bits FROM nb) ...)) is not hashable for
+      // DuckDB's planner — it fell back to a nested-loop self-join that
+      // spilled ~70 GB at sf1 where the hash join needs megabytes
       val bucketed =
-        s"""cand_$l AS MATERIALIZED (
+        s"""mbm_$l AS MATERIALIZED (
+           |  SELECT vec_id, tbl, CAST(bucket % $mask AS BIGINT) AS mbk
+           |  FROM mb WHERE lvl >= $l AND tbl < ${hnswTblCapS(l)}),
+           |cand_$l AS MATERIALIZED (
            |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-           |  FROM mb a JOIN mb b2
-           |    ON a.tbl = b2.tbl AND a.bucket % $mask = b2.bucket % $mask
-           |  WHERE a.lvl >= $l AND b2.lvl >= $l
-           |    AND a.tbl < ${hnswTblCapS(l)} AND a.vec_id < b2.vec_id),
+           |  FROM mbm_$l a JOIN mbm_$l b2
+           |    ON a.tbl = b2.tbl AND a.mbk = b2.mbk
+           |       AND a.vec_id < b2.vec_id),
            |sc_$l AS MATERIALIZED (
            |  SELECT p.id_a, p.id_b, round(${cosS("x.v", "y.v")}, 6) AS score
            |  FROM cand_$l p JOIN mem x ON x.vec_id = p.id_a
@@ -1267,12 +1274,14 @@ object VectorQueries {
   private lazy val hnswDeltaCtesS: String = {
     val perLayer = HnswBits.indices.map { l =>
       val mask = hnswMaskS(l)
-      s"""ucand_$l AS MATERIALIZED (
+      s"""mbm3_$l AS MATERIALIZED (
+         |  SELECT vec_id, tbl, CAST(bucket % $mask AS BIGINT) AS mbk
+         |  FROM mb3 WHERE lvl >= $l AND tbl < ${hnswTblCapS(l)}),
+         |ucand_$l AS MATERIALIZED (
          |  SELECT DISTINCT b.vec_id AS src, m2.vec_id AS dst
-         |  FROM mb3 b JOIN mb3 m2
-         |    ON b.tbl = m2.tbl AND b.bucket % $mask = m2.bucket % $mask
-         |  WHERE b.vec_id % 10 = 0 AND b.lvl >= $l AND m2.lvl >= $l
-         |    AND b.tbl < ${hnswTblCapS(l)} AND b.vec_id != m2.vec_id),
+         |  FROM mbm3_$l b JOIN mbm3_$l m2
+         |    ON b.tbl = m2.tbl AND b.mbk = m2.mbk AND b.vec_id != m2.vec_id
+         |  WHERE b.vec_id % 10 = 0),
          |ued_$l AS MATERIALIZED (
          |  SELECT src, dst, score, rnk FROM (
          |    SELECT p.src, p.dst, round(${cosS("x.v", "y.v")}, 6) AS score,
