@@ -89,18 +89,26 @@ object Relational {
     val c  = Tables.customer(spark, sfDir)
     val n  = broadcast(Tables.nation(spark, sfDir))
     val r  = broadcast(Tables.region(spark, sfDir))
+    // exact cents accumulation (q1's sf10 lesson, caught for q3 by the
+    // sf30 rung): revenue per (region, nation) sums ~7M doubles at
+    // sf30, where float addition is order-dependent past the 2-dp
+    // rounding — the decimal sum is exactly associative in both engines
+    val cents   = round(col("l_extendedprice") * 100, 0).cast("decimal(18,0)")
+    val discPct = round(col("l_discount") * 100, 0).cast("decimal(18,0)")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg(round(sum(cents * (lit(100).cast("decimal(18,0)") - discPct))
+          .cast("double") / 10000.0, 2).as("revenue"),
            count(lit(1)).as("n_lines"))
   }
 
   val q3Sql: String =
     """SELECT r_name, n_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |            * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))::DOUBLE / 10000.0, 2) AS revenue,
       |  count(*) AS n_lines
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
