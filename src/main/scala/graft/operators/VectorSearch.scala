@@ -144,7 +144,12 @@ object VectorSearch {
     * so NEITHER engine enumerates N² candidates: arm 1 takes pairs
     * whose smaller id is sampled, arm 2 pairs whose larger id is
     * sampled and smaller is not — each qualifying pair exactly once.
-    * The big corpus side streams; only the 1/mod sample broadcasts. */
+    * The big corpus side streams; only the 1/mod sample broadcasts —
+    * which assumes N/mod stays broadcast-sized. The registered mod=97
+    * rows ride the same ≤2M-vector design ceiling the RpBitsPairMax
+    * knob documents (N/97 ≈ 21k rows ≈ 11 MB of 64-dim doubles);
+    * past it, raise mod with N (keep N/mod ≲ 100k rows) or swap the
+    * broadcast for a shuffle join — the slice semantics don't care. */
   def nearDupPairsSampled(vectors: DataFrame, minCosine: Double,
                           mod: Int): DataFrame = {
     val base = spread(vectors.select(col("vec_id"), col("v")))
@@ -398,25 +403,48 @@ object VectorSearch {
       .select(col("vec_id"), col("v"), col("vn"),
         posexplode(hyperplaneBuckets(col("v"), w)).as(Seq("tbl", "bucket")))
 
-  /** Multi-probe kNN over a PREBUCKETED corpus (see rpBuckets). */
+  /** All XOR masks with ≤ radius sign bits flipped: radius 0 is the
+    * plain single-bucket probe, 1 the hamming-1 expansion, 2 adds the
+    * \binom{bits}{2} two-bit flips — query-side only, corpus unchanged.
+    * Generated by direct combination enumeration, never a 2^bits
+    * driver scan (the former formulation; a 16M-element filter at the
+    * 24-bit adaptive-width cap). */
+  private[graft] def probeMasks(bits: Int, radius: Int): Seq[Long] = {
+    require(radius <= 2, s"probe radius $radius unsupported")
+    val r1 = if (radius >= 1) (0 until bits).map(1L << _) else Seq.empty
+    val r2 = if (radius >= 2)
+      for { a <- 0 until bits; b <- a + 1 until bits }
+        yield (1L << a) | (1L << b)
+    else Seq.empty
+    0L +: (r1 ++ r2)
+  }
+
+  /** Multi-probe kNN over a PREBUCKETED corpus (see rpBuckets).
+    *
+    * Broadcast discipline (the 100 TB point): the probe expansion is
+    * Q·tables·probes rows — at Q ~ N/10 under the adaptive width this
+    * is millions of rows, so the qv payload must NOT ride inside it (a
+    * 64-dim double array per probe row multiplies the broadcast ~25×).
+    * The expansion broadcasts bare probe KEYS (query_id, tbl, bucket —
+    * ~20 B/row); candidates then score through a second broadcast join
+    * against the compact (query_id, qv, qn) query table. Both joins
+    * are map-side; the only shuffle is the (query_id, vec_id, score)
+    * max-dedup, whose rows are 24 B. */
   def knnLshRpMultiProbeFrom(cb: DataFrame, queries: DataFrame, k: Int,
                              w: Array[Array[Array[Double]]],
                              radius: Int): DataFrame = {
     val bits = w(0).length
-    // all XOR masks with <= radius sign bits flipped: radius 0 is the
-    // plain single-bucket probe, 1 the hamming-1 expansion, 2 adds the
-    // \binom{bits}{2} two-bit flips — query-side only, corpus unchanged
-    val masks = array(
-      (0L until (1L << bits)).filter(java.lang.Long.bitCount(_) <= radius)
-        .map(lit): _*)
-    val qb = queries.withColumn("qn", Vec.norm(col("qv")))
-      .select(col("query_id"), col("qv"), col("qn"),
+    val masks = array(probeMasks(bits, radius).map(lit): _*)
+    val qk = queries
+      .select(col("query_id"),
         posexplode(hyperplaneBuckets(col("qv"), w)).as(Seq("tbl", "bucket0")))
-      .select(col("query_id"), col("qv"), col("qn"), col("tbl"),
-        col("bucket0"), explode(masks).as("__mask"))
-      .withColumn("bucket", col("bucket0").bitwiseXOR(col("__mask")))
-      .drop("bucket0", "__mask")
-    val scored = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .select(col("query_id"), col("tbl"), col("bucket0"),
+        explode(masks).as("__m"))
+      .select(col("query_id"), col("tbl"),
+        col("bucket0").bitwiseXOR(col("__m")).as("bucket"))
+    val qv = prepQueries(queries).select("query_id", "qv", "qn")
+    val scored = cb.join(broadcast(qk), Seq("tbl", "bucket"))
+      .join(broadcast(qv), Seq("query_id"))
       .withColumn("score", Vec.dot(col("qv"), col("v")) / (col("qn") * col("vn")))
       .groupBy("query_id", "vec_id").agg(max("score").as("score"))
     topK(scored, k, ascending = false)

@@ -1625,11 +1625,31 @@ object CorpusQueries {
     * filter) cuts the query set only — corpus-side CTEs are full. */
   private def hybridArmCtes: String = hybridArmCtesW("")
 
+  /** Shared cosine text for the dense-arm oracles (same op order as
+    * VectorQueries' cosS / Spark's qn·vn convention). */
+  private val hybridCosS = "list_dot_product(q.vec, d.vec) / " +
+    "(sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(d.vec, d.vec)))"
+
   private def hybridArmCtesW(qryWhere: String): String = {
+    val cos = hybridCosS
+    s"""${hybridLexCtesW(qryWhere)},
+       |vscored AS MATERIALIZED (SELECT q.query_id, d.doc_id, $cos AS vcos
+       |  FROM qemb q, demb d),
+       |vecrank AS MATERIALIZED (SELECT query_id, doc_id, rnk FROM (
+       |  SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY vcos DESC, doc_id ASC) AS rnk
+       |  FROM vscored) WHERE rnk <= $HybridArmK)""".stripMargin
+  }
+
+  /** Everything both hybrid oracles share: tokenized corpus, query
+    * set, the BM25 arm ranked to `lexrank`, and the doc/query
+    * hashing-TF embeddings (`demb`/`qemb`) — the dense arm on top is
+    * the variant point (exact cross join for v12, the N-adaptive LSH
+    * probe for v19). */
+  private def hybridLexCtesW(qryWhere: String): String = {
     val K1 = graft.operators.Bm25.K1
     val B = graft.operators.Bm25.B
-    val cos = "list_dot_product(q.vec, d.vec) / " +
-      "(sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(d.vec, d.vec)))"
     s"""$zToksCte,
        |$zQryCtes,
        |qryv AS (SELECT query_id, query FROM qry$qryWhere),
@@ -1658,14 +1678,7 @@ object CorpusQueries {
        |qtk AS (SELECT query_id,
        |          list_filter(string_split(query, ' '), t -> length(t) > 0) AS tk
        |        FROM qryv),
-       |${embedCteS("q", "qtk", "query_id", "qemb")},
-       |vscored AS MATERIALIZED (SELECT q.query_id, d.doc_id, $cos AS vcos
-       |  FROM qemb q, demb d),
-       |vecrank AS MATERIALIZED (SELECT query_id, doc_id, rnk FROM (
-       |  SELECT query_id, doc_id,
-       |    row_number() OVER (PARTITION BY query_id
-       |      ORDER BY vcos DESC, doc_id ASC) AS rnk
-       |  FROM vscored) WHERE rnk <= $HybridArmK)""".stripMargin
+       |${embedCteS("q", "qtk", "query_id", "qemb")}""".stripMargin
   }
 
   val v12Sql: String = v12SqlW("")
@@ -1673,7 +1686,12 @@ object CorpusQueries {
     v12SqlW(s" WHERE query_id % $HybridSubMod = 0")
 
   private def v12SqlW(qryWhere: String): String =
-    s"""WITH ${hybridArmCtesW(qryWhere)},
+    rrfFusedSql(hybridArmCtesW(qryWhere))
+
+  /** The RRF fusion tail over any arm-CTE chain ending in
+    * `lexrank` + `vecrank`. */
+  private def rrfFusedSql(armCtes: String): String =
+    s"""WITH $armCtes,
        |contrib AS (
        |  SELECT query_id, doc_id, 1.0 / (${graft.operators.Hybrid.RrfK} + rnk) AS c FROM lexrank
        |  UNION ALL
@@ -1685,6 +1703,96 @@ object CorpusQueries {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY rrf_score DESC, doc_id ASC) AS rnk
        |  FROM fused) WHERE rnk <= $HybridK""".stripMargin
+
+  // ---- v19: production hybrid retrieval (ANN dense arm) ---------------
+
+  /** Tables of the pair-LSH family the v19 dense arm probes: the arm's
+    * candidate volume is tables × probes × occupancy per query, so 4
+    * tables (of the family's 8) halve both engines' candidate join at
+    * a measured ~0 recall cost on the RRF top-5 (the lexical arm
+    * covers the few straddled neighbors). */
+  val HybridTables = 4
+
+  /** v19_hybrid_ann — the PRODUCTION hybrid retrieval shape (r12
+    * verdict task 1): v12's BM25 arm + RRF fusion, with the dense arm
+    * served by an N-adaptive multi-probe sign-LSH index instead of the
+    * exact Q×N cosine scan. Per-query cost is posting lists (lexical)
+    * + probed cells (dense: tables × (bits+1) probes × ~PairOcc
+    * occupants ≈ 2k candidates at ANY corpus size — the width grows
+    * with count(*) via VectorQueries.pairBits, mirrored in the
+    * oracle's nb CTE), so the operator holds the serving shape of the
+    * reference's index-backed query flow (chroma.py:96-106) at 100 TB
+    * where v12's dense arm is the registered O(Q·N) baseline tier.
+    * Candidate generation is deterministic (fixed ±1 planes over the
+    * 6-dp-rounded embeddings), so the bucketed semantics — including
+    * any ANN misses vs v12 — are identical in both engines and
+    * hash-checked, not sampled. */
+  def v19HybridAnn(s: SparkSession, d: String): DataFrame = {
+    val docs = TextAnalysis.zipfDocsCached(
+      Tables.documents(s, d).select("doc_id", "text"), "text", d)
+    val tf = graft.operators.Bm25.tfTableCached(docs, "text", d)
+    val queries = TextAnalysis.zipfQueriesCached(tf, d)
+      .select(col("doc_id").as("query_id"), col("query"))
+    val lex = graft.operators.Bm25.searchFromTf(tf, queries, "query", HybridArmK)
+      .select("query_id", "doc_id", "rnk")
+    val dEmb = Embed.embedDocsCached(docs, "text", HybridDim, d)
+      .select(col("doc_id").as("vec_id"), col("embedding").as("v"))
+    val qEmb = Embed.embedDocs(
+      queries.select(col("query_id").as("doc_id"), col("query").as("text")),
+      "text", HybridDim)
+      .select(col("doc_id").as("query_id"), col("embedding").as("qv"))
+    val w = VectorQueries.pairWeights(
+      VectorQueries.pairBits(VectorQueries.docCount(s, d)))
+      .take(HybridTables)
+    val vec = graft.operators.VectorSearch
+      .knnLshRpMultiProbe(qEmb, dEmb, HybridArmK, w)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rnk"))
+    graft.operators.Hybrid.rrfFuse(Seq(lex, vec), HybridK)
+  }
+
+  /** The ANN dense arm's oracle CTEs: the shared lexical/embedding
+    * chain, then the SAME adaptive-width bucket/probe join the d6/d10
+    * oracles use — width from count(*) over documents (nb), planes
+    * from the shared VALUES literals, probe masks materialized as
+    * columns (never join-predicate subqueries — the r12 planner
+    * lesson). */
+  private def hybridAnnArmCtes: String = {
+    val probeMax = VectorQueries.RpBitsPairMax
+    s"""${hybridLexCtesW("")},
+       |w(tbl, bit, wv) AS (VALUES
+       |    ${VectorQueries.rpWeightRowsPairExtS}),
+       |${VectorQueries.pairNbCteS("documents")},
+       |cbk AS MATERIALIZED (
+       |  SELECT s.doc_id, any_value(s.vec) AS vec, w.tbl,
+       |    CAST(sum(CASE WHEN list_dot_product(s.vec, w.wv) >= 0
+       |             THEN (1::BIGINT << w.bit) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM demb s, w
+       |  WHERE w.tbl < $HybridTables AND w.bit < (SELECT bits FROM nb)
+       |  GROUP BY s.doc_id, w.tbl),
+       |qbk0 AS MATERIALIZED (
+       |  SELECT s.query_id, any_value(s.vec) AS vec, w.tbl,
+       |    CAST(sum(CASE WHEN list_dot_product(s.vec, w.wv) >= 0
+       |             THEN (1::BIGINT << w.bit) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM qemb s, w
+       |  WHERE w.tbl < $HybridTables AND w.bit < (SELECT bits FROM nb)
+       |  GROUP BY s.query_id, w.tbl),
+       |qbk AS MATERIALIZED (
+       |  SELECT query_id, vec, tbl,
+       |    xor(bucket, CASE WHEN m.range < 0 THEN 0
+       |                     ELSE (1::BIGINT << m.range) END) AS bucket
+       |  FROM qbk0, range(-1, $probeMax) m
+       |  WHERE m.range < (SELECT bits FROM nb)),
+       |vcand AS (SELECT query_id, doc_id, max(vcos) AS vcos FROM (
+       |    SELECT q.query_id, d.doc_id, $hybridCosS AS vcos
+       |    FROM cbk d JOIN qbk q USING (tbl, bucket)) GROUP BY 1, 2),
+       |vecrank AS MATERIALIZED (SELECT query_id, doc_id, rnk FROM (
+       |  SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY vcos DESC, doc_id ASC) AS rnk
+       |  FROM vcand) WHERE rnk <= $HybridArmK)""".stripMargin
+  }
+
+  lazy val v19Sql: String = rrfFusedSql(hybridAnnArmCtes)
 
   // ---- rk1_rank_agreement (RBO) ---------------------------------------
 

@@ -477,7 +477,13 @@ object Relational {
     * 100 TB you run m4ApproxRaw alone — Bench measures that path via
     * SparkEntry.benchQueries.) */
   def m4ApproxPcts(spark: SparkSession, sfDir: String): DataFrame = {
+    // NULL values are excluded on BOTH sides (r12 ADVICE): Spark's asc
+    // window sorts NULLs first while DuckDB defaults NULLS LAST, so a
+    // single NULL event value would shift every rank cross-engine.
+    // approx_percentile skips NULLs anyway, so the filter also keeps
+    // the exact-arm ranks aligned with what the sketch measured.
     val ev = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
     val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
     val qs = Seq("50" -> 0.50, "95" -> 0.95, "99" -> 0.99)
     // per-group target ranks (1-based): bracket [lo, hi] and the exact
@@ -516,10 +522,11 @@ object Relational {
   }
 
   val m4Sql: String =
-    """WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+    """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |n AS (SELECT event_type, count(*) AS n FROM ev GROUP BY 1),
       |r AS (SELECT event_type, value,
       |        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
-      |      FROM events)
+      |      FROM ev)
       |SELECT n.event_type,
       |  max(CASE WHEN r.rn = CAST(floor((n.n - 1) * CAST(0.50 AS DOUBLE)) + 1 AS BIGINT)
       |      THEN r.value END) AS exact_p50,

@@ -404,9 +404,17 @@ object VectorQueries {
   // all spec fixtures, sf0.001/0.01/0.1 — is bit-identical to r11);
   // planes above are per-plane seeded (seed ⊕ f(tbl, bit)) so the
   // first-b slice never depends on which width was chosen.
-  val RpBitsPairMax = 16 // covers N ≤ PairOcc·2^16 = 2M vectors;
-                         // past that, widen this one knob (the VALUES
-                         // table and the range() bound grow with it)
+  val RpBitsPairMax = 24 // covers N ≤ PairOcc·2^24 = 536M vectors
+                         // (r12 verdict task 4: the former cap of 16
+                         // clamped silently past 2M vectors and pair
+                         // volume went quadratic again). The schedule
+                         // cost is linear in the cap — 24 planes/table
+                         // in the oracle VALUES list — and the width a
+                         // given corpus USES is unchanged for N ≤ 2M,
+                         // so every existing rung is bit-identical.
+                         // Past 536M vectors the width clamps again:
+                         // ix3_width_preflight FLAGS that state as a
+                         // registered, oracle-checked row.
   val PairOcc = 32
 
   /** Deterministic ±1 plane for (tbl, bit) independent of total width. */
@@ -439,13 +447,56 @@ object VectorQueries {
     new scala.collection.concurrent.TrieMap[String, Long]()
 
   /** Memoized corpus size driving the pair-LSH width (one metadata
-    * count per dataset dir per JVM — parquet footer row counts). */
+    * count per dataset dir per JVM — parquet footer row counts).
+    * INVARIANT: the fixture under `d` must not be regenerated or grown
+    * within one JVM lifetime — the memo would keep a stale width while
+    * the DuckDB oracle recounts live (a confusing cross-engine FAIL).
+    * The repo workflow (fixtures written before sbt starts) satisfies
+    * this; if that changes, key the memo on (dir, footer mtime). */
   def embCount(s: SparkSession, d: String): Long =
     embCountMemo.getOrElseUpdate(d, Tables.embeddings(s, d).count())
 
   /** The adaptive pair weights for dataset `d`. */
   def pairWeightsFor(s: SparkSession, d: String): Array[Array[Array[Double]]] =
     pairWeights(pairBits(embCount(s, d)))
+
+  private val docCountMemo =
+    new scala.collection.concurrent.TrieMap[String, Long]()
+
+  /** Memoized documents-table size — drives the v19 hybrid dense arm's
+    * adaptive LSH width (same fixture-stability invariant as embCount:
+    * the oracle's nb CTE recounts live, the memo must not go stale). */
+  def docCount(s: SparkSession, d: String): Long =
+    docCountMemo.getOrElseUpdate(d, Tables.documents(s, d).count())
+
+  // ---- ix3: adaptive-width preflight ----------------------------------
+
+  /** ix3_width_preflight — operational guard for the pairBits schedule
+    * (r12 verdict task 4): corpus size, the width the pair-LSH family
+    * will use, expected bucket occupancy (×1000, integer — float-free
+    * cross-engine), and a `clamped` flag that fires when N exceeds
+    * PairOcc·2^RpBitsPairMax — i.e. the corpus has outrun the widest
+    * plane schedule and pair volume is quadratic again. The oracle
+    * derives every column from the same count(*), so a clamp on a
+    * growing corpus is a visible hash-checked row, not a silent perf
+    * cliff. Driver-side arithmetic on one metadata count — O(1). */
+  def ix3WidthPreflight(s: SparkSession, d: String): DataFrame = {
+    val n = embCount(s, d)
+    val bits = pairBits(n)
+    val clamped = if (n > (PairOcc.toLong << bits)) 1 else 0
+    val occMilli = n * 1000L / (1L << bits)
+    import s.implicits._
+    Seq((n, bits, occMilli, clamped))
+      .toDF("n_vectors", "bits", "occupancy_milli", "clamped")
+  }
+
+  val ix3Sql: String =
+    s"""WITH ${pairNbCteS()},
+       |cnt AS (SELECT count(*) AS n FROM embeddings)
+       |SELECT n AS n_vectors, bits,
+       |  n * 1000 // (1::BIGINT << bits) AS occupancy_milli,
+       |  CASE WHEN n > $PairOcc * (1::BIGINT << bits) THEN 1 ELSE 0 END AS clamped
+       |FROM cnt, nb""".stripMargin
 
   /** The ±1 weight rows as a DuckDB VALUES list: (tbl, bit, wv). */
   private def weightRowsS(w: Array[Array[Array[Double]]]): String =
@@ -458,13 +509,14 @@ object VectorQueries {
   private lazy val rpWeightRowsS: String = weightRowsS(rpWeights)
   /** All RpBitsPairMax planes — pair-family oracles filter
     * `w.bit < (SELECT bits FROM nb)` so only the adaptive width's
-    * planes contribute to the bucket sum. */
-  private lazy val rpWeightRowsPairExtS: String = weightRowsS(rpWeightsPairExt)
+    * planes contribute to the bucket sum. (private[queries]: the v19
+    * hybrid oracle in CorpusQueries composes the same plane table.) */
+  private[queries] lazy val rpWeightRowsPairExtS: String = weightRowsS(rpWeightsPairExt)
 
   /** The oracle's copy of pairBits(count(*)): the same minimal width
     * with the same integer comparison, so both engines bucket with the
     * identical plane set at every corpus size. */
-  private def pairNbCteS(srcTable: String = "embeddings"): String =
+  private[queries] def pairNbCteS(srcTable: String = "embeddings"): String =
     s"""nb AS (SELECT CAST(coalesce(min(r.range), $RpBitsPairMax) AS INT) AS bits
        |  FROM (SELECT count(*) AS n FROM $srcTable) t,
        |       range($RpBitsPair, ${RpBitsPairMax + 1}) r

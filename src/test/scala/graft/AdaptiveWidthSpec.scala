@@ -14,7 +14,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class AdaptiveWidthSpec extends AnyFunSuite {
 
-  test("pairBits: min b in [6,16] with N <= 32*2^b, clamped") {
+  test("pairBits: min b in [6,24] with N <= 32*2^b, clamped at 24") {
     assert(VectorQueries.pairBits(0) === 6)
     assert(VectorQueries.pairBits(500) === 6)
     assert(VectorQueries.pairBits(2048) === 6)   // sf0.1 boundary: 32<<6
@@ -22,8 +22,34 @@ class AdaptiveWidthSpec extends AnyFunSuite {
     assert(VectorQueries.pairBits(20000) === 10) // sf1
     assert(VectorQueries.pairBits(200000) === 13) // sf10
     assert(VectorQueries.pairBits(600000) === 15) // sf30
-    assert(VectorQueries.pairBits(2097152) === 16) // cap boundary
-    assert(VectorQueries.pairBits(Long.MaxValue) === 16) // clamped
+    assert(VectorQueries.pairBits(2097152) === 16) // former cap: now mid-schedule
+    assert(VectorQueries.pairBits(2097153) === 17) // r12 cap lift: no clamp at 2M
+    assert(VectorQueries.pairBits(32L << 24) === 24) // schedule end: 536M vectors
+    assert(VectorQueries.pairBits(Long.MaxValue) === 24) // clamped (ix3 flags this)
+  }
+
+  test("past the schedule the clamp is FLAGGED, not silent (ix3 rule)") {
+    // the ix3_width_preflight row derives (bits, clamped) from the
+    // same comparison both engines run; pin the pure rule here
+    def clamped(n: Long): Boolean = {
+      val b = VectorQueries.pairBits(n)
+      n > (VectorQueries.PairOcc.toLong << b)
+    }
+    assert(!clamped(2048))
+    assert(!clamped(2097153))          // widens instead of clamping
+    assert(!clamped(32L << 24))        // exactly at schedule end
+    assert(clamped((32L << 24) + 1))   // past it: flag fires
+  }
+
+  test("probe masks: direct combination enumeration, no 2^bits scan") {
+    assert(VectorSearch.probeMasks(24, 0) === Seq(0L))
+    val r1 = VectorSearch.probeMasks(24, 1)
+    assert(r1.size === 25 && r1.distinct.size === 25)
+    assert(r1.tail.forall(m => java.lang.Long.bitCount(m) === 1))
+    val r2 = VectorSearch.probeMasks(10, 2)
+    assert(r2.size === 1 + 10 + 45 && r2.distinct.size === r2.size)
+    assert(r2.forall(m => java.lang.Long.bitCount(m) <= 2))
+    assert(r2.forall(m => m < (1L << 10)))
   }
 
   test("pair planes are slice-stable: first 6 bits are r11's arrays") {

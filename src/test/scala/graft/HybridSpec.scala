@@ -40,6 +40,26 @@ class HybridSpec extends SparkSpec {
     assert(selfHits >= perQ.length / 2, s"only $selfHits/${perQ.length} self-hits")
   }
 
+  test("v19 ANN hybrid: 5 fused results per query, near-v12 agreement") {
+    val ann = graft.queries.CorpusQueries.v19HybridAnn(spark, sf).cache()
+    val perQ = ann.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rnk").as("mx")).collect()
+    assert(perQ.nonEmpty)
+    assert(perQ.forall(r => r.getLong(1) == 5L && r.getInt(2) == 5))
+    // the ANN dense arm may miss bucket-straddling neighbors but must
+    // not invent results: fused top-5 should agree with the exact-arm
+    // fusion on the overwhelming majority of (query, doc) picks
+    val brute = graft.queries.CorpusQueries.v12Hybrid(spark, sf)
+      .select("query_id", "doc_id")
+    val common = ann.select("query_id", "doc_id").intersect(brute).count()
+    val total = perQ.length * 5L
+    assert(common >= (total * 9) / 10,
+      s"ANN fusion agrees on only $common/$total picks")
+    // self-retrieval survives the ANN arm
+    val selfHits = ann.filter(col("query_id") === col("doc_id")).count()
+    assert(selfHits >= perQ.length / 2, s"only $selfHits/${perQ.length} self-hits")
+  }
+
   test("rk1 RBO: agreement counts bound, rbo within the truncated mass") {
     val rows = graft.queries.CorpusQueries.rk1RankAgreement(spark, sf).collect()
     assert(rows.nonEmpty)

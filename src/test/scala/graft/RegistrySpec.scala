@@ -35,4 +35,18 @@ class RegistrySpec extends AnyFunSuite {
     }
     assert(bad.isEmpty, s"degenerate oracles: ${bad.keys.toSeq.sorted}")
   }
+
+  test("every baseline-tier row and its scale-path twins are registered") {
+    // r12 verdict task 8: the scale story ("every brute-force row has a
+    // bucketed/sampled twin") is enforced by the registry, not prose
+    val q = SparkEntry.queries.keySet
+    SparkEntry.baselineTiers.foreach { case (base, twins) =>
+      assert(q.contains(base), s"baseline tier $base not a registered query")
+      assert(twins.nonEmpty, s"baseline tier $base names no scale-path twin")
+      val missing = twins.filterNot(q.contains)
+      assert(missing.isEmpty, s"$base names unregistered twins: $missing")
+      // a twin must be a DIFFERENT row: the tag is a pointer, not a self-loop
+      assert(!twins.contains(base), s"$base lists itself as its twin")
+    }
+  }
 }
