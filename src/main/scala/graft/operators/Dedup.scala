@@ -308,14 +308,23 @@ object Dedup {
         round(coalesce(col("xj"), lit(0.0)), 6).as("exact_jaccard"))
   }
 
-  val SimhashBits = 30
-  val SimhashBlocks = 6
-  val SimhashBlockBits = 5 // block b covers bits [5b, 5b+5) of the fingerprint
+  // 60-bit fingerprints (r12 verdict task 2: production SimHash is
+  // 64-bit; 30 bits saturate as N approaches 2^30 ≈ 1e9 docs — random
+  // hamming-≤2 collisions then drown true near-dups and melt the
+  // rescore). 60 = two independent 30-bit portable polyhash halves
+  // (tokenHash / PolyHash.second), keeping every per-token hash inside
+  // the mod-p range both engines share; random collision mass at
+  // hamming ≤ 2 is now ~C(60,2)·N²/2^60 — nil until ~10^8 docs, and the
+  // 48-bit agreement keys below keep the JOIN collision-free far past
+  // that.
+  val SimhashBits = 60
+  val SimhashBlocks = 10
+  val SimhashBlockBits = 6 // block b covers bits [6b, 6b+6) of the fingerprint
 
   /** The (blocks − maxHamming)-block agreement keys: one XOR-mask per
     * way of choosing which `maxHamming` blocks are ALLOWED to differ;
-    * the key is the fingerprint with those blocks zeroed. C(6,2) = 15
-    * combos for the hamming-≤2 contract. */
+    * the key is the fingerprint with those blocks zeroed. C(10,2) = 45
+    * combos of 48-bit agreement keys for the hamming-≤2 contract. */
   def simhashComboMasks(maxHamming: Int): Seq[Long] = {
     val blockMask = (1L << SimhashBlockBits) - 1
     val full = (1L << (SimhashBlocks * SimhashBlockBits)) - 1
@@ -340,8 +349,9 @@ object Dedup {
     * random-collision volume is C(6,2)·N²/2^20 — 2^10× finer for one
     * extra explode row per doc (15 vs 3), with the SAME exact output
     * (both are complete for hamming ≤ 2; the banding is pure execution
-    * strategy). Saturation, not the join, is the deeper ceiling: any
-    * fixed-width fingerprint family degrades once N approaches 2^bits.
+    * strategy). Saturation — any fixed-width fingerprint degrading as
+    * N approaches 2^bits — was the r12 ceiling at 30 bits; at 60 bits
+    * it sits past 10^8 docs (and the fix is the same two-knob widen).
     * Rows through the join are (combo, key, id, simhash) — no payload
     * problem. */
   def simhashPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
@@ -366,19 +376,25 @@ object Dedup {
   }
 
   /** Per-document SimHash fingerprints: bit i set iff the majority of
-    * token hashes have bit i set (tokens weighted by occurrence). 30
-    * bits so the value stays inside the portable mod-p hash range.
+    * token hashes have bit i set (tokens weighted by occurrence). Bits
+    * 0-29 come from the primary polyhash, bits 30-59 from the
+    * independent second polyhash — each half stays inside its portable
+    * mod-p hash range, and both engines share the two hash literals.
     *
-    * Computed as 30 bit-count aggregates over exploded token-hash rows
+    * Computed as 60 bit-count aggregates over exploded token-hash rows
     * (one shuffle, map-side combined) — the nested-lambda formulation
-    * made CollapseProject re-run every token's char fold 30×.
+    * made CollapseProject re-run every token's char fold per bit.
     */
   def simhashes(docs: DataFrame, textCol: String): DataFrame = {
+    val half = SimhashBits / 2
     val th = graft.Dist.spread(docs)
       .select(col("doc_id"), explode(tokens(col(textCol))).as("t"))
-      .select(col("doc_id"), tokenHash(col("t")).as("h"))
-    val bitCounts = (0 until SimhashBits).map(i =>
-      sum(shiftright(col("h"), i) % 2).as(s"b$i"))
+      .select(col("doc_id"), tokenHash(col("t")).as("h1"),
+        graft.functions.PolyHash.second(col("t")).as("h2"))
+    val bitCounts = (0 until SimhashBits).map { i =>
+      val (src, sh) = if (i < half) ("h1", i) else ("h2", i - half)
+      sum(shiftright(col(src), sh) % 2).as(s"b$i")
+    }
     val aggs = bitCounts :+ count(lit(1)).as("n")
     th.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),

@@ -234,15 +234,28 @@ object CorpusQueries {
   def d4Simhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashes(Tables.documents(s, d), "text")
 
+  /** One 30-bit half of the 60-bit SimHash majority fold over a
+    * token-hash list column, placed at bit offset `off` (matches
+    * Dedup.simhashes: bits 0-29 from the primary polyhash list, 30-59
+    * from the PolyHash.second list). */
+  private def simhashHalfS(hsCol: String, off: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(0, ${Dedup.SimhashBits / 2}), i ->
+       |      CASE WHEN len(list_filter($hsCol, h -> (h // (1::BIGINT << i)) % 2 = 1)) * 2 >= len($hsCol)
+       |           THEN (1::BIGINT << (i + $off)) ELSE 0 END)),
+       |    (a, b) -> a + b)""".stripMargin
+
+  /** Both token-hash lists feeding the two SimHash halves. */
+  private def simhashThS(src: String): String =
+    s"""th AS (SELECT doc_id, list_transform(tk, t -> ${polyhashS("t")}) AS hs,
+       |  list_transform(tk, t -> ${polyhash2S("t")}) AS hs2 FROM $src)""".stripMargin
+
   val d4Sql: String =
     s"""WITH $toksCte,
-       |th AS (SELECT doc_id, list_transform(tk, t -> ${polyhashS("t")}) AS hs FROM toks)
+       |${simhashThS("toks")}
        |SELECT doc_id,
-       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |    list_transform(range(0, ${Dedup.SimhashBits}), i ->
-       |      CASE WHEN len(list_filter(hs, h -> (h // (1::BIGINT << i)) % 2 = 1)) * 2 >= len(hs)
-       |           THEN (1::BIGINT << i) ELSE 0 END)),
-       |    (a, b) -> a + b) AS simhash
+       |  ${simhashHalfS("hs", 0)}
+       |  + ${simhashHalfS("hs2", Dedup.SimhashBits / 2)} AS simhash
        |FROM th""".stripMargin
 
   // ---- t1_tokens ------------------------------------------------------
@@ -467,12 +480,12 @@ object CorpusQueries {
 
   val SimhashMaxHamming = 2
 
-  /** Exact Hamming-≤`SimhashMaxHamming` (=2) pairs over simhashes,
-    * bounded by the (6−2)-block agreement join (see Dedup.simhashPairs
-    * for the pigeonhole argument and why the 20-bit combo keys replace
-    * r11's quadratic 10-bit band keys). Runs on the dup-planted corpus
-    * so the planted exact duplicates (hamming 0) guarantee pairs
-    * exist. */
+  /** Exact Hamming-≤`SimhashMaxHamming` (=2) pairs over the 60-bit
+    * simhashes, bounded by the (10−2)-block agreement join (see
+    * Dedup.simhashPairs for the pigeonhole argument; the 48-bit combo
+    * keys make random key collisions nil at any realistic N). Runs on
+    * the dup-planted corpus so the planted exact duplicates (hamming
+    * 0) guarantee pairs exist. */
   def d7SimhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(
       Dedup.simhashes(docsWithDups(s, d), "text"), SimhashMaxHamming)
@@ -483,13 +496,10 @@ object CorpusQueries {
        |  UNION ALL
        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50),
        |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk FROM dup),
-       |th AS (SELECT doc_id, list_transform(tk, t -> ${polyhashS("t")}) AS hs FROM toks),
+       |${simhashThS("toks")},
        |sh AS (SELECT doc_id,
-       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |    list_transform(range(0, ${Dedup.SimhashBits}), i ->
-       |      CASE WHEN len(list_filter(hs, h -> (h // (1::BIGINT << i)) % 2 = 1)) * 2 >= len(hs)
-       |           THEN (1::BIGINT << i) ELSE 0 END)),
-       |    (a, b) -> a + b) AS simhash
+       |  ${simhashHalfS("hs", 0)}
+       |  + ${simhashHalfS("hs2", Dedup.SimhashBits / 2)} AS simhash
        |  FROM th),
        |cm(combo, keepmask) AS (VALUES
        |    ${Dedup.simhashComboMasks(SimhashMaxHamming).zipWithIndex

@@ -82,19 +82,19 @@ class AdaptiveWidthSpec extends AnyFunSuite {
     assert(occ.forall(o => math.abs(o - occ.head) < 1e-9))
   }
 
-  test("simhash combo masks: C(6,2)=15 disjoint-exclusion keep-masks") {
+  test("simhash combo masks: C(10,2)=45 disjoint-exclusion keep-masks") {
     val masks = Dedup.simhashComboMasks(2)
-    assert(masks.size === 15)
-    assert(masks.distinct.size === 15)
+    assert(masks.size === 45)
+    assert(masks.distinct.size === 45)
     val full = (1L << (Dedup.SimhashBlocks * Dedup.SimhashBlockBits)) - 1
-    // each mask zeroes exactly 2 blocks (10 bits) of the 30
-    assert(masks.forall(m => java.lang.Long.bitCount(m) === 20))
+    // each mask zeroes exactly 2 blocks (12 bits) of the 60
+    assert(masks.forall(m => java.lang.Long.bitCount(m) === 48))
     assert(masks.forall(m => (m & ~full) === 0L))
     // completeness: any <=2 differing bits fall in <=2 blocks, so some
     // mask keeps every differing bit OUT — exhaustively check all
     // 1- and 2-bit difference patterns
-    val bitsOf = (0 until 30).map(1L << _)
-    for (i <- 0 until 30; j <- i until 30) {
+    val bitsOf = (0 until Dedup.SimhashBits).map(1L << _)
+    for (i <- bitsOf.indices; j <- i until bitsOf.size) {
       val diff = bitsOf(i) | bitsOf(j)
       assert(masks.exists(m => (m & diff) === 0L),
         s"difference bits ($i,$j) not covered by any combo mask")

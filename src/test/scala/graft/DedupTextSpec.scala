@@ -52,16 +52,19 @@ class DedupTextSpec extends SparkSpec {
       dfCap = 50, dropCap = 50).count() < 50000)
   }
 
-  test("d4 simhash stays in 30 bits and near-identical docs collide closely") {
+  test("d4 simhash stays in 60 bits and near-identical docs collide closely") {
     val df = CorpusQueries.d4Simhash(spark, sf).cache()
     val mx = df.agg(max("simhash")).head.getLong(0)
-    assert(mx < (1L << 30) && mx >= 0)
+    assert(mx < (1L << graft.operators.Dedup.SimhashBits) && mx >= 0)
+    // a healthy 60-bit fingerprint uses its upper (second-polyhash)
+    // half: some doc must set a bit above 30
+    assert(mx >= (1L << 30))
     // hamming distance between the planted near-dup pair is small
     val pair = CorpusQueries.d2NgramJaccard(spark, sf)
       .orderBy(col("jaccard").desc).select("id_a", "id_b").head
     val h = df.filter(col("doc_id").isin(pair.getLong(0), pair.getLong(1)))
       .select("simhash").collect().map(_.getLong(0))
-    assert(java.lang.Long.bitCount(h(0) ^ h(1)) <= 6)
+    assert(java.lang.Long.bitCount(h(0) ^ h(1)) <= 12)
   }
 
   test("t1 token counts are positive and bpe >= ws") {
