@@ -96,8 +96,18 @@ object Bench {
     // accumulator; query_sec = sec - build_sec is the serve cost a
     // warm deployment pays
     val loadEnd = loadAvg
+    // artifact-state self-description (r12 verdict task 7): how many
+    // fit-or-load artifacts were BUILT during this run vs served warm
+    // from disk, plus the build wall total. "warm" means a pure-serving
+    // number (comparable to other warm runs); any builds > 0 means
+    // build_sec carries the cold cost explicitly per row.
+    val builds = graft.operators.FitOrLoad.buildCount
+    val loads = graft.operators.FitOrLoad.loadCount
+    val artifactState =
+      if (builds == 0) "warm" else if (loads == 0) "cold" else "mixed"
     val loadS =
-      f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f"""
+      f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,""" +
+        s""""artifact_state":"$artifactState","artifact_builds":$builds,"artifact_loads":$loads"""
     val fullJson = {
       val qs = results.map { case (k, v, b) =>
         f""""$k":{"sec":$v%.3f,"build_sec":$b%.3f,"query_sec":${v - b}%.3f}"""

@@ -34,6 +34,15 @@ object FitOrLoad {
   private val buildNanosAcc = new java.util.concurrent.atomic.AtomicLong(0L)
   def buildSeconds: Double = buildNanosAcc.get() / 1e9
 
+  /** Cache-event counters (r12 verdict task 7): Bench emits these so
+    * every BENCH artifact self-describes whether it ran against warm
+    * or cold fit-or-load artifacts — a warm 299 s run and a cold 333 s
+    * run stop needing cross-round adjudication. */
+  private val buildCountAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val loadCountAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+  def buildCount: Long = buildCountAcc.get()
+  def loadCount: Long = loadCountAcc.get()
+
   /** Cheap input-CONTENT signal for the manifest: fold (relative path,
     * size, mtime) of every file under `p` into one hash. Row count alone
     * is not enough — the r9 fixture regeneration kept counts identical
@@ -92,12 +101,17 @@ object FitOrLoad {
           Some(spark.read.parquet(path))
         else None
       } catch { case _: Exception => None }
-    cached.getOrElse {
-      val t0 = System.nanoTime()
-      build.write.mode(SaveMode.Overwrite).parquet(path)
-      java.nio.file.Files.write(mf.toPath, fingerprint.getBytes("UTF-8"))
-      buildNanosAcc.addAndGet(System.nanoTime() - t0)
-      spark.read.parquet(path)
+    cached match {
+      case Some(df) =>
+        loadCountAcc.incrementAndGet()
+        df
+      case None =>
+        val t0 = System.nanoTime()
+        build.write.mode(SaveMode.Overwrite).parquet(path)
+        java.nio.file.Files.write(mf.toPath, fingerprint.getBytes("UTF-8"))
+        buildNanosAcc.addAndGet(System.nanoTime() - t0)
+        buildCountAcc.incrementAndGet()
+        spark.read.parquet(path)
     }
   }
 

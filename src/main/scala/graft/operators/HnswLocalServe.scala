@@ -39,11 +39,11 @@ final class HnswLocalServer(
     hopsUpper: Int, hopsZero: Int, k: Int) extends Serializable {
 
   // masks with <= probes bits set: the multi-probe expansion
-  // (VectorSearch.knnLshRpMultiProbeFrom's query-side xor set)
-  private val probeMasks: Array[Long] = {
-    val bits = w(0).length
-    (0L until (1L << bits)).filter(java.lang.Long.bitCount(_) <= probes).toArray
-  }
+  // (VectorSearch.knnLshRpMultiProbeFrom's query-side xor set) —
+  // shared combination enumeration, never a 2^bits scan (16M
+  // iterations at the 24-bit adaptive-width cap)
+  private val probeMasks: Array[Long] =
+    VectorSearch.probeMasks(w(0).length, probes).toArray
 
   /** Sequential double fold, the exact order Vec.dot/DotProduct uses. */
   private def dot(a: Array[Float], b: Array[Float]): Double = {

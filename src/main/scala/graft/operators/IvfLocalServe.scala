@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Driver-side per-request IVF serving runtime (r12 verdict task 6) —
+  * the IVF analog of HnswLocalServer.
+  *
+  * The distributed serve (VectorSearch.knnIvfAssigned) is the batch
+  * contract, but per-REQUEST it pays one Spark job launch (~300 ms P50
+  * in LATENCY_sf1 — scheduling floor, not compute: the probed cells
+  * hold ~nprobe·N/cells vectors, microseconds of arithmetic). This
+  * runtime collects the persisted index artifacts once — the
+  * centroid table (cells × dim, metadata-sized) and the
+  * cell-partitioned corpus vectors — and serves each request as pure
+  * in-process compute with zero job launches, exactly how the
+  * reference serves from chroma's in-process index
+  * (/root/reference/src/chroma.py:96-106).
+  *
+  * Scale honesty: the centroid scan stays metadata-sized at any
+  * corpus, but holding every corpus vector in-heap does not — at
+  * 100 TB the cell map is backed by cell-partitioned parquet/KV reads
+  * (IndexStore.queryCompacted's partition-pruned layout; a request
+  * touches only its nprobe cells, so the access pattern is
+  * partition-pruned by construction). The in-heap map here is the
+  * sf-rung deployment of that layout.
+  *
+  * Parity is bit-exact with the distributed path, pinned by
+  * IvfLocalServeSpec: the same sequential double fold as Vec.dot, the
+  * same sqrt(greatest(qsq − 2qc + csq, 0)) centroid distance with
+  * (cdist asc, cell_id asc) probe order, the same unrounded-score
+  * (desc, vec_id asc) top-k, the same HALF_UP round(_, 6) on output —
+  * recall is knnIvfAssigned's by construction, not re-tuned.
+  */
+final class IvfLocalServer(
+    cents: Array[(Int, Array[Double], Double)], // (cell_id, cv, csq) sorted by id
+    cells: Map[Int, Array[(Long, Array[Float], Double)]], // (vec_id, v, vn)
+    k: Int, nprobe: Int) extends Serializable {
+
+  /** Sequential double fold, the exact order Vec.dot/DotProduct uses. */
+  private def dotF(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+  private def dotFD(a: Array[Float], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+
+  /** Spark Round(HALF_UP) semantics on double. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Serve one request: top-k (vec_id, score, rnk) for `qv` — the
+    * exact rows knnIvfAssigned produces for this query. */
+  def search(qv: Array[Float]): Array[(Long, Double, Int)] = {
+    val qsq = dotF(qv, qv)
+    val qn = math.sqrt(qsq)
+    // probeCells: cdist = sqrt(max(qsq - 2*q·c + csq, 0)), rank by
+    // (cdist asc, cell_id asc), take nprobe
+    val probed = cents.map { case (cid, cv, csq) =>
+      (math.sqrt(math.max(qsq - 2.0 * dotFD(qv, cv) + csq, 0.0)), cid)
+    }.sortBy(identity).take(nprobe)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    probed.foreach { case (_, cid) =>
+      cells.getOrElse(cid, Array.empty[(Long, Array[Float], Double)])
+        .foreach { case (id, v, vn) => out += ((id, dotF(qv, v) / (qn * vn))) }
+    }
+    // topK: rank on the UNROUNDED score with vec_id tie-break, round
+    // to 6 dp only on output (VectorSearch.topK's convention)
+    out.toArray.sortBy { case (id, sc) => (-sc, id) }
+      .take(k).zipWithIndex
+      .map { case ((id, sc), i) => (id, round6(sc), i + 1) }
+  }
+}
+
+object IvfLocalServer {
+
+  /** Build the runtime from the persisted artifacts: one centroid
+    * collect (cells × dim) and one assigned-corpus collect grouped
+    * into the cell map (the piece a 100 TB deployment reads as
+    * cell-partitioned parquet instead). */
+  def fromArtifacts(assigned: DataFrame, centroids: DataFrame,
+                    k: Int, nprobe: Int): IvfLocalServer = {
+    val cents = centroids.select("cell_id", "cv").collect().map { r =>
+      val cv = r.getSeq[Double](1).toArray
+      var csq = 0.0; var i = 0
+      while (i < cv.length) { csq += cv(i) * cv(i); i += 1 }
+      (r.getInt(0), cv, csq)
+    }.sortBy(_._1)
+    val cellMap = assigned.select("cell_id", "vec_id", "v").collect()
+      .map { r =>
+        val v = r.getSeq[Float](2).toArray
+        var sq = 0.0; var i = 0
+        while (i < v.length) { sq += v(i).toDouble * v(i).toDouble; i += 1 }
+        (r.getInt(0), (r.getLong(1), v, math.sqrt(sq)))
+      }
+      .groupBy(_._1)
+      .map { case (cid, rows) => cid -> rows.map(_._2).sortBy(_._1) }
+    new IvfLocalServer(cents, cellMap, k, nprobe)
+  }
+
+  /** Convenience for specs: serve a whole query table through the
+    * local runtime, returning knnIvfAssigned's schema. */
+  def searchAll(server: IvfLocalServer, queries: DataFrame): DataFrame = {
+    val s = queries.sparkSession
+    import s.implicits._
+    queries.select(col("query_id"), col("qv")).collect().toSeq
+      .flatMap { r =>
+        server.search(r.getSeq[Float](1).toArray)
+          .map { case (id, sc, rnk) => (r.getLong(0), id, sc, rnk) }
+      }.toDF("query_id", "vec_id", "score", "rnk")
+  }
+}

@@ -151,7 +151,30 @@ object LatencyReport {
         out.toSeq.toDF("query_id", "vec_id", "score", "rnk"))
     }
 
-    val fams = Seq(family("ivf", serveIvf), hnswLocalFamily,
+    // ---- IVF local serving runtime (r12 verdict task 6): centroids +
+    // cell-partitioned vectors collected once; each request is a
+    // 64-centroid scan + nprobe cell scans in-process — the same
+    // zero-job shape as hnsw_local, with IvfLocalServeSpec pinning
+    // bit-exact parity with the distributed knnIvfAssigned (recall is
+    // the ivf row's by construction).
+    val tIvf = System.nanoTime()
+    val ivfServer = graft.operators.IvfLocalServer.fromArtifacts(
+      assigned, centroids, K, Nprobe)
+    System.err.println(f"[latency] ivf_local server build " +
+      f"${(System.nanoTime() - tIvf) / 1e9}%.1f s")
+    def ivfLocalFamily: String = {
+      ivfServer.search(qvMap(qIds.head)) // warm (JIT)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Double, Int)]
+      val lat = Latency.measure[Long](qIds, qid =>
+        ivfServer.search(qvMap(qid)).foreach { case (id, sc, rnk) =>
+          out += ((qid, id, sc, rnk)) })
+      import spark.implicits._
+      summarize("ivf_local", lat,
+        out.toSeq.toDF("query_id", "vec_id", "score", "rnk"))
+    }
+
+    val fams = Seq(family("ivf", serveIvf), ivfLocalFamily, hnswLocalFamily,
       family("hnsw_spark", serveHnsw), family("hnsw_spark_1hop", serveHnswFast))
     val json = s"""{"sf":"$sfDir","k":$K,"nprobe":$Nprobe,""" +
       s""""ivf_cells":$IvfCells,${fams.mkString(",")}}"""
