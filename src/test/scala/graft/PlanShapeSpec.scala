@@ -55,6 +55,17 @@ class PlanShapeSpec extends SparkSpec {
       s"cell-probe join is not a broadcast equi-join on cell_id:\n$p")
   }
 
+  test("v19 dense arm joins through broadcast probe keys, no cartesian") {
+    val p = plan(graft.queries.CorpusQueries.v19HybridAnn(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"ANN hybrid degenerated to a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"ANN candidate join is not an equi-join:\n$p")
+    // the probe-key and query-vector joins are both map-side broadcasts
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe join not broadcast:\n$p")
+  }
+
   test("q2 filter and projection reach the parquet scan") {
     val p = plan(graft.queries.Relational.q2FilterAgg(spark, sf))
     assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
