@@ -103,8 +103,12 @@ object Bench {
     // build_sec carries the cold cost explicitly per row.
     val builds = graft.operators.FitOrLoad.buildCount
     val loads = graft.operators.FitOrLoad.loadCount
+    // "none": the run touched no fit-or-load artifacts at all — distinct
+    // from "warm" (artifacts existed and were served from disk) so the
+    // field never over-claims warm serving (r13 advice).
     val artifactState =
-      if (builds == 0) "warm" else if (loads == 0) "cold" else "mixed"
+      if (builds == 0 && loads == 0) "none"
+      else if (builds == 0) "warm" else if (loads == 0) "cold" else "mixed"
     val loadS =
       f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,""" +
         s""""artifact_state":"$artifactState","artifact_builds":$builds,"artifact_loads":$loads"""

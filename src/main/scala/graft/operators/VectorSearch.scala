@@ -39,10 +39,11 @@ object VectorSearch {
     * the window row_number formulation would shuffle and sort every
     * scored candidate.
     */
-  private def topK(scored: DataFrame, k: Int, ascending: Boolean): DataFrame = {
+  private def topK(scored: DataFrame, k: Int, ascending: Boolean,
+                   distinct: Boolean = false): DataFrame = {
     val ord = if (ascending) col("score").asc else col("score").desc
     graft.plans.TopK.perKey(scored, Seq("query_id"),
-      Seq(ord, col("vec_id").asc), k)
+      Seq(ord, col("vec_id").asc), k, distinct = distinct)
       .withColumn("score", round(col("score"), 6))
   }
 
@@ -360,11 +361,11 @@ object VectorSearch {
 
   /** Multi-table LSH kNN: queries meet corpus vectors that share table
     * t's bucket for ANY t — an equi-join on (table_idx, bucket). The
-    * per-(query, vec) duplicate matches from multiple tables collapse
-    * in a map-side-combined aggregation (the score is bit-identical
-    * across tables, so max() is pure dedup), then per-query top-k.
-    * Shuffle volume: `tables`× the single-table candidate set — still
-    * bucket-bounded, never the cross product.
+    * per-(query, vec) duplicate matches from multiple tables carry
+    * bit-identical scores, so they collapse inside the bounded
+    * distinct-top-k heap (TopK.perKey distinct) — no aggregation keyed
+    * by candidate pair ever materializes. Shuffle volume: k rows per
+    * query per input partition — never the candidate set itself.
     */
   def knnLsh(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int,
              tables: Int = 1): DataFrame =
@@ -428,8 +429,10 @@ object VectorSearch {
     * The expansion broadcasts bare probe KEYS (query_id, tbl, bucket —
     * ~20 B/row); candidates then score through a second broadcast join
     * against the compact (query_id, qv, qn) query table. Both joins
-    * are map-side; the only shuffle is the (query_id, vec_id, score)
-    * max-dedup, whose rows are 24 B. */
+    * are map-side; the only shuffle is the k-per-query survivor set of
+    * the local top-k heaps (duplicates dedup inside the heap — see
+    * topK(distinct)), so shuffle rows are k·|queries|·|partitions| at
+    * most, independent of candidate volume. */
   def knnLshRpMultiProbeFrom(cb: DataFrame, queries: DataFrame, k: Int,
                              w: Array[Array[Array[Double]]],
                              radius: Int): DataFrame = {
@@ -443,11 +446,17 @@ object VectorSearch {
       .select(col("query_id"), col("tbl"),
         col("bucket0").bitwiseXOR(col("__m")).as("bucket"))
     val qv = prepQueries(queries).select("query_id", "qv", "qn")
+    // Cross-table/probe duplicates of a (query, vec) pair carry the
+    // SAME score bits, so the bounded distinct-top-k IS the max-dedup —
+    // the former groupBy(query_id, vec_id).max materialized an
+    // aggregation keyed by every distinct candidate pair (426 M keys at
+    // the sf10 rung: 8.5 GB of shuffle and a spill-thrashing map for
+    // rows which a k-heap per query discards in O(1)).
     val scored = cb.join(broadcast(qk), Seq("tbl", "bucket"))
       .join(broadcast(qv), Seq("query_id"))
       .withColumn("score", Vec.dot(col("qv"), col("v")) / (col("qn") * col("vn")))
-      .groupBy("query_id", "vec_id").agg(max("score").as("score"))
-    topK(scored, k, ascending = false)
+      .select("query_id", "vec_id", "score")
+    topK(scored, k, ascending = false, distinct = true)
   }
 
   /** Shared multi-table LSH kNN skeleton over any per-table bucket
@@ -462,8 +471,8 @@ object VectorSearch {
         posexplode(buckets(col("qv"))).as(Seq("tbl", "bucket")))
     val scored = cb.join(broadcast(qb), Seq("tbl", "bucket"))
       .withColumn("score", Vec.dot(col("qv"), col("v")) / (col("qn") * col("vn")))
-      .groupBy("query_id", "vec_id").agg(max("score").as("score"))
-    topK(scored, k, ascending = false)
+      .select("query_id", "vec_id", "score")
+    topK(scored, k, ascending = false, distinct = true)
   }
 
   /** Random-hyperplane variant of the near-dup pair generator. */

@@ -11,9 +11,17 @@ object TopK {
     * tiebreaker for determinism), with a 1-based `rankName` column —
     * drop-in for the row_number window pattern, but executed by the
     * partial+merge TopKPerKey physical operator.
+    *
+    * `distinct = true` additionally drops rows that compare EQUAL to
+    * an already kept row under the (total) sort order — bounded-state
+    * dedup for candidate streams whose duplicates are bit-identical
+    * (multi-table LSH emits each agreeing (query, vec) pair once per
+    * table with the same score). Equivalent to groupBy(all order
+    * columns).max-then-top-k, without the unbounded aggregation map.
     */
   def perKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
-             k: Int, rankName: String = "rnk"): DataFrame = {
+             k: Int, rankName: String = "rnk",
+             distinct: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies =
@@ -33,7 +41,8 @@ object TopK {
       case e => SortOrder(resolve(e), Ascending)
     })
     GraftBridge.ofRows(spark,
-      TopKPerKeyNode(keys, order, k, TopKPerKeyNode.rankAttribute(rankName), plan))
+      TopKPerKeyNode(keys, order, k, TopKPerKeyNode.rankAttribute(rankName),
+        plan, distinct))
   }
 }
 

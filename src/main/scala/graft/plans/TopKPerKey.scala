@@ -30,7 +30,8 @@ case class TopKPerKeyNode(
     order: Seq[SortOrder],
     k: Int,
     rankAttr: AttributeReference,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    distinct: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   // rankAttr is PRODUCED here, not consumed — without this the analyzer
   // flags it as a missing input attribute
@@ -49,12 +50,23 @@ object TopKPerKeyNode {
 private[plans] object TopKHeap {
   /** Keep the k first rows per key under `ord`; returns (key, rows
     * sorted by ord) pairs. Rows are copied (Spark reuses row objects).
-    */
+    *
+    * `distinct`: skip a row that compares EQUAL (under the full sort
+    * order, which callers make total via a tiebreaker) to an already
+    * kept row — the dedup a bucketed-LSH candidate stream needs, where
+    * the same (query, vec) pair arrives once per agreeing table/probe
+    * with a bit-identical score. Doing it here keeps the operator's
+    * state bounded at k rows per key instead of forcing callers
+    * through a giant exact-dedup aggregation first (426 M distinct
+    * keys at the sf10 rung — the r13 v19 wall). Cost: a k-element scan
+    * only on the rows that would be INSERTED; the reject fast path is
+    * unchanged. */
   def collect(
       it: Iterator[InternalRow],
       keyProj: UnsafeProjection,
       ord: Ordering[InternalRow],
-      k: Int): Iterator[(UnsafeRow, Array[InternalRow])] = {
+      k: Int,
+      distinct: Boolean = false): Iterator[(UnsafeRow, Array[InternalRow])] = {
     // max-heap on the KEPT set: head = currently worst kept row
     val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
     while (it.hasNext) {
@@ -67,10 +79,14 @@ private[plans] object TopKHeap {
           h
         case h => h
       }
-      if (heap.size < k) heap.enqueue(row.copy())
-      else if (ord.compare(row, heap.head) < 0) {
-        heap.dequeue()
-        heap.enqueue(row.copy())
+      if (heap.size < k) {
+        if (!distinct || !heap.exists(ord.compare(row, _) == 0))
+          heap.enqueue(row.copy())
+      } else if (ord.compare(row, heap.head) < 0) {
+        if (!distinct || !heap.exists(ord.compare(row, _) == 0)) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
       }
     }
     heaps.iterator.map { case (key, heap) =>
@@ -85,7 +101,8 @@ case class LocalTopKExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    distinct: Boolean = false) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -93,10 +110,11 @@ case class LocalTopKExec(
     val keyExprs = keys
     val sortOrder = order
     val kk = k
+    val dd = distinct
     child.execute().mapPartitions ({ it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord = new InterpretedOrdering(sortOrder, childOutput)
-      TopKHeap.collect(it, keyProj, ord, kk).flatMap(_._2)
+      TopKHeap.collect(it, keyProj, ord, kk, dd).flatMap(_._2)
     }, preservesPartitioning = true)
   }
 
@@ -111,7 +129,8 @@ case class TopKMergeExec(
     order: Seq[SortOrder],
     k: Int,
     rankAttr: AttributeReference,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    distinct: Boolean = false) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
 
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -125,6 +144,7 @@ case class TopKMergeExec(
     val keyExprs = keys
     val sortOrder = order
     val kk = k
+    val dd = distinct
     val outAttrs = output
     child.execute().mapPartitions ({ it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
@@ -132,7 +152,7 @@ case class TopKMergeExec(
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       val joined = new JoinedRow
-      TopKHeap.collect(it, keyProj, ord, kk).flatMap { case (_, rows) =>
+      TopKHeap.collect(it, keyProj, ord, kk, dd).flatMap { case (_, rows) =>
         rows.iterator.zipWithIndex.map { case (r, i) =>
           rankRow.update(0, i + 1)
           outProj(joined(r, rankRow))
@@ -148,9 +168,10 @@ case class TopKMergeExec(
 /** Planner strategy: logical TopKPerKeyNode → partial + merge execs. */
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, rankAttr, child) =>
+    case TopKPerKeyNode(keys, order, k, rankAttr, child, distinct) =>
       TopKMergeExec(keys, order, k, rankAttr,
-        LocalTopKExec(keys, order, k, planLater(child))) :: Nil
+        LocalTopKExec(keys, order, k, planLater(child), distinct),
+        distinct) :: Nil
     case _ => Nil
   }
 }

@@ -1751,11 +1751,21 @@ object CorpusQueries {
       queries.select(col("query_id").as("doc_id"), col("query").as("text")),
       "text", HybridDim)
       .select(col("doc_id").as("query_id"), col("embedding").as("qv"))
-    val w = VectorQueries.pairWeights(
-      VectorQueries.pairBits(VectorQueries.docCount(s, d)))
-      .take(HybridTables)
+    val bits = VectorQueries.pairBits(VectorQueries.docCount(s, d))
+    val w = VectorQueries.pairWeights(bits).take(HybridTables)
+    // The bucketed corpus is a persisted INDEX artifact (fit-or-load,
+    // like the tf table and embeddings above): serving probes a built
+    // index, it does not re-project the corpus per query. Besides the
+    // architecture, this is a measured JIT cliff: fusing the 56-plane
+    // projection Generate into the probe-join/top-k stage produced one
+    // generated method past HotSpot's huge-method limit — the whole
+    // stage ran INTERPRETED (~230 µs/row, a 79-minute sf10 stage for a
+    // 94-second plan when the index scan is a plain parquet read).
+    val cb = graft.operators.FitOrLoad.parquet(s, "vixcb", d,
+      s"dim=$HybridDim;tables=$HybridTables;bits=$bits", docs.count())(
+      graft.operators.VectorSearch.rpBuckets(dEmb, w))
     val vec = graft.operators.VectorSearch
-      .knnLshRpMultiProbe(qEmb, dEmb, HybridArmK, w)
+      .knnLshRpMultiProbeFrom(cb, qEmb, HybridArmK, w, radius = 1)
       .select(col("query_id"), col("vec_id").as("doc_id"), col("rnk"))
     graft.operators.Hybrid.rrfFuse(Seq(lex, vec), HybridK)
   }

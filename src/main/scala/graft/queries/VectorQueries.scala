@@ -446,15 +446,25 @@ object VectorQueries {
   private val embCountMemo =
     new scala.collection.concurrent.TrieMap[String, Long]()
 
+  /** Memo key = (dir, table file mtime+size): a fixture regenerated
+    * mid-JVM invalidates the memo instead of silently serving a stale
+    * LSH width while the DuckDB oracle recounts live (r13 advice — the
+    * stat is pure metadata cost, same rationale as FitOrLoad.contentSig). */
+  private def tableSig(d: String, table: String): String = {
+    val f = new java.io.File(s"$d/$table.parquet")
+    val (m, len) =
+      if (f.isDirectory) {
+        val fs = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        (fs.map(_.lastModified()).maxOption.getOrElse(0L), fs.map(_.length()).sum)
+      } else (f.lastModified(), f.length())
+    s"$d/$table@$m:$len"
+  }
+
   /** Memoized corpus size driving the pair-LSH width (one metadata
-    * count per dataset dir per JVM — parquet footer row counts).
-    * INVARIANT: the fixture under `d` must not be regenerated or grown
-    * within one JVM lifetime — the memo would keep a stale width while
-    * the DuckDB oracle recounts live (a confusing cross-engine FAIL).
-    * The repo workflow (fixtures written before sbt starts) satisfies
-    * this; if that changes, key the memo on (dir, footer mtime). */
+    * count per dataset dir per JVM — parquet footer row counts). */
   def embCount(s: SparkSession, d: String): Long =
-    embCountMemo.getOrElseUpdate(d, Tables.embeddings(s, d).count())
+    embCountMemo.getOrElseUpdate(tableSig(d, "embeddings"),
+      Tables.embeddings(s, d).count())
 
   /** The adaptive pair weights for dataset `d`. */
   def pairWeightsFor(s: SparkSession, d: String): Array[Array[Array[Double]]] =
@@ -464,10 +474,10 @@ object VectorQueries {
     new scala.collection.concurrent.TrieMap[String, Long]()
 
   /** Memoized documents-table size — drives the v19 hybrid dense arm's
-    * adaptive LSH width (same fixture-stability invariant as embCount:
-    * the oracle's nb CTE recounts live, the memo must not go stale). */
+    * adaptive LSH width (same mtime-keyed staleness guard as embCount). */
   def docCount(s: SparkSession, d: String): Long =
-    docCountMemo.getOrElseUpdate(d, Tables.documents(s, d).count())
+    docCountMemo.getOrElseUpdate(tableSig(d, "documents"),
+      Tables.documents(s, d).count())
 
   // ---- ix3: adaptive-width preflight ----------------------------------
 

@@ -174,7 +174,63 @@ object LatencyReport {
         out.toSeq.toDF("query_id", "vec_id", "score", "rnk"))
     }
 
+    // ---- hybrid local serving runtime (r13 verdict task 6): BM25
+    // posting lists + the v19 bucket directory + RRF composed into one
+    // driver-side server — the reference's actual per-query loop (text
+    // in, fused top-5 out, latency stamped). HybridLocalServeSpec pins
+    // bit-exact parity with the distributed v19_hybrid_ann, and the
+    // agreement is ALSO measured here against the batch rows.
+    def hybridLocalFamily: String = {
+      import graft.queries.CorpusQueries
+      val docs = graft.operators.TextAnalysis.zipfDocsCached(
+        graft.Tables.documents(spark, sfDir).select("doc_id", "text"),
+        "text", sfDir)
+      val tf = graft.operators.Bm25.tfTableCached(docs, "text", sfDir)
+      val hq = graft.operators.TextAnalysis.zipfQueriesCached(tf, sfDir)
+        .select(col("doc_id").as("query_id"), col("query"))
+        .orderBy(graft.operators.Sampling.mixedHash(col("query_id")).asc,
+          col("query_id").asc)
+        .limit(nQueries).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val bits = VectorQueries.pairBits(VectorQueries.docCount(spark, sfDir))
+      val w = VectorQueries.pairWeights(bits).take(CorpusQueries.HybridTables)
+      val dEmb = graft.operators.Embed.embedDocsCached(
+        docs, "text", CorpusQueries.HybridDim, sfDir)
+        .select(col("doc_id").as("vec_id"), col("embedding").as("v"))
+      val cb = graft.operators.FitOrLoad.parquet(spark, "vixcb", sfDir,
+        s"dim=${CorpusQueries.HybridDim};tables=${CorpusQueries.HybridTables};bits=$bits",
+        docs.count())(VectorSearch.rpBuckets(dEmb, w))
+      val tB = System.nanoTime()
+      val server = graft.operators.HybridLocalServer.fromArtifacts(
+        tf, cb, w, CorpusQueries.HybridArmK, CorpusQueries.HybridK)
+      System.err.println(f"[latency] hybrid_local server build " +
+        f"${(System.nanoTime() - tB) / 1e9}%.1f s")
+      val qids = hq.map(_._1).toSet
+      val batch = CorpusQueries.v19HybridAnn(spark, sfDir)
+        .filter(col("query_id").isin(qids.toSeq: _*))
+        .select("query_id", "doc_id", "rrf_score", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      server.search(hq.head._2) // warm (JIT)
+      val out = scala.collection.mutable.Set.empty[(Long, Long, Double, Int)]
+      val lat = graft.operators.Latency.measure[(Long, String)](hq.toSeq,
+        { case (qid, text) => server.search(text).foreach { case (d, s, r) =>
+          out += ((qid, d, s, r)) } })
+      val agree = if (batch.isEmpty) 0.0
+        else (out & batch).size.toDouble / batch.size
+      val sorted = lat.map(_._2).sorted
+      def pct(p: Double) =
+        sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+      System.err.println(f"[latency] hybrid_local n=${lat.size} " +
+        f"P50=${pct(0.50)}%8.1f ms P95=${pct(0.95)}%8.1f ms " +
+        f"P99=${pct(0.99)}%8.1f ms fused_agreement=$agree%.3f")
+      f""""hybrid_local":{"n_queries":${lat.size},"p50_ms":${pct(0.5)}%.1f,""" +
+        f""""p95_ms":${pct(0.95)}%.1f,"p99_ms":${pct(0.99)}%.1f,""" +
+        f""""fused_agreement":$agree%.4f}"""
+    }
+
     val fams = Seq(family("ivf", serveIvf), ivfLocalFamily, hnswLocalFamily,
+      hybridLocalFamily,
       family("hnsw_spark", serveHnsw), family("hnsw_spark_1hop", serveHnswFast))
     val json = s"""{"sf":"$sfDir","k":$K,"nprobe":$Nprobe,""" +
       s""""ivf_cells":$IvfCells,${fams.mkString(",")}}"""

@@ -45,4 +45,23 @@ class TopKSpec extends SparkSpec {
     val vals = rows.map(_.getAs[Double]("total_value"))
     assert(vals.sameElements(vals.sorted(Ordering[Double].reverse)))
   }
+
+  test("distinct top-k == dedup-then-top-k on a duplicated stream") {
+    // simulate the multi-table LSH candidate stream: every row appears
+    // once per agreeing table with bit-identical payload
+    val dups = perUser.crossJoin(spark.range(3).select(lit(1).as("copy")))
+      .drop("copy").repartition(7) // duplicates spread across partitions
+    val distinctTopK = TopK.perKey(dups, Seq("event_type"),
+      Seq(col("total_value").desc, col("user_id").asc), 4, distinct = true)
+    val reference = TopK.perKey(perUser, Seq("event_type"),
+      Seq(col("total_value").desc, col("user_id").asc), 4)
+    assert(distinctTopK.exceptAll(reference).count() == 0)
+    assert(reference.exceptAll(distinctTopK).count() == 0)
+    // and WITHOUT distinct the duplicates occupy rank slots (the
+    // behavior the flag exists to prevent)
+    val plain = TopK.perKey(dups, Seq("event_type"),
+      Seq(col("total_value").desc, col("user_id").asc), 4)
+    assert(plain.select("event_type", "user_id").distinct().count() <
+      plain.count())
+  }
 }
