@@ -1737,12 +1737,25 @@ object CorpusQueries {
     * 6-dp-rounded embeddings), so the bucketed semantics — including
     * any ANN misses vs v12 — are identical in both engines and
     * hash-checked, not sampled. */
-  def v19HybridAnn(s: SparkSession, d: String): DataFrame = {
+  def v19HybridAnn(s: SparkSession, d: String): DataFrame =
+    v19HybridQ(s, d, identity)
+
+  /** v19_hybrid_s97 — the ANN hybrid on the deterministic query subset
+    * (query_id % HybridSubMod = 0), probing the SAME full-size bucket
+    * index and tf table: the scale-rung attestation row for rungs
+    * where the full oracle's rank step (426M candidate rows at sf10)
+    * exceeds the gate node's memory/disk — the v12/rk1/d5 convention.
+    * Exact within the subset; corpus-side structures untouched. */
+  def v19HybridAnnS(s: SparkSession, d: String): DataFrame =
+    v19HybridQ(s, d, _.filter(col("query_id") % HybridSubMod === 0))
+
+  private def v19HybridQ(s: SparkSession, d: String,
+                         qf: DataFrame => DataFrame): DataFrame = {
     val docs = TextAnalysis.zipfDocsCached(
       Tables.documents(s, d).select("doc_id", "text"), "text", d)
     val tf = graft.operators.Bm25.tfTableCached(docs, "text", d)
-    val queries = TextAnalysis.zipfQueriesCached(tf, d)
-      .select(col("doc_id").as("query_id"), col("query"))
+    val queries = qf(TextAnalysis.zipfQueriesCached(tf, d)
+      .select(col("doc_id").as("query_id"), col("query")))
     val lex = graft.operators.Bm25.searchFromTf(tf, queries, "query", HybridArmK)
       .select("query_id", "doc_id", "rnk")
     val dEmb = Embed.embedDocsCached(docs, "text", HybridDim, d)
@@ -1775,36 +1788,70 @@ object CorpusQueries {
     * oracles use — width from count(*) over documents (nb), planes
     * from the shared VALUES literals, probe masks materialized as
     * columns (never join-predicate subqueries — the r12 planner
-    * lesson). */
-  private def hybridAnnArmCtes: String = {
+    * lesson).
+    *
+    * Candidate dedup is per-table-top-k-then-merge, NOT a global
+    * max-per-(query, doc) aggregate: at sf10 the candidate join holds
+    * 436M rows / 426M distinct pairs, and DuckDB's high-cardinality
+    * hash aggregate overshot a 20GB memory_limit to ~100GB RSS (OOM-
+    * killed twice). Within one table a (query, doc) pair occurs at
+    * most once (one bucket per doc, distinct probe buckets), so the
+    * per-(query, tbl) row_number window needs no dedup and runs as a
+    * spill-friendly SORT; the union of per-table top-k contains the
+    * global top-k (any pair beaten by ≤ k−1 others globally is beaten
+    * by ≤ k−1 within each of its tables), so the ≤ tables·k rows/query
+    * merge is exact, with bit-identical vcos (duplicate copies compute
+    * the same dot). Mirrors the Spark side's bounded distinct top-k.
+    *
+    * The bucket aggregates carry NO vector payload: profiling the sf10
+    * gate showed any_value(vec) list state dominating the whole oracle
+    * (~84 µs per input row across 28M plane evaluations — 2,344 CPU-s
+    * of a 2,400 CPU-s query); vectors and their precomputed norms
+    * (dnv/qnv — sqrt once per vector, not per matched row) hash-join
+    * back at scoring time, the same values in the same op order. */
+  private def hybridAnnArmCtes: String = hybridAnnArmCtesW("")
+
+  private def hybridAnnArmCtesW(qryWhere: String): String = {
     val probeMax = VectorQueries.RpBitsPairMax
-    s"""${hybridLexCtesW("")},
+    s"""${hybridLexCtesW(qryWhere)},
        |w(tbl, bit, wv) AS (VALUES
        |    ${VectorQueries.rpWeightRowsPairExtS}),
        |${VectorQueries.pairNbCteS("documents")},
        |cbk AS MATERIALIZED (
-       |  SELECT s.doc_id, any_value(s.vec) AS vec, w.tbl,
+       |  SELECT s.doc_id, w.tbl,
        |    CAST(sum(CASE WHEN list_dot_product(s.vec, w.wv) >= 0
        |             THEN (1::BIGINT << w.bit) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM demb s, w
        |  WHERE w.tbl < $HybridTables AND w.bit < (SELECT bits FROM nb)
        |  GROUP BY s.doc_id, w.tbl),
        |qbk0 AS MATERIALIZED (
-       |  SELECT s.query_id, any_value(s.vec) AS vec, w.tbl,
+       |  SELECT s.query_id, w.tbl,
        |    CAST(sum(CASE WHEN list_dot_product(s.vec, w.wv) >= 0
        |             THEN (1::BIGINT << w.bit) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM qemb s, w
        |  WHERE w.tbl < $HybridTables AND w.bit < (SELECT bits FROM nb)
        |  GROUP BY s.query_id, w.tbl),
        |qbk AS MATERIALIZED (
-       |  SELECT query_id, vec, tbl,
+       |  SELECT query_id, tbl,
        |    xor(bucket, CASE WHEN m.range < 0 THEN 0
        |                     ELSE (1::BIGINT << m.range) END) AS bucket
        |  FROM qbk0, range(-1, $probeMax) m
        |  WHERE m.range < (SELECT bits FROM nb)),
-       |vcand AS (SELECT query_id, doc_id, max(vcos) AS vcos FROM (
-       |    SELECT q.query_id, d.doc_id, $hybridCosS AS vcos
-       |    FROM cbk d JOIN qbk q USING (tbl, bucket)) GROUP BY 1, 2),
+       |dnv AS MATERIALIZED (SELECT doc_id, vec,
+       |    sqrt(list_dot_product(vec, vec)) AS vn FROM demb),
+       |qnv AS MATERIALIZED (SELECT query_id, vec,
+       |    sqrt(list_dot_product(vec, vec)) AS qn FROM qemb),
+       |vt AS (SELECT q.query_id, d.doc_id, q.tbl,
+       |    list_dot_product(qq.vec, dd.vec) / (qq.qn * dd.vn) AS vcos
+       |    FROM cbk d JOIN qbk q USING (tbl, bucket)
+       |    JOIN dnv dd USING (doc_id) JOIN qnv qq USING (query_id)),
+       |vtt AS (SELECT query_id, doc_id, vcos FROM (
+       |    SELECT query_id, doc_id, vcos, row_number() OVER (
+       |      PARTITION BY query_id, tbl
+       |      ORDER BY vcos DESC, doc_id ASC) AS tr
+       |    FROM vt) WHERE tr <= $HybridArmK),
+       |vcand AS (SELECT query_id, doc_id, max(vcos) AS vcos
+       |          FROM vtt GROUP BY 1, 2),
        |vecrank AS MATERIALIZED (SELECT query_id, doc_id, rnk FROM (
        |  SELECT query_id, doc_id,
        |    row_number() OVER (PARTITION BY query_id
@@ -1813,6 +1860,8 @@ object CorpusQueries {
   }
 
   lazy val v19Sql: String = rrfFusedSql(hybridAnnArmCtes)
+  lazy val v19SSql: String =
+    rrfFusedSql(hybridAnnArmCtesW(s" WHERE query_id % $HybridSubMod = 0"))
 
   // ---- rk1_rank_agreement (RBO) ---------------------------------------
 

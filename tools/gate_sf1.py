@@ -49,13 +49,13 @@ def main(sf_dir: str, out_dir: str, artifact: str,
     if excl_path:
         EXCLUDE.update(json.loads(Path(excl_path).read_text()))
     con = duckdb.connect()
-    con.execute("SET threads=16")  # leave headroom for a Spark run beside us
-    # cap the oracle's footprint: the default (80% of RAM) let one
-    # cross-join window sort grow to ~100 GB RSS and starve a
-    # concurrent Spark run; spilling at 48 GB is fine for the gate.
-    # insertion order is irrelevant (both gates sort before hashing)
-    # and dropping it lets DuckDB stream instead of buffer.
-    con.execute("SET memory_limit='48GB'")
+    # threads/memory tunable per rung: the v19 sf10 oracle's 426M-key
+    # aggregate overshot the 48GB limit to ~100GB RSS (DuckDB's
+    # high-cardinality agg accounting) and drew the kernel OOM killer —
+    # a TIGHTER limit forces earlier radix spill and survives.
+    con.execute(f"SET threads={os.environ.get('GRAFT_GATE_THREADS', '16')}")
+    con.execute(f"SET memory_limit='{os.environ.get('GRAFT_GATE_MEM', '48GB')}'")
+    con.execute("SET temp_directory='/tmp/duckdb_gate_spill'")
     con.execute("SET preserve_insertion_order=false")
     for t in check.TABLES:
         p = f"{sf_dir}/{t}.parquet"
