@@ -9,9 +9,17 @@ object Verify {
     // optional trailing args: run only these queries (local iteration)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Rung runs (sf30+) override this upward: with partitions == cpus a
+    // 300x fixture puts >10M rows in each shuffle partition, and the
+    // per-task sorter pointer arrays become 256MB+ G1-humongous
+    // allocations that OOM a 16g heap even though total data would
+    // spill fine. AQE (on by default) coalesces the excess partitions
+    // at small SF, so the override is free at gate scale.
+    val shufParts =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.session.timeZone", "UTC")
       // diagnosis runs set SPARK_GRAFT_UI=true to watch stages live
       .config("spark.ui.enabled", sys.env.getOrElse("SPARK_GRAFT_UI", "false"))

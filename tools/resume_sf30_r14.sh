@@ -20,7 +20,7 @@ done
 echo "resume: remaining =$REMAINING"
 
 if [ -n "$REMAINING" ]; then
-  SPARK_DRIVER_MEM=16g SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
+  SPARK_DRIVER_MEM=16g SPARK_GRAFT_SHUFFLE_PARTITIONS=256 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
     sbt "runMain graft.Verify $SF30 $OUT $REMAINING" || exit 1
 fi
 # every row present and complete?
@@ -30,7 +30,7 @@ done
 
 python3 tools/gate_sf1.py "$SF30" "$OUT" CORRECTNESS_sf30.json || exit 1
 
-SPARK_DRIVER_MEM=16g SPARK_GRAFT_SF_DIR="$SF30" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
+SPARK_DRIVER_MEM=16g SPARK_GRAFT_SF_DIR="$SF30" SPARK_GRAFT_SHUFFLE_PARTITIONS=256 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
   SPARK_GRAFT_QUERIES=$(grep -v '^#' tools/repr_sf30.txt | grep -v '^$' | paste -sd,) \
   sbt "runMain graft.Bench" | grep '"metric"' | sed 's/^\[info\] //' \
   > BENCH_sf30.json || exit 1

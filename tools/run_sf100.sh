@@ -13,12 +13,12 @@ if [ ! -f "$SF100/lineitem.parquet" ]; then
 fi
 
 QUERIES=$(grep -v '^#' tools/repr_sf100.txt | grep -v '^$' | tr '\n' ' ')
-SPARK_DRIVER_MEM=16g SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
+SPARK_DRIVER_MEM=16g SPARK_GRAFT_SHUFFLE_PARTITIONS=256 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
   sbt "runMain graft.Verify $SF100 /tmp/verify_sf100 $QUERIES" || exit 1
 
 python3 tools/gate_sf1.py "$SF100" /tmp/verify_sf100 CORRECTNESS_sf100.json || exit 1
 
-SPARK_DRIVER_MEM=16g SPARK_GRAFT_SF_DIR="$SF100" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
+SPARK_DRIVER_MEM=16g SPARK_GRAFT_SF_DIR="$SF100" SPARK_GRAFT_SHUFFLE_PARTITIONS=256 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
   SPARK_GRAFT_QUERIES=$(grep -v '^#' tools/repr_sf100.txt | grep -v '^$' | paste -sd,) \
   sbt "runMain graft.Bench" | grep '"metric"' | sed 's/^\[info\] //' \
   > BENCH_sf100.json

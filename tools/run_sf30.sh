@@ -16,12 +16,12 @@ QUERIES=$(grep -v '^#' tools/repr_sf30.txt | grep -v '^$' | tr '\n' ' ')
 # 16g heap (the run_sf10.sh lesson: big heaps buffer ~0.6*heap before
 # spilling and full-GC pauses blow the executor heartbeat; early spill
 # is the right behavior at rung scale)
-SPARK_DRIVER_MEM=16g SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
+SPARK_DRIVER_MEM=16g SPARK_GRAFT_SHUFFLE_PARTITIONS=256 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
   sbt "runMain graft.Verify $SF30 /tmp/verify_sf30 $QUERIES" || exit 1
 
 python3 tools/gate_sf1.py "$SF30" /tmp/verify_sf30 CORRECTNESS_sf30.json || exit 1
 
-SPARK_DRIVER_MEM=16g SPARK_GRAFT_SF_DIR="$SF30" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
+SPARK_DRIVER_MEM=16g SPARK_GRAFT_SF_DIR="$SF30" SPARK_GRAFT_SHUFFLE_PARTITIONS=256 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
   SPARK_GRAFT_QUERIES=$(grep -v '^#' tools/repr_sf30.txt | grep -v '^$' | paste -sd,) \
   sbt "runMain graft.Bench" | grep '"metric"' | sed 's/^\[info\] //' \
   > BENCH_sf30.json
