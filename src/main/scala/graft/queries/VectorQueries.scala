@@ -1644,6 +1644,53 @@ object VectorQueries {
        |  GROUP BY 1, 2)
        |WHERE score >= $NearDupMinCos""".stripMargin
 
+  // ---- d10_s3: the multi-probe attestation slice ----------------------
+
+  /** Slice modulus for d10's attestation twin. Copy offsets are
+    * c*10^8 ≡ c (mod 3), so vec_id % 3 == 0 keeps each base vector in
+    * exactly 100 of sf30's 300 verbatim copies — copy-pair volume
+    * (quadratic in copy multiplicity, the r10 document degeneracy in
+    * vector form) drops 9x to the envelope the sf10-class rungs
+    * already clear, while corpus-level constants stay at full size. */
+  val NearDupMpSliceMod = 3
+
+  /** d10_neardup_s3 — d10's exact multi-probe pipeline on the
+    * deterministic vec_id % 3 slice, probed at the FULL corpus's
+    * N-adaptive width (pairWeightsFor/`nb` both measure the unsliced
+    * table, so the operating point is sf30's, only the quadratic
+    * copy-pair mass shrinks). The attestation twin for rungs where
+    * the full candidate multiset exceeds the node: at sf30 the 300
+    * verbatim embedding copies put every copy-pair in the same bucket
+    * of every table — a ~2G-row candidate multiset whose distinct()
+    * spill exceeded the node's 69 GB free disk. d10 itself stays
+    * hash-green at sf0.01/0.1/1. */
+  def d10NearDupLshMpS(s: SparkSession, d: String): DataFrame =
+    VectorSearch.nearDupPairsLshRpMultiProbe(
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") % NearDupMpSliceMod === 0)
+        .select(col("vec_id"), col("embedding").as("v")),
+      NearDupMinCos, pairWeightsFor(s, d))
+
+  val d10SSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE vec_id % $NearDupMpSliceMod = 0),
+       |w(tbl, bit, wv) AS (VALUES
+       |    $rpWeightRowsPairExtS),
+       |${pairNbCteS()},
+       |${rpBucketCteNS("b", "e", "vec_id", "v")},
+       |bp AS (SELECT vec_id, v, tbl,
+       |         xor(bucket, CASE WHEN m.range < 0 THEN 0
+       |                          ELSE (1::BIGINT << m.range) END) AS bucket
+       |       FROM b, range(-1, $RpBitsPairMax) m
+       |       WHERE m.range < (SELECT bits FROM nb))
+       |SELECT id_a, id_b, round(score, 6) AS score FROM (
+       |  SELECT id_a, id_b, max(score) AS score FROM (
+       |    SELECT a.vec_id AS id_a, b2.vec_id AS id_b, ${cosS("a.v", "b2.v")} AS score
+       |    FROM bp a JOIN b b2
+       |      ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |  GROUP BY 1, 2)
+       |WHERE score >= $NearDupMinCos""".stripMargin
+
   // ---- v0: deterministic hashing-TF embedder over documents -----------
 
 

@@ -28,7 +28,8 @@ for q in $ALL; do
   [ -f "$OUT/$q/_SUCCESS" ] || { echo "MISSING $q after verify"; exit 1; }
 done
 
-python3 tools/gate_sf1.py "$SF30" "$OUT" CORRECTNESS_sf30.json || exit 1
+GRAFT_GATE_EXCLUSIONS=tools/exclusions_sf30.json \
+  python3 tools/gate_sf1.py "$SF30" "$OUT" CORRECTNESS_sf30.json || exit 1
 
 SPARK_DRIVER_MEM=16g SPARK_GRAFT_SF_DIR="$SF30" SPARK_GRAFT_SHUFFLE_PARTITIONS=256 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
   SPARK_GRAFT_QUERIES=$(grep -v '^#' tools/repr_sf30.txt | grep -v '^$' | paste -sd,) \

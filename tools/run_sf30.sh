@@ -19,7 +19,8 @@ QUERIES=$(grep -v '^#' tools/repr_sf30.txt | grep -v '^$' | tr '\n' ' ')
 SPARK_DRIVER_MEM=16g SPARK_GRAFT_SHUFFLE_PARTITIONS=256 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
   sbt "runMain graft.Verify $SF30 /tmp/verify_sf30 $QUERIES" || exit 1
 
-python3 tools/gate_sf1.py "$SF30" /tmp/verify_sf30 CORRECTNESS_sf30.json || exit 1
+GRAFT_GATE_EXCLUSIONS=tools/exclusions_sf30.json \
+  python3 tools/gate_sf1.py "$SF30" /tmp/verify_sf30 CORRECTNESS_sf30.json || exit 1
 
 SPARK_DRIVER_MEM=16g SPARK_GRAFT_SF_DIR="$SF30" SPARK_GRAFT_SHUFFLE_PARTITIONS=256 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
   SPARK_GRAFT_QUERIES=$(grep -v '^#' tools/repr_sf30.txt | grep -v '^$' | paste -sd,) \
