@@ -544,6 +544,77 @@ object VectorQueries {
        |  WHERE w.bit < (SELECT bits FROM nb)
        |  GROUP BY s.$idCol, w.tbl)""".stripMargin
 
+  /** N-aware bucket CTE WITHOUT the vector payload: (id, tbl, bucket)
+    * only. The any_value(v) in rpBucketCteNS keeps a 64-double LIST
+    * aggregate state per (id, tbl) group — ~50 GB of hash-table slack
+    * at sf30's 12M groups (the d6 gate OOM), for a payload the
+    * consumer can re-join from the source CTE at a fraction of the
+    * cost. Use this whenever the pair join dedups before scoring. */
+  private def rpBucketSlimCteNS(out: String, src: String, idCol: String,
+                                vCol: String): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT s.$idCol, w.tbl,
+       |    CAST(sum(CASE WHEN list_dot_product(s.$vCol, w.wv) >= 0
+       |             THEN (1::BIGINT << w.bit) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM $src s, w
+       |  WHERE w.bit < (SELECT bits FROM nb)
+       |  GROUP BY s.$idCol, w.tbl)""".stripMargin
+
+  /** First-collision candidate-pair CTEs over a slim (id, tbl, bucket)
+    * CTE: pivot to ONE row per id (bucket per table as $RpTables
+    * columns — 1 row × ~9 BIGINTs per vector), then one equi-join arm
+    * per table t guarded by "no collision in any EARLIER table"
+    * (IS DISTINCT FROM — a layer capped below t tables pivots NULL
+    * buckets, which must neither match nor veto). Each colliding pair
+    * is emitted EXACTLY once, at its first colliding table, so the
+    * cross-table pair dedup needs NO aggregate at all: the sharded
+    * DISTINCT this replaces bounded memory but still spilled its
+    * whole input partition set — the candidate MULTISET (~1.8G rows /
+    * 54 GB at sf30's copy-degenerate rung) — where this shape streams
+    * end-to-end with ~150 MB build tables. The engine-side analog is
+    * VectorSearch's per-pair max-dedup, which Spark distributes; the
+    * oracle runs on one node and needs the aggregate-free form. */
+  private def pairFirstCollisionCtes(
+      out: String, src: String, bucketCol: String,
+      vectorsFrom: Option[String] = None,
+      selectList: String = "a.vec_id AS id_a, b2.vec_id AS id_b",
+      extraFrom: String = ""): String = {
+    val piv = s"${out}_piv"
+    val cols = (0 until RpTables).map(t =>
+      s"max(CASE WHEN tbl = $t THEN $bucketCol END) AS bk$t")
+      .mkString(",\n    ")
+    // optional vector payload: attached to the PIVOT (one ~1k-row-
+    // equivalent join of two id-keyed million-row tables), never to
+    // the per-table bucket rows and never via a join AFTER the pair
+    // union — DuckDB's cardinality estimate for a union of joins is
+    // small, so it picks the (actually huge) pair side as a hash-join
+    // BUILD side and spills the candidate set it just avoided holding
+    val pivSql = vectorsFrom match {
+      case None =>
+        s"""$piv AS MATERIALIZED (
+           |  SELECT vec_id,
+           |    $cols
+           |  FROM $src GROUP BY vec_id)""".stripMargin
+      case Some(e) =>
+        s"""$piv AS MATERIALIZED (
+           |  SELECT p.*, $e.v
+           |  FROM (SELECT vec_id,
+           |    $cols
+           |  FROM $src GROUP BY vec_id) p JOIN $e ON $e.vec_id = p.vec_id)"""
+          .stripMargin
+    }
+    val arms = (0 until RpTables).map { t =>
+      val guards = (0 until t).map(p => s"a.bk$p IS DISTINCT FROM b2.bk$p")
+      val where = (s"a.vec_id < b2.vec_id" +: guards).mkString("\n      AND ")
+      s"""  SELECT $selectList
+         |  FROM $piv a JOIN $piv b2 ON a.bk$t = b2.bk$t$extraFrom
+         |  WHERE $where""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""$pivSql,
+       |$out AS (
+       |$arms)""".stripMargin
+  }
+
   /** Bucket CTE: one (id, payload, tbl, bucket) row per table, buckets
     * from the same ±1 hyperplane dot products the Spark side computes
     * (identical literals, identical sequential fold → identical signs). */
@@ -659,19 +730,38 @@ object VectorQueries {
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v")),
       NearDupMinCos, pairWeightsFor(s, d))
 
-  val d6Sql: String =
+  /** Dedup-aggregate partition count for oracle CTEs that must keep a
+    * DISTINCT (the HNSW nd-round wedge closure, where first-collision
+    * emit-once has no analog). One unbounded high-cardinality dedup
+    * overshoots DuckDB's memory limit ~6x before the radix spill
+    * engages (observed: 130 GB RSS under a 20 GB limit → kernel OOM);
+    * hash-partitioning by the output key into K UNION ALL branches
+    * bounds each branch's states AND its spill partition set to ~1/K
+    * at the same total join volume. Pair CANDIDATE dedup (d6/kg1/
+    * cand_l) doesn't shard — it uses the aggregate-free
+    * pairFirstCollisionCtes instead. */
+  val PairDedupOracleShards = 9
+
+  val d6Sql: String = {
+    // dedup-then-score: first-collision pair generation (no dedup
+    // aggregate — see pairFirstCollisionCtes), then the cosine is
+    // computed ONCE per distinct pair by joining the vectors back —
+    // 8x fewer cosines than score-in-join, and the whole plan streams.
+    // max(score) over per-table hits equals the single score (the
+    // cosine does not depend on the table), so emit-once is the same
+    // dedup the old GROUP BY max expressed.
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |w(tbl, bit, wv) AS (VALUES
        |    $rpWeightRowsPairExtS),
        |${pairNbCteS()},
-       |${rpBucketCteNS("b", "e", "vec_id", "v")}
-       |SELECT id_a, id_b, round(score, 6) AS score FROM (
-       |  SELECT id_a, id_b, max(score) AS score FROM (
-       |    SELECT a.vec_id AS id_a, b2.vec_id AS id_b, ${cosS("a.v", "b2.v")} AS score
-       |    FROM b a JOIN b b2
-       |      ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
-       |  GROUP BY 1, 2)
+       |${rpBucketSlimCteNS("bs", "e", "vec_id", "v")},
+       |${pairFirstCollisionCtes("cand", "bs", "bucket",
+          vectorsFrom = Some("e"),
+          selectList = "a.vec_id AS id_a, b2.vec_id AS id_b, " +
+            s"${cosS("a.v", "b2.v")} AS score")}
+       |SELECT id_a, id_b, round(score, 6) AS score FROM cand
        |WHERE score >= $NearDupMinCos""".stripMargin
+  }
 
   // ---- emh1_sim_histogram ---------------------------------------------
 
@@ -796,7 +886,7 @@ object VectorQueries {
        |w(tbl, bit, wv) AS (VALUES
        |    $rpWeightRowsPairExtS),
        |${pairNbCteS()},
-       |${rpBucketCteNS("b", "e", "vec_id", "v")},
+       |${rpBucketSlimCteNS("b", "e", "vec_id", "v")},
        |pops AS (SELECT tbl, bucket, count(*) AS c FROM b GROUP BY 1, 2)
        |SELECT CAST(tbl AS BIGINT) AS tbl,
        |  CAST(sum(c) AS BIGINT) AS n_vectors,
@@ -937,15 +1027,17 @@ object VectorQueries {
        |w(tbl, bit, wv) AS (VALUES
        |    $rpWeightRowsPairExtS),
        |${pairNbCteS()},
-       |${rpBucketCteNS("b", "e", "vec_id", "v")},
-       |cand AS (SELECT id_a, id_b, round(max(score), 6) AS score FROM (
-       |    SELECT a.vec_id AS id_a, b2.vec_id AS id_b, ${cosS("a.v", "b2.v")} AS score
-       |    FROM b a JOIN b b2
-       |      ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
-       |  GROUP BY 1, 2),
-       |dir AS (SELECT id_a AS src, id_b AS dst, score FROM cand
-       |        UNION ALL
-       |        SELECT id_b AS src, id_a AS dst, score FROM cand)
+       |${rpBucketSlimCteNS("bs", "e", "vec_id", "v")},
+       |${pairFirstCollisionCtes("dir", "bs", "bucket",
+          vectorsFrom = Some("e"),
+          // both directions in ONE pass over the pair join: a 2-row
+          // flip cross join instead of UNION ALL over a re-read CTE
+          // (a plain CTE referenced twice re-runs the whole pair join)
+          selectList =
+            "CASE WHEN fl.flip = 0 THEN a.vec_id ELSE b2.vec_id END AS src, " +
+            "CASE WHEN fl.flip = 0 THEN b2.vec_id ELSE a.vec_id END AS dst,\n" +
+            s"    round(${cosS("a.v", "b2.v")}, 6) AS score",
+          extraFrom = ", (VALUES (0), (1)) fl(flip)")}
        |SELECT src, dst, score, rnk FROM (
        |  SELECT src, dst, score,
        |    row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rnk
@@ -1156,27 +1248,35 @@ object VectorQueries {
       // (bucket % (1 << (SELECT bits FROM nb) ...)) is not hashable for
       // DuckDB's planner — it fell back to a nested-loop self-join that
       // spilled ~70 GB at sf1 where the hash join needs megabytes
+      // the cross-table pair dedup is the aggregate-free first-
+      // collision join (see pairFirstCollisionCtes): a DISTINCT here —
+      // sharded or not — still spills its whole input partition set,
+      // the candidate MULTISET (~1.8G rows at sf30 layer 0), where
+      // the pivot arms stream. A layer capped below 8 tables pivots
+      // NULL buckets; the builder's IS DISTINCT FROM guards keep them
+      // from matching or vetoing.
+      // the cosine rides the arms (vectorsFrom) and both directions
+      // come from the 2-row flip cross join, so the scored directed
+      // candidate set streams straight into the top-M window — no
+      // join AFTER the pair union (whose underestimated cardinality
+      // made it a hash-join build side) and no re-read of a huge CTE
       val bucketed =
         s"""mbm_$l AS MATERIALIZED (
            |  SELECT vec_id, tbl, CAST(bucket % $mask AS BIGINT) AS mbk
            |  FROM mb WHERE lvl >= $l AND tbl < ${hnswTblCapS(l)}),
-           |cand_$l AS MATERIALIZED (
-           |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-           |  FROM mbm_$l a JOIN mbm_$l b2
-           |    ON a.tbl = b2.tbl AND a.mbk = b2.mbk
-           |       AND a.vec_id < b2.vec_id),
-           |sc_$l AS MATERIALIZED (
-           |  SELECT p.id_a, p.id_b, round(${cosS("x.v", "y.v")}, 6) AS score
-           |  FROM cand_$l p JOIN mem x ON x.vec_id = p.id_a
-           |    JOIN mem y ON y.vec_id = p.id_b),
+           |${pairFirstCollisionCtes(s"sc_$l", s"mbm_$l", "mbk",
+              vectorsFrom = Some("mem"),
+              selectList =
+                "CASE WHEN fl.flip = 0 THEN a.vec_id ELSE b2.vec_id END AS src, " +
+                "CASE WHEN fl.flip = 0 THEN b2.vec_id ELSE a.vec_id END AS dst,\n" +
+                s"    round(${cosS("a.v", "b2.v")}, 6) AS score",
+              extraFrom = ", (VALUES (0), (1)) fl(flip)")},
            |ed0_$l AS MATERIALIZED (
            |  SELECT src, dst FROM (
            |    SELECT src, dst, score,
            |      row_number() OVER (PARTITION BY src
            |        ORDER BY score DESC, dst ASC) AS rnk
-           |    FROM (SELECT id_a AS src, id_b AS dst, score FROM sc_$l
-           |          UNION ALL
-           |          SELECT id_b AS src, id_a AS dst, score FROM sc_$l) d_$l)
+           |    FROM sc_$l)
            |  WHERE rnk <= $HnswM)""".stripMargin
       // NN-descent rounds mirroring HnswIndex.buildEdges: round r reads
       // ed{r-1}_l, the final round is named ed_l (what the walk joins)
@@ -1184,14 +1284,22 @@ object VectorQueries {
         val prev = if (r == 1) s"ed0_$l" else s"ed${r - 1}_$l"
         val out = if (r == HnswNdRounds) s"ed_$l" else s"ed${r}_$l"
         val keep = if (r == HnswNdRounds) "src, dst, score, rnk" else "src, dst"
+        // same sharding rule as cand_$l: the neighbor-of-neighbor
+        // DISTINCT ingests ~indeg·outdeg rows (≥400M at sf30 layer 0);
+        // each branch filters every arm by the OUTPUT src, so the
+        // arms stay partitioned (no recomputation — the a-side of the
+        // wedge join is the partitioned probe)
         s"""nd${r}_$l AS MATERIALIZED (
-           |  SELECT DISTINCT src, dst FROM (
-           |    SELECT src, dst FROM $prev
-           |    UNION ALL
-           |    SELECT dst AS src, src AS dst FROM $prev
-           |    UNION ALL
-           |    SELECT a.src, b.dst FROM $prev a JOIN $prev b
-           |      ON a.dst = b.src AND a.src != b.dst) u${r}_$l),
+           |${(0 until PairDedupOracleShards).map(i =>
+             s"""  SELECT DISTINCT src, dst FROM (
+                |    SELECT src, dst FROM $prev WHERE src % $PairDedupOracleShards = $i
+                |    UNION ALL
+                |    SELECT dst AS src, src AS dst FROM $prev WHERE dst % $PairDedupOracleShards = $i
+                |    UNION ALL
+                |    SELECT a.src, b.dst FROM $prev a JOIN $prev b
+                |      ON a.dst = b.src AND a.src != b.dst
+                |    WHERE a.src % $PairDedupOracleShards = $i) u${r}_${l}_$i"""
+               .stripMargin).mkString("\n  UNION ALL\n")}),
            |$out AS MATERIALIZED (
            |  SELECT $keep FROM (
            |    SELECT n.src, n.dst, round(${cosS("x.v", "y.v")}, 6) AS score,

@@ -111,6 +111,7 @@ def main(sf_dir: str, out_dir: str, artifact: str,
             continue
         if not list(qdir.glob("*.parquet")):
             continue  # Verify may still be writing this one
+        print(f"[gate] checking {name} ...", flush=True)
         t0 = time.time()
         sdf = con.execute(f"SELECT * FROM '{qdir}/*.parquet'").df()
         if name in EXCLUDE:
