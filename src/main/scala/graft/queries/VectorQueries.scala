@@ -615,6 +615,75 @@ object VectorQueries {
        |$arms)""".stripMargin
   }
 
+  /** Local top-K wrapper for directed (src, dst, score) branches. */
+  private def localTopKArm(k: Int)(arm: String): String =
+    s"""  SELECT src, dst, score FROM (
+       |    SELECT src, dst, score, row_number() OVER (PARTITION BY src
+       |      ORDER BY score DESC, dst ASC) AS lrnk
+       |    FROM (
+       |$arm) arm_in) arm_rk
+       |  WHERE lrnk <= $k""".stripMargin
+
+  /** DIRECTED first-collision candidates with bounded per-branch
+    * top-K: one branch per (table, direction, src-shard), each branch
+    * local-top-K'd per src. Three exactness facts compose: (1)
+    * first-collision emit-once — a pair appears in exactly one table
+    * arm; (2) the src-shard predicate sits on the SIDE the src comes
+    * from, so it pushes into the (filtered, build-side) join input —
+    * the join output is PARTITIONED across branches, never recomputed;
+    * (3) for a fixed src, all its rows within one (table, direction)
+    * land in one shard, so a per-branch top-K per src loses nothing:
+    * the global top-K is a subset of the union of the ≤ 2·RpTables
+    * per-branch top-Ks. Net effect at sf30's copy-degenerate rung:
+    * the directed candidate multiset (~720M rows — 95% of it in table
+    * 0, where verbatim copies always first-collide) never exists as
+    * one window input; each branch sorts ~1/shards of one table's
+    * one-direction slice in memory, and the downstream global window
+    * ranks ≤ 2·RpTables·K rows per src. This is the oracle-side
+    * mirror of TopK.perKey's partial per-partition heaps. */
+  private def pairFirstCollisionDirectedCtes(
+      out: String, src: String, bucketCol: String,
+      vectorsFrom: String, k: Int,
+      shards: Int = PairWindowOracleShards): String = {
+    val piv = s"${out}_piv"
+    val cols = (0 until RpTables).map(t =>
+      s"max(CASE WHEN tbl = $t THEN $bucketCol END) AS bk$t")
+      .mkString(",\n    ")
+    val pivSql =
+      s"""$piv AS MATERIALIZED (
+         |  SELECT p.*, $vectorsFrom.v
+         |  FROM (SELECT vec_id,
+         |    $cols
+         |  FROM $src GROUP BY vec_id) p
+         |  JOIN $vectorsFrom ON $vectorsFrom.vec_id = p.vec_id)""".stripMargin
+    val arms = for {
+      t <- 0 until RpTables
+      d <- 0 to 1
+      i <- 0 until shards
+    } yield {
+      val guards = (0 until t).map(p => s"a.bk$p IS DISTINCT FROM b2.bk$p")
+      val (sc, dc) = if (d == 0) ("a.vec_id", "b2.vec_id")
+                     else ("b2.vec_id", "a.vec_id")
+      val shardPred = s"$sc % $shards = $i"
+      val where = (Seq("a.vec_id < b2.vec_id", shardPred) ++ guards)
+        .mkString("\n      AND ")
+      localTopKArm(k)(
+        s"""  SELECT $sc AS src, $dc AS dst,
+           |    round(${cosS("a.v", "b2.v")}, 6) AS score
+           |  FROM $piv a JOIN $piv b2 ON a.bk$t = b2.bk$t
+           |  WHERE $where""".stripMargin)
+    }
+    s"""$pivSql,
+       |$out AS (
+       |${arms.mkString("\n  UNION ALL\n")})""".stripMargin
+  }
+
+  /** Src-shard count for the directed first-collision branches: sized
+    * so the copy-heavy table-0 slice (~224M pairs per direction at
+    * sf30) windows ~40M rows per branch — in-memory at the gate's
+    * budget. */
+  val PairWindowOracleShards = 6
+
   /** Bucket CTE: one (id, payload, tbl, bucket) row per table, buckets
     * from the same ±1 hyperplane dot products the Spark side computes
     * (identical literals, identical sequential fold → identical signs). */
@@ -1028,16 +1097,8 @@ object VectorQueries {
        |    $rpWeightRowsPairExtS),
        |${pairNbCteS()},
        |${rpBucketSlimCteNS("bs", "e", "vec_id", "v")},
-       |${pairFirstCollisionCtes("dir", "bs", "bucket",
-          vectorsFrom = Some("e"),
-          // both directions in ONE pass over the pair join: a 2-row
-          // flip cross join instead of UNION ALL over a re-read CTE
-          // (a plain CTE referenced twice re-runs the whole pair join)
-          selectList =
-            "CASE WHEN fl.flip = 0 THEN a.vec_id ELSE b2.vec_id END AS src, " +
-            "CASE WHEN fl.flip = 0 THEN b2.vec_id ELSE a.vec_id END AS dst,\n" +
-            s"    round(${cosS("a.v", "b2.v")}, 6) AS score",
-          extraFrom = ", (VALUES (0), (1)) fl(flip)")}
+       |${pairFirstCollisionDirectedCtes("dir", "bs", "bucket",
+          vectorsFrom = "e", k = KnnGraphK)}
        |SELECT src, dst, score, rnk FROM (
        |  SELECT src, dst, score,
        |    row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rnk
@@ -1264,13 +1325,8 @@ object VectorQueries {
         s"""mbm_$l AS MATERIALIZED (
            |  SELECT vec_id, tbl, CAST(bucket % $mask AS BIGINT) AS mbk
            |  FROM mb WHERE lvl >= $l AND tbl < ${hnswTblCapS(l)}),
-           |${pairFirstCollisionCtes(s"sc_$l", s"mbm_$l", "mbk",
-              vectorsFrom = Some("mem"),
-              selectList =
-                "CASE WHEN fl.flip = 0 THEN a.vec_id ELSE b2.vec_id END AS src, " +
-                "CASE WHEN fl.flip = 0 THEN b2.vec_id ELSE a.vec_id END AS dst,\n" +
-                s"    round(${cosS("a.v", "b2.v")}, 6) AS score",
-              extraFrom = ", (VALUES (0), (1)) fl(flip)")},
+           |${pairFirstCollisionDirectedCtes(s"sc_$l", s"mbm_$l", "mbk",
+              vectorsFrom = "mem", k = HnswM)},
            |ed0_$l AS MATERIALIZED (
            |  SELECT src, dst FROM (
            |    SELECT src, dst, score,
