@@ -54,12 +54,11 @@ final class HybridLocalServer(
     java.math.BigDecimal.valueOf(x)
       .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** Embed.tokenHash's polyhash (codepoint fold mod 1e9+7). */
-  private def polyHash(t: String): Long = {
-    var h = 0L; var i = 0
-    while (i < t.length) { h = (h * 31L + t.codePointAt(i)) % Embed.HashMod; i += 1 }
-    h
-  }
+  /** Embed.tokenHash's polyhash — delegated to the one shared
+    * implementation so supplementary (non-BMP) code points advance by
+    * Character.charCount exactly as the distributed path does. */
+  private def polyHash(t: String): Long =
+    graft.functions.PolyHash.hash(t, graft.functions.PolyHash.Base, Embed.HashMod)
 
   private def tokens(q: String): Array[String] =
     q.split(" ", -1).filter(_.nonEmpty)
@@ -119,11 +118,15 @@ final class HybridLocalServer(
     }
 
     // ---- dense arm: multi-probe sign-LSH over the bucket directory ----
-    val qv = embed(toks)
-    val qn = math.sqrt(dot(qv, qv))
+    // A zero-token query has no embedding: the distributed path's
+    // explode of an empty token array drops it from the dense arm, so
+    // the serving path contributes no dense candidates either (an
+    // unguarded embed() would divide by a zero norm and NaN-sort).
     val vecScores = new java.util.HashMap[Long, Double]()
+    val qv = if (toks.isEmpty) new Array[Double](dim) else embed(toks)
+    val qn = math.sqrt(dot(qv, qv))
     var t = 0
-    while (t < w.length) {
+    while (toks.nonEmpty && t < w.length) {
       var b0 = 0L
       var b = 0
       while (b < bits) {

@@ -47,6 +47,40 @@ class HybridLocalServeSpec extends SparkSpec {
     assert(checked == batch.size)
   }
 
+  test("zero-token query contributes no dense-arm candidates (r14 advice)") {
+    // An unguarded embed() divides by a zero L2 norm; NaN cosines sort
+    // first and surface arbitrary dense hits. The distributed path drops
+    // the query from the dense arm entirely, so the local server must
+    // return lexical-arm-only fusion for "" / whitespace queries.
+    Seq("", "   ").foreach { q =>
+      val hits = server.search(q)
+      assert(hits.forall { case (_, sc, _) => !sc.isNaN },
+        s"NaN rrf score for ${q.length}-space query: ${hits.toSeq}")
+      assert(hits.isEmpty,
+        s"no-token query produced hits without any arm: ${hits.toSeq}")
+    }
+  }
+
+  test("supplementary-character tokens hash as code points (r14 advice)") {
+    // 𝒳 (U+1D4B3) is a surrogate pair; a per-char fold would hash the
+    // low surrogate as an extra code point and break parity with
+    // PolyHash.hash. The fixture is ASCII so the parity suite can't see
+    // this; pin the hash directly against the shared implementation.
+    val t = "a𝒳b" // "a𝒳b"
+    val want = graft.functions.PolyHash.hash(
+      t, graft.functions.PolyHash.Base, Embed.HashMod)
+    // reproduce the server's bucket choice via a 1-token query: the
+    // embedding has weight 1.0 in exactly bucket (hash % dim)
+    val dim = CorpusQueries.HybridDim
+    val m = classOf[HybridLocalServer].getDeclaredMethod(
+      "embed", classOf[Array[String]])
+    m.setAccessible(true)
+    val emb = m.invoke(server, Array(t)).asInstanceOf[Array[Double]]
+    assert(emb((want % dim).toInt) == 1.0,
+      s"token bucket mismatch: expected bucket ${want % dim}")
+    assert(emb.count(_ != 0.0) == 1)
+  }
+
   test("per-request latency is job-free in-process compute") {
     val q = queries.head().getString(1)
     server.search(q) // warm (JIT)

@@ -44,6 +44,9 @@ def rewrite(path: Path, d: dict) -> None:
 
 def main(argv):
     root = Path(__file__).parent.parent
+    if argv[:1] == ["--root"]:  # lint an alternate dir (ArtifactLintSpec)
+        root = Path(argv[1])
+        argv = argv[2:]
     if argv[:1] == ["--pop"]:
         art, names = Path(argv[1]), argv[2:]
         d = json.loads(art.read_text())

