@@ -16,7 +16,17 @@ copies, sf10 = 100 copies. Per copy c:
     DuckDB oracles past temp disk). n_chars is recomputed.
   - dims (region/nation) stay single-copy with FK columns untouched;
   - embeddings copy 0 keeps vec_id < 8 as the query set (offset
-    copies only enlarge the corpus side).
+    copies only enlarge the corpus side);
+  - copied embeddings are rotated by a deterministic per-copy
+    orthogonal matrix (QR of seeded Gaussian): within-copy geometry
+    (norms, cosines, near-dup pairs) is preserved bit-for-bit in
+    structure, while cross-copy cosines become near-orthogonal — so
+    near-dup pair volume scales linearly like the token suffixing,
+    instead of copies-squared (the r14 degeneracy: 300 VERBATIM
+    vector copies made every copy-pair share every LSH bucket, d10's
+    candidate multiset quadratic, and the sf30 pair-family exponents
+    copy-multiplicity artifacts). Oracles are unaffected: both
+    engines recompute from the stored float32 values.
 
 Copies are streamed through one ParquetWriter per table, so peak
 memory is one copy of one table — 100-copy lineitem (60M rows) never
@@ -29,6 +39,7 @@ import os
 import re
 import sys
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -79,7 +90,24 @@ def offset_copy(table: pa.Table, name: str, c: int) -> pa.Table:
         ni = table.schema.get_field_index("n_chars")
         table = table.set_column(
             ni, "n_chars", pa.array([len(t) for t in texts], pa.int64()))
+    if name == "embeddings":
+        ei = table.schema.get_field_index("embedding")
+        vecs = np.asarray(table.column("embedding").to_pylist(),
+                          dtype=np.float64)
+        rot = rotation(vecs.shape[1], c)
+        out = (vecs @ rot.T).astype(np.float32)
+        table = table.set_column(
+            ei, "embedding",
+            pa.array(list(out), type=table.schema.field("embedding").type))
     return table
+
+
+def rotation(dim: int, c: int) -> "np.ndarray":
+    """Deterministic orthogonal matrix for copy c (QR of seeded
+    Gaussian, sign-canonicalized so the decomposition is unique)."""
+    rng = np.random.default_rng(c)
+    q, r = np.linalg.qr(rng.standard_normal((dim, dim)))
+    return q * np.sign(np.diag(r))
 
 
 def main(copies: int, src: str, dst: str) -> None:
