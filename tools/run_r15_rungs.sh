@@ -1,0 +1,70 @@
+#!/bin/bash
+# Round-15 rung refresh after the make_sfN.py embedding de-degeneration
+# (per-copy orthogonal rotations): every row whose oracle reads the
+# embeddings table is re-verified + re-gated on the rotated fixtures,
+# d10_neardup_mp is gated FULL at sf30 (its r14 exclusion was a fixture
+# artifact), v19_hybrid_s97 gains its sf30 row, and the affected bench
+# rows are re-spliced (including the v19 sf10 quiet re-splice the r14
+# verdict asked for). Gates strictly sequential (two concurrent DuckDB
+# gates have eaten this node's disk twice); SPARK_DRIVER_MEM=16g (the
+# 72g heap GC-spiraled at sf10); headers recomputed by artifact_lint
+# on every mutation.
+#
+# The affected-row list is derived from the resolved oracle SQL
+# (queries whose oracle references the embeddings table), not from
+# code-level guesswork — see /tmp/emb_oracle.txt provenance in the
+# r15 session log.
+set -u
+cd "$(dirname "$0")/.."
+
+EMB_ALL="d10_neardup_mp d10_neardup_s3 d5_embed_neardup d5_embed_neardup_s97 d6_neardup_lsh del1_index_delete dft1_embedding_drift dr1_random_proj emb1_dim_stats emh1_sim_histogram ev1_ann_recall hg1_hnsw_build hg2_hnsw_search hg3_hnsw_recall hg4_hnsw_upsert hg5_hnsw_compact ix1_index_stats ix2_lsh_stats ix3_width_preflight kg1_knn_graph km1_lloyd_quantized m0_ir_summary m2_recall_at_k m3_ndcg_at_k m8_mrr m9_map ml1_knn_classify ns1_hard_negatives pq3_distortion sem1_semdedup u3_index_upsert v10_mmr v11_pq_adc v13_knn_lsh_mp v14_ivf_pq v15_ivfpq_rescore v16_knn_hamming v17_hamming_rescore v18_tuning_curve v1_knn_cos v20_filtered_ivf v21_matryoshka v24_cascade v2_knn_dot v3_knn_l2 v4_knn_filtered v5_range_search v6_knn_ivf v7_knn_lsh v9_ivf_persisted vf_norm vf_pairwise vq1_quantize vq2_pq_codes vq3_binary_quant v8_knn_ivf_kmeans"
+
+SF10_AFFECTED="d5_embed_neardup d5_embed_neardup_s97 hg1_hnsw_build hg2_hnsw_search ix3_width_preflight kg1_knn_graph m2_recall_at_k sem1_semdedup v1_knn_cos v6_knn_ivf v7_knn_lsh v9_ivf_persisted v14_ivf_pq v16_knn_hamming vq2_pq_codes"
+SF30_AFFECTED="d6_neardup_lsh d10_neardup_mp d10_neardup_s3 hg1_hnsw_build hg2_hnsw_search kg1_knn_graph"
+
+cleanup_tmp() {
+  rm -rf /tmp/blockmgr-* /tmp/spark-[0-9a-f]* /tmp/duckdb_gate_spill
+}
+
+echo "=== stage A: sf1 — re-gate the embeddings-affected registry slice ==="
+# stale fit-or-load artifacts keyed on the OLD embeddings mtime/len are
+# invalidated automatically (content fingerprints); popped rows re-gate.
+python3 tools/artifact_lint.py --pop CORRECTNESS_sf1.json $EMB_ALL || exit 1
+SPARK_DRIVER_MEM=16g SPARK_GRAFT_CPUS=24 \
+  sbt "runMain graft.Verify /tmp/sf1 /tmp/verify_sf1_r15 $EMB_ALL" || exit 1
+python3 tools/gate_sf1.py /tmp/sf1 /tmp/verify_sf1_r15 CORRECTNESS_sf1.json || exit 1
+python3 tools/artifact_lint.py || exit 1
+cleanup_tmp
+
+echo "=== stage B: sf10 — re-gate affected rows + quiet v19 re-splice ==="
+python3 tools/artifact_lint.py --pop CORRECTNESS_sf10.json $SF10_AFFECTED || exit 1
+SPARK_DRIVER_MEM=16g SPARK_GRAFT_CPUS=24 \
+  sbt "runMain graft.Verify /tmp/sf10 /tmp/verify_sf10_r15 ${SF10_AFFECTED/d5_embed_neardup /}" || exit 1
+GRAFT_GATE_EXCLUSIONS=tools/exclusions_sf10.json \
+  python3 tools/gate_sf1.py /tmp/sf10 /tmp/verify_sf10_r15 CORRECTNESS_sf10.json || exit 1
+python3 tools/artifact_lint.py || exit 1
+cleanup_tmp
+SPARK_DRIVER_MEM=16g SPARK_GRAFT_SF_DIR=/tmp/sf10 SPARK_GRAFT_CPUS=24 \
+  SPARK_GRAFT_QUERIES=$(echo $SF10_AFFECTED v19_hybrid_ann v19_hybrid_s97 | tr ' ' ',') \
+  sbt "runMain graft.Bench" | grep '"metric"' | sed 's/^\[info\] //' \
+  > /tmp/bench_sf10_r15.json || exit 1
+python3 tools/splice_bench.py BENCH_sf10.json BENCH_DETAIL.json r15 || exit 1
+cleanup_tmp
+
+echo "=== stage C: sf30 — d10 FULL + v19_hybrid_s97 + affected re-gate ==="
+python3 tools/artifact_lint.py --pop CORRECTNESS_sf30.json $SF30_AFFECTED || exit 1
+# the d10 exclusion was a fixture artifact; the rotated fixture's pair
+# volume is linear in copies, so the rung runs with NO exclusions.
+echo '{}' > tools/exclusions_sf30.json
+SPARK_DRIVER_MEM=16g SPARK_GRAFT_CPUS=24 SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
+  sbt "runMain graft.Verify /tmp/sf30 /tmp/verify_sf30_r15 $SF30_AFFECTED v19_hybrid_s97" || exit 1
+python3 tools/gate_sf1.py /tmp/sf30 /tmp/verify_sf30_r15 CORRECTNESS_sf30.json || exit 1
+python3 tools/artifact_lint.py || exit 1
+cleanup_tmp
+SPARK_DRIVER_MEM=16g SPARK_GRAFT_SF_DIR=/tmp/sf30 SPARK_GRAFT_CPUS=24 SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
+  SPARK_GRAFT_QUERIES=$(echo $SF30_AFFECTED v19_hybrid_ann v19_hybrid_s97 | tr ' ' ',') \
+  sbt "runMain graft.Bench" | grep '"metric"' | sed 's/^\[info\] //' \
+  > /tmp/bench_sf30_r15.json || exit 1
+python3 tools/splice_bench.py BENCH_sf30.json BENCH_DETAIL.json r15 || exit 1
+cleanup_tmp
+echo "=== r15 rungs complete ==="
