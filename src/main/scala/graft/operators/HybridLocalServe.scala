@@ -93,14 +93,26 @@ final class HybridLocalServer(
   }
 
   /** One request: fused top-fuseK (doc_id, rrf_score, rnk). */
-  def search(query: String): Array[(Long, Double, Int)] = {
+  def search(query: String): Array[(Long, Double, Int)] =
+    searchWithStats(query)._1
+
+  /** search + the request's exact work profile, for tail-latency
+    * attribution: `postingMass` = Σ posting-list lengths over the
+    * query's distinct matched terms (every BM25 partial the lexical
+    * arm scores), `denseCands` = distinct vectors scored by the probed
+    * LSH cells. Zipf term frequencies make postingMass heavy-tailed —
+    * a query containing a near-stopword term scores a large fraction
+    * of the corpus — which is the P99 driver LatencyReport measures. */
+  def searchWithStats(query: String): (Array[(Long, Double, Int)], Long, Long) = {
     val toks = tokens(query)
+    var postingMass = 0L
 
     // ---- lexical arm: BM25 over the posting lists ----
     val lexScores = new java.util.HashMap[Long, Double]()
     toks.distinct.sorted.foreach { term =>
       val plist = postings.get(term)
       if (plist != null) {
+        postingMass += plist.length
         val df = plist.length.toDouble
         val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
         plist.foreach { case (docId, tf, dl) =>
@@ -158,7 +170,8 @@ final class HybridLocalServer(
       rrf.forEach((id, sc) => r.put(id, round(sc, 6)))
       topK(r, fuseK)
     }
-    fusedAll.zipWithIndex.map { case ((id, sc), i) => (id, sc, i + 1) }
+    (fusedAll.zipWithIndex.map { case ((id, sc), i) => (id, sc, i + 1) },
+      postingMass, vecScores.size.toLong)
   }
 }
 

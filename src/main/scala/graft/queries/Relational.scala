@@ -1850,22 +1850,28 @@ object Relational {
       |        / count(*), 6) AS avg_price
       |FROM orders GROUP BY 1""".stripMargin
 
-  /** ord1_global_rank — exact GLOBAL ranking without the partitionless
-    * window (which drags every row through ONE task): range-partition
-    * on the sort keys, rank locally per partition in parallel, then
-    * shift by the driver-prefix-summed predecessor counts
-    * (Dist.runningTotal over a constant 1). The result depends only on
-    * the total order — identical to row_number() OVER (ORDER BY ...) —
-    * but every stage is parallel; at 100 TB this is the only shape
-    * that finishes. Top-1000 filter applied AFTER ranking (the rank is
-    * global, the output just bounded). */
+  /** ord1_global_rank — exact GLOBAL rank of the top 1000 rows under a
+    * total order, with no full-data shuffle. Because the output is
+    * bounded to rank ≤ 1000, every row outside its partition's local
+    * top-1000 is provably outside the global top-1000, so
+    * `orderBy().limit(k)` (Catalyst's TakeOrderedAndProject: bounded
+    * per-partition heaps merged on the driver) prunes 600 M rows to
+    * 1000 in a single scan-shaped stage — then Dist.globalRank (the
+    * range-partition + prefix-count shape that replaces the
+    * partitionless window) ranks the survivors, and those ranks equal
+    * the full-data global ranks. The previous cut ranked ALL rows
+    * first and filtered after; exact same result, but its range
+    * shuffle spilled ~sort-of-the-table (45 GB+ at sf100, a=1.9
+    * sf10→sf30) for a query whose answer is 1000 rows. At 100 TB the
+    * pruned shape is the only one that should ever run; unbounded
+    * full-rank outputs (m11) keep the range-partition shape. */
   def ord1GlobalRank(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
     val ord = Seq(col("l_extendedprice").desc,
       col("l_orderkey").asc, col("l_linenumber").asc)
-    graft.Dist.globalRank(li, ord, "global_rank")
-      .filter(col("global_rank") <= 1000)
+    val top = li.orderBy(ord: _*).limit(1000)
+    graft.Dist.globalRank(top, ord, "global_rank")
       .select(col("global_rank"), col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice"))
   }

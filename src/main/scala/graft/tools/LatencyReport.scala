@@ -213,20 +213,57 @@ object LatencyReport {
         .toSet
       server.search(hq.head._2) // warm (JIT)
       val out = scala.collection.mutable.Set.empty[(Long, Long, Double, Int)]
+      val stats = scala.collection.mutable.Map.empty[Long, (Long, Long)]
       val lat = graft.operators.Latency.measure[(Long, String)](hq.toSeq,
-        { case (qid, text) => server.search(text).foreach { case (d, s, r) =>
-          out += ((qid, d, s, r)) } })
+        { case (qid, text) =>
+          val (hits, mass, cands) = server.searchWithStats(text)
+          stats(qid) = (mass, cands)
+          hits.foreach { case (d, s, r) => out += ((qid, d, s, r)) } })
       val agree = if (batch.isEmpty) 0.0
         else (out & batch).size.toDouble / batch.size
       val sorted = lat.map(_._2).sorted
       def pct(p: Double) =
         sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+      // ---- tail attribution (r14 verdict task 6): is the 24x P50→P99
+      // spread the request's own work (Zipf posting mass / probe-set
+      // cardinality) or environmental (GC, scheduling)? Rank-correlate
+      // per-request latency with its exact work profile.
+      def ranks(xs: Seq[Double]): Seq[Double] = {
+        val r = new Array[Double](xs.size)
+        xs.zipWithIndex.sortBy(_._1).map(_._2).zipWithIndex
+          .foreach { case (orig, rk) => r(orig) = rk + 1.0 }
+        r.toSeq
+      }
+      def spearman(a: Seq[Double], b: Seq[Double]): Double = {
+        val (ra, rb) = (ranks(a), ranks(b))
+        val ma = ra.sum / ra.size; val mb = rb.sum / rb.size
+        val cov = ra.zip(rb).map { case (x, y) => (x - ma) * (y - mb) }.sum
+        val va = math.sqrt(ra.map(x => (x - ma) * (x - ma)).sum)
+        val vb = math.sqrt(rb.map(y => (y - mb) * (y - mb)).sum)
+        if (va == 0 || vb == 0) 0.0 else cov / (va * vb)
+      }
+      val ms = lat.map(_._2)
+      val mass = lat.map { case ((qid, _), _) => stats(qid)._1.toDouble }
+      val cands = lat.map { case ((qid, _), _) => stats(qid)._2.toDouble }
+      val rhoMass = spearman(ms, mass)
+      val rhoCands = spearman(ms, cands)
+      val massSorted = mass.sorted
+      def mpct(p: Double) =
+        massSorted(math.min(massSorted.length - 1, (p * massSorted.length).toInt))
+      val slow = lat.sortBy(-_._2).take(3).map { case ((qid, _), t) =>
+        f"""{"query_id":$qid,"ms":$t%.1f,"posting_mass":${stats(qid)._1},""" +
+          f""""dense_cands":${stats(qid)._2}}""" }
       System.err.println(f"[latency] hybrid_local n=${lat.size} " +
         f"P50=${pct(0.50)}%8.1f ms P95=${pct(0.95)}%8.1f ms " +
-        f"P99=${pct(0.99)}%8.1f ms fused_agreement=$agree%.3f")
+        f"P99=${pct(0.99)}%8.1f ms fused_agreement=$agree%.3f " +
+        f"rho(ms,posting_mass)=$rhoMass%.2f rho(ms,dense_cands)=$rhoCands%.2f")
       f""""hybrid_local":{"n_queries":${lat.size},"p50_ms":${pct(0.5)}%.1f,""" +
         f""""p95_ms":${pct(0.95)}%.1f,"p99_ms":${pct(0.99)}%.1f,""" +
-        f""""fused_agreement":$agree%.4f}"""
+        f""""fused_agreement":$agree%.4f,""" +
+        f""""rho_ms_posting_mass":$rhoMass%.2f,""" +
+        f""""rho_ms_dense_cands":$rhoCands%.2f,""" +
+        f""""posting_mass_p50":${mpct(0.5)}%.0f,"posting_mass_p99":${mpct(0.99)}%.0f,""" +
+        s""""slowest":[${slow.mkString(",")}]}"""
     }
 
     val fams = Seq(family("ivf", serveIvf), ivfLocalFamily, hnswLocalFamily,

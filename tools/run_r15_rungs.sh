@@ -44,8 +44,10 @@ GRAFT_GATE_EXCLUSIONS=tools/exclusions_sf10.json \
   python3 tools/gate_sf1.py /tmp/sf10 /tmp/verify_sf10_r15 CORRECTNESS_sf10.json || exit 1
 python3 tools/artifact_lint.py || exit 1
 cleanup_tmp
+# ord1's top-k-pruned rewrite changes no rows (gates stay valid) but
+# replaces the full-table range sort — re-bench it at each rung.
 SPARK_DRIVER_MEM=16g SPARK_GRAFT_SF_DIR=/tmp/sf10 SPARK_GRAFT_CPUS=24 \
-  SPARK_GRAFT_QUERIES=$(echo $SF10_AFFECTED v19_hybrid_ann v19_hybrid_s97 | tr ' ' ',') \
+  SPARK_GRAFT_QUERIES=$(echo $SF10_AFFECTED v19_hybrid_ann v19_hybrid_s97 ord1_global_rank | tr ' ' ',') \
   sbt "runMain graft.Bench" | grep '"metric"' | sed 's/^\[info\] //' \
   > /tmp/bench_sf10_r15.json || exit 1
 python3 tools/splice_bench.py BENCH_sf10.json BENCH_DETAIL.json r15 || exit 1
@@ -62,7 +64,7 @@ python3 tools/gate_sf1.py /tmp/sf30 /tmp/verify_sf30_r15 CORRECTNESS_sf30.json |
 python3 tools/artifact_lint.py || exit 1
 cleanup_tmp
 SPARK_DRIVER_MEM=16g SPARK_GRAFT_SF_DIR=/tmp/sf30 SPARK_GRAFT_CPUS=24 SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
-  SPARK_GRAFT_QUERIES=$(echo $SF30_AFFECTED v19_hybrid_ann v19_hybrid_s97 | tr ' ' ',') \
+  SPARK_GRAFT_QUERIES=$(echo $SF30_AFFECTED v19_hybrid_ann v19_hybrid_s97 ord1_global_rank | tr ' ' ',') \
   sbt "runMain graft.Bench" | grep '"metric"' | sed 's/^\[info\] //' \
   > /tmp/bench_sf30_r15.json || exit 1
 python3 tools/splice_bench.py BENCH_sf30.json BENCH_DETAIL.json r15 || exit 1
