@@ -16,7 +16,11 @@ QUERIES=$(grep -v '^#' tools/repr_sf100.txt | grep -v '^$' | tr '\n' ' ')
 SPARK_DRIVER_MEM=16g SPARK_GRAFT_SHUFFLE_PARTITIONS=256 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
   sbt "runMain graft.Verify $SF100 /tmp/verify_sf100 $QUERIES" || exit 1
 
-python3 tools/gate_sf1.py "$SF100" /tmp/verify_sf100 CORRECTNESS_sf100.json || exit 1
+# 72GB: d8's 5M-doc components oracle needs ~95GB working set; at the
+# default 48GB it spills >42GB and outruns this node's free disk (r15,
+# twice). 72GB in-RAM + ~24GB spill fits both budgets.
+GRAFT_GATE_MEM=${GRAFT_GATE_MEM:-72GB} \
+  python3 tools/gate_sf1.py "$SF100" /tmp/verify_sf100 CORRECTNESS_sf100.json || exit 1
 
 SPARK_DRIVER_MEM=16g SPARK_GRAFT_SF_DIR="$SF100" SPARK_GRAFT_SHUFFLE_PARTITIONS=256 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
   SPARK_GRAFT_QUERIES=$(grep -v '^#' tools/repr_sf100.txt | grep -v '^$' | paste -sd,) \
