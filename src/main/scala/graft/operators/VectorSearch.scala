@@ -490,9 +490,25 @@ object VectorSearch {
   /** Shared multi-table near-dup skeleton over any per-table bucket
     * expression. The bucket self-join carries ONLY (tbl, bucket, id)
     * rows — never the vectors: shipping payloads through an L×-exploded
-    * join multiplies shuffle bytes by L, and cross-table duplicate
-    * pairs would each be scored. Instead: narrow join → distinct pair
-    * ids → rejoin vectors once → one exact rescore per unique pair. */
+    * join multiplies shuffle bytes by L. What happens to the candidate
+    * multiset next depends on whether a real threshold exists:
+    *
+    *  - thresholded (minCosine > -1): score IN the join stage via two
+    *    broadcast vector lookups, filter ≥ minCosine immediately, and
+    *    only the surviving near-dup rows reach the distinct. The
+    *    multiset — N·occupancy·L·(probes) rows, 2.1G at sf30 — lives
+    *    only inside one codegen stage and never shuffles or spills
+    *    (the previous dedup-FIRST shape shuffled the full multiset
+    *    into distinct() and ran a 600k-vector rung out of 60 GB of
+    *    disk). Scores of duplicate candidates are bit-identical, so
+    *    filter→distinct ≡ distinct→rescore row-for-row.
+    *  - no threshold (kg1's every-candidate graph): every pair
+    *    survives, so filter-first saves nothing and scores the full
+    *    multiset instead of the deduped pairs — keep the narrow
+    *    distinct-then-rescore-once shape.
+    *
+    * Broadcasting the vectors rides the pair family's documented
+    * ≤2M-vector design ceiling (see RpBitsPairMax): ≤~1 GB broadcast. */
   def nearDupPairsLshBuckets(vectors: DataFrame, minCosine: Double,
                              buckets: Column => Column): DataFrame = {
     val base = spread(vectors.select(col("vec_id"), col("v")))
@@ -503,8 +519,9 @@ object VectorSearch {
       .join(bk.select(col("tbl"), col("bucket"), col("vec_id").as("id_b")),
         Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    rescorePairs(base, cand, minCosine)
+      .select("id_a", "id_b")
+    if (minCosine > -1.0) scorePairsInline(base, cand, minCosine)
+    else rescorePairs(base, cand.distinct(), minCosine)
   }
 
   /** One exact cosine rescore per unique candidate pair. */
@@ -519,13 +536,37 @@ object VectorSearch {
       .filter(col("score") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
 
+  /** Score-in-stage variant for thresholded pair generation: the raw
+    * candidate multiset streams through two broadcast vector lookups
+    * and the cosine filter inside a single stage; only survivors are
+    * deduped. Identical rows to rescorePairs(distinct(cand)) — the
+    * score of a duplicated candidate is computed from the same doubles
+    * in the same order — at a shuffle volume of survivors, not
+    * candidates. */
+  private def scorePairsInline(base: DataFrame, cand: DataFrame,
+                               minCosine: Double): DataFrame =
+    cand
+      .join(broadcast(base.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("vn").as("na"))), "id_a")
+      .join(broadcast(base.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("vn").as("nb"))), "id_b")
+      .withColumn("score", Vec.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("score") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+      .distinct()
+
   /** Multi-PROBE variant of the pair generator: the probing side of
     * the bucket self-join also visits every hamming-1 bucket, so a
     * pair split by exactly one hyperplane in a table still meets.
     * Coverage is symmetric with one-sided probing (for any pair, the
     * smaller id's probe row hits the larger id's exact bucket), so
-    * candidate volume grows only ×(bits+1) on one side — then the
-    * usual distinct-pair dedup + single exact rescore. */
+    * candidate volume grows only ×(bits+1) on one side. The ×(bits+1)
+    * multiset — N·occupancy·L·(bits+1) ≈ 2.1G rows at sf30, regardless
+    * of fixture degeneracy — is exactly why this path uses the
+    * score-in-stage shape for thresholded runs: the multiset streams
+    * through broadcast lookups + the cosine filter inside one stage
+    * and never reaches a shuffle (the former distinct-first shape
+    * spilled >60 GB at 600k vectors). */
   def nearDupPairsLshRpMultiProbe(vectors: DataFrame, minCosine: Double,
                                   w: Array[Array[Array[Double]]]): DataFrame = {
     val bits = w(0).length
@@ -542,8 +583,9 @@ object VectorSearch {
       .join(bk.select(col("tbl"), col("bucket"), col("vec_id").as("id_b")),
         Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    rescorePairs(base, cand, minCosine)
+      .select("id_a", "id_b")
+    if (minCosine > -1.0) scorePairsInline(base, cand, minCosine)
+    else rescorePairs(base, cand.distinct(), minCosine)
   }
 
   // ---- Binary (sign-bit) quantization + Hamming kNN -------------------

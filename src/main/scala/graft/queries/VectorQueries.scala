@@ -1789,45 +1789,56 @@ object VectorQueries {
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v")),
       NearDupMinCos, pairWeightsFor(s, d))
 
+  /** The multiset (N·occ·L·(bits+1) rows — 2.1G at sf30) must never
+    * reach an aggregate: score each candidate row in the join
+    * pipeline against per-id precomputed norms, filter at the
+    * threshold FIRST, and DISTINCT only the tiny survivor set —
+    * the exact mirror of the engine's score-in-stage shape
+    * (VectorSearch.scorePairsInline). Duplicate candidates score
+    * bit-identically, so filter→distinct ≡ max()-dedup→filter. */
   val d10Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |w(tbl, bit, wv) AS (VALUES
        |    $rpWeightRowsPairExtS),
        |${pairNbCteS()},
-       |${rpBucketCteNS("b", "e", "vec_id", "v")},
-       |bp AS (SELECT vec_id, v, tbl,
+       |en AS MATERIALIZED (SELECT vec_id, v,
+       |        sqrt(${dotS("v", "v")}) AS vn FROM e),
+       |${rpBucketSlimCteNS("b", "e", "vec_id", "v")},
+       |bp AS (SELECT vec_id, tbl,
        |         xor(bucket, CASE WHEN m.range < 0 THEN 0
        |                          ELSE (1::BIGINT << m.range) END) AS bucket
        |       FROM b, range(-1, $RpBitsPairMax) m
        |       WHERE m.range < (SELECT bits FROM nb))
-       |SELECT id_a, id_b, round(score, 6) AS score FROM (
-       |  SELECT id_a, id_b, max(score) AS score FROM (
-       |    SELECT a.vec_id AS id_a, b2.vec_id AS id_b, ${cosS("a.v", "b2.v")} AS score
-       |    FROM bp a JOIN b b2
-       |      ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
-       |  GROUP BY 1, 2)
+       |SELECT DISTINCT id_a, id_b, round(score, 6) AS score FROM (
+       |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       |         ${dotS("ea.v", "eb.v")} / (ea.vn * eb.vn) AS score
+       |  FROM bp a
+       |  JOIN b b2
+       |    ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |  JOIN en ea ON ea.vec_id = a.vec_id
+       |  JOIN en eb ON eb.vec_id = b2.vec_id)
        |WHERE score >= $NearDupMinCos""".stripMargin
 
   // ---- d10_s3: the multi-probe attestation slice ----------------------
 
   /** Slice modulus for d10's attestation twin. Copy offsets are
-    * c*10^8 ≡ c (mod 3), so vec_id % 3 == 0 keeps each base vector in
-    * exactly 100 of sf30's 300 verbatim copies — copy-pair volume
-    * (quadratic in copy multiplicity, the r10 document degeneracy in
-    * vector form) drops 9x to the envelope the sf10-class rungs
-    * already clear, while corpus-level constants stay at full size. */
+    * c*10^8 ≡ c (mod 3), so vec_id % 3 == 0 keeps a deterministic
+    * third of the corpus (one copy in three of every base vector) —
+    * candidate volume drops ~9x while corpus-level constants (the
+    * N-adaptive width measures the unsliced table) stay at full
+    * size. */
   val NearDupMpSliceMod = 3
 
   /** d10_neardup_s3 — d10's exact multi-probe pipeline on the
     * deterministic vec_id % 3 slice, probed at the FULL corpus's
     * N-adaptive width (pairWeightsFor/`nb` both measure the unsliced
-    * table, so the operating point is sf30's, only the quadratic
-    * copy-pair mass shrinks). The attestation twin for rungs where
-    * the full candidate multiset exceeds the node: at sf30 the 300
-    * verbatim embedding copies put every copy-pair in the same bucket
-    * of every table — a ~2G-row candidate multiset whose distinct()
-    * spill exceeded the node's 69 GB free disk. d10 itself stays
-    * hash-green at sf0.01/0.1/1. */
+    * table, so the operating point is sf30's, only the pair mass
+    * shrinks). Kept as the oracle-cost attestation twin for big
+    * rungs: the full multi-probe candidate multiset is inherently
+    * N·occ·L·(bits+1) rows (~2.1G at sf30 on ANY fixture — measured
+    * identical on verbatim and rotated copies), which the engine
+    * streams through the score-in-stage shape but the single-node
+    * oracle must still enumerate. */
   def d10NearDupLshMpS(s: SparkSession, d: String): DataFrame =
     VectorSearch.nearDupPairsLshRpMultiProbe(
       Tables.embeddings(s, d)
@@ -1841,18 +1852,22 @@ object VectorQueries {
        |w(tbl, bit, wv) AS (VALUES
        |    $rpWeightRowsPairExtS),
        |${pairNbCteS()},
-       |${rpBucketCteNS("b", "e", "vec_id", "v")},
-       |bp AS (SELECT vec_id, v, tbl,
+       |en AS MATERIALIZED (SELECT vec_id, v,
+       |        sqrt(${dotS("v", "v")}) AS vn FROM e),
+       |${rpBucketSlimCteNS("b", "e", "vec_id", "v")},
+       |bp AS (SELECT vec_id, tbl,
        |         xor(bucket, CASE WHEN m.range < 0 THEN 0
        |                          ELSE (1::BIGINT << m.range) END) AS bucket
        |       FROM b, range(-1, $RpBitsPairMax) m
        |       WHERE m.range < (SELECT bits FROM nb))
-       |SELECT id_a, id_b, round(score, 6) AS score FROM (
-       |  SELECT id_a, id_b, max(score) AS score FROM (
-       |    SELECT a.vec_id AS id_a, b2.vec_id AS id_b, ${cosS("a.v", "b2.v")} AS score
-       |    FROM bp a JOIN b b2
-       |      ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
-       |  GROUP BY 1, 2)
+       |SELECT DISTINCT id_a, id_b, round(score, 6) AS score FROM (
+       |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       |         ${dotS("ea.v", "eb.v")} / (ea.vn * eb.vn) AS score
+       |  FROM bp a
+       |  JOIN b b2
+       |    ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |  JOIN en ea ON ea.vec_id = a.vec_id
+       |  JOIN en eb ON eb.vec_id = b2.vec_id)
        |WHERE score >= $NearDupMinCos""".stripMargin
 
   // ---- v0: deterministic hashing-TF embedder over documents -----------
