@@ -58,9 +58,17 @@ python3 tools/artifact_lint.py --pop CORRECTNESS_sf30.json $SF30_AFFECTED || exi
 # the d10 exclusion was a fixture artifact; the rotated fixture's pair
 # volume is linear in copies, so the rung runs with NO exclusions.
 echo '{}' > tools/exclusions_sf30.json
+# Run order as executed: the queries were verified in three sequential
+# sbt invocations (safe four, then d6+kg1, then d10_neardup_mp solo)
+# to keep peak shuffle spill inside the node's ~60 GB free disk — the
+# single-invocation form is equivalent when disk allows. NOTE: d10
+# full at sf30 requires the score-in-stage pair shape (VectorSearch
+# .scorePairsInline, r15): the candidate multiset is 2.1G rows on ANY
+# fixture and the former distinct-first plan spilled past the node.
 SPARK_DRIVER_MEM=16g SPARK_GRAFT_CPUS=24 SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
   sbt "runMain graft.Verify /tmp/sf30 /tmp/verify_sf30_r15 $SF30_AFFECTED v19_hybrid_s97" || exit 1
-python3 tools/gate_sf1.py /tmp/sf30 /tmp/verify_sf30_r15 CORRECTNESS_sf30.json || exit 1
+GRAFT_GATE_MEM=100GB \
+  python3 tools/gate_sf1.py /tmp/sf30 /tmp/verify_sf30_r15 CORRECTNESS_sf30.json || exit 1
 python3 tools/artifact_lint.py || exit 1
 cleanup_tmp
 SPARK_DRIVER_MEM=16g SPARK_GRAFT_SF_DIR=/tmp/sf30 SPARK_GRAFT_CPUS=24 SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
