@@ -1188,6 +1188,23 @@ object VectorQueries {
   def hg1HnswBuildCached(s: SparkSession, d: String): DataFrame =
     hnswEdgesCached(s, d)
 
+  /** hg1_hnsw_s3 — hg1's exact layered build on the deterministic
+    * vec_id % 3 corpus slice at the FULL corpus's N-adaptive widths
+    * (hnswBitsFor(pairBits(embCount)) measures the unsliced table, as
+    * does the oracle's `nb`): the sf30-class attestation twin for the
+    * build pipeline. The full hg1 oracle's per-src top-M windows
+    * ingest the whole per-layer candidate multiset — on the rotated
+    * sf30 fixture that sort exceeds the node's RAM+disk (the r14 pass
+    * rode verbatim-copy bucket degeneracy, which collapsed distinct
+    * candidates). The slice cuts pair mass ~9x at the same operating
+    * point; hg1 itself stays hash-green through sf10 (100 GB oracle). */
+  def hg1HnswBuildS(s: SparkSession, d: String): DataFrame = {
+    val bits = hnswBitsFor(pairBits(embCount(s, d)))
+    graft.operators.HnswIndex.buildEdges(
+      hnswCorpus(s, d).filter(col("vec_id") % NearDupMpSliceMod === 0),
+      pairWeights(bits(0)), bits, hnswTablesFor(bits), HnswM, HnswNdRounds)
+  }
+
   private def hnswEdgesCached(s: SparkSession, d: String): DataFrame = {
     val bits = hnswBitsFor(pairBits(embCount(s, d)))
     graft.operators.FitOrLoad.parquet(s, "hnsw_edges", d,
@@ -1370,8 +1387,11 @@ object VectorQueries {
     (Seq(mem, mb) ++ perLayer).mkString(",\n")
   }
 
-  lazy val hg1Sql: String =
-    s"""WITH $cCte,
+  /** hg1's oracle over any corpus CTE named `c` — the s3 twin swaps
+    * in the sliced corpus; `nb` always measures the UNSLICED table so
+    * the twin builds at the full-size operating point. */
+  private def hg1SqlFrom(corpusCte: String): String =
+    s"""WITH $corpusCte,
        |w(tbl, bit, wv) AS (VALUES
        |    $rpWeightRowsPairExtS),
        |${pairNbCteS()},
@@ -1379,6 +1399,12 @@ object VectorQueries {
        |${HnswBits.indices.map(l =>
           s"SELECT $l AS layer, src, dst, score, rnk FROM ed_$l")
          .mkString("\nUNION ALL\n")}""".stripMargin
+
+  lazy val hg1Sql: String = hg1SqlFrom(cCte)
+
+  lazy val hg1SSql: String = hg1SqlFrom(
+    s"c AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings" +
+      s" WHERE vec_id >= $QN AND vec_id % $NearDupMpSliceMod = 0)")
 
   /** The unrolled greedy walk: s0 = entry point; two steps per layer
     * 3→1; s_z0 is the cursor entering layer 0, s_z1/s_z2 its layer-0
