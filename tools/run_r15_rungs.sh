@@ -72,7 +72,7 @@ GRAFT_GATE_MEM=100GB \
 python3 tools/artifact_lint.py || exit 1
 cleanup_tmp
 SPARK_DRIVER_MEM=16g SPARK_GRAFT_SF_DIR=/tmp/sf30 SPARK_GRAFT_CPUS=24 SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
-  SPARK_GRAFT_QUERIES=$(echo $SF30_AFFECTED v19_hybrid_ann v19_hybrid_s97 ord1_global_rank | tr ' ' ',') \
+  SPARK_GRAFT_QUERIES=$(echo $SF30_AFFECTED hg1_hnsw_s3 v19_hybrid_ann v19_hybrid_s97 ord1_global_rank | tr ' ' ',') \
   sbt "runMain graft.Bench" | grep '"metric"' | sed 's/^\[info\] //' \
   > /tmp/bench_sf30_r15.json || exit 1
 python3 tools/splice_bench.py BENCH_sf30.json BENCH_DETAIL.json r15 || exit 1
