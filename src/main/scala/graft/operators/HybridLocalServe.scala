@@ -44,7 +44,18 @@ final class HybridLocalServer(
     nDocs: Long, avgdl: Double,
     buckets: java.util.HashMap[Long, Array[(Long, Array[Double], Double)]], // (tbl<<48)|bucket -> (vec, v, vn)
     w: Array[Array[Array[Double]]], bits: Int,
-    armK: Int, fuseK: Int) extends Serializable {
+    armK: Int, fuseK: Int,
+    // Per-request dense-candidate budget (r15 verdict task 5): the P99
+    // tail IS dense-arm candidate volume (LATENCY_sf1 rho(ms,
+    // dense_cands)=0.97, ~9.5k candidates at P99), so a bounded
+    // deployment stops ADMITTING new candidates once the budget is hit.
+    // Probe order is fixed (table 0..T-1; own bucket, then bit-0..bits-1
+    // flips), so the budget keeps the highest-yield probes — each
+    // table's exact-match cell — and sheds the hamming-1 expansion
+    // tail. Deterministic, and Int.MaxValue (the default) is exactly
+    // the uncapped server, preserving HybridLocalServeSpec's bit-exact
+    // parity with the distributed v19HybridAnn.
+    denseCap: Int = Int.MaxValue) extends Serializable {
 
   private val K1 = Bm25.K1
   private val B = Bm25.B
@@ -150,7 +161,7 @@ final class HybridLocalServer(
         val probed = if (p < 0) b0 else b0 ^ (1L << p)
         val cell = buckets.get((t.toLong << 48) | probed)
         if (cell != null) cell.foreach { case (vecId, v, vn) =>
-          if (!vecScores.containsKey(vecId))
+          if (!vecScores.containsKey(vecId) && vecScores.size < denseCap)
             vecScores.put(vecId, dot(qv, v) / (qn * vn))
         }
         p += 1
@@ -184,7 +195,8 @@ object HybridLocalServer {
     * sf rungs; see the class scaladoc for the 100 TB layout). */
   def fromArtifacts(tf: DataFrame, cb: DataFrame,
                     w: Array[Array[Array[Double]]],
-                    armK: Int, fuseK: Int): HybridLocalServer = {
+                    armK: Int, fuseK: Int,
+                    denseCap: Int = Int.MaxValue): HybridLocalServer = {
     val bits = w(0).length
     val postRows = tf.select(col("term"), col("doc_id").cast("long"),
       col("tf").cast("long"), col("dl").cast("long")).collect()
@@ -211,6 +223,7 @@ object HybridLocalServer {
         dir.put(key, rows.map(r => (r.getLong(2),
           r.getSeq[Double](3).toArray, r.getDouble(4))).sortBy(_._1))
       }
-    new HybridLocalServer(postings, nDocs, avgdl, dir, w, bits, armK, fuseK)
+    new HybridLocalServer(postings, nDocs, avgdl, dir, w, bits, armK, fuseK,
+      denseCap)
   }
 }

