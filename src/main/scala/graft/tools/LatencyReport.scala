@@ -19,14 +19,15 @@ import org.apache.spark.sql.functions._
 object LatencyReport {
 
   private val K = VectorQueries.K
-  // nprobe is re-tuned for the ROTATED fixture (r15): the old knee of
-  // 4 was measured when copied vectors were verbatim — a query's true
+  // nprobe is re-tuned for the ROTATED fixture: the old knee of 4 was
+  // measured when copied vectors were verbatim — a query's true
   // neighbors all shared its cell. With per-copy rotations the
-  // neighbor set spreads across cells and nprobe=4/64 recalls only
-  // 0.46; 16 restores ≥0.9 at single-digit-ms local latency (the
-  // production story is v18_tuning_curve: recall targets buy probes).
+  // neighbor set spreads across cells; measured on the regenerated
+  // sf1 fixture nprobe=4/64 recalls 0.47, 16 recalls 0.77, and 32 is
+  // the first ≥0.9 point (0.938 at P50 5.7 ms local). The production
+  // story is v18_tuning_curve: recall targets buy probes.
   private val Nprobe =
-    sys.env.getOrElse("GRAFT_LAT_NPROBE", "16").toInt
+    sys.env.getOrElse("GRAFT_LAT_NPROBE", "32").toInt
   // The latency-first operating point beside it (r15 verdict task 4):
   // the artifact reports BOTH, making the recall-vs-latency trade the
   // reference's serving loop (chroma.py:96-106) implicitly makes
