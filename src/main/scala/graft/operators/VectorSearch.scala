@@ -346,12 +346,24 @@ object VectorSearch {
     Array.fill(tables, bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** One bucket per table from `bits` random-hyperplane sign bits;
-    * each projection is a single codegen'd DotProduct against a
-    * literal ±1 weight vector (exact arithmetic — products are exact
-    * negations/copies, the sequential double fold is bit-reproducible,
-    * so the oracle's list_dot_product on the same literals matches). */
+  /** One bucket per table from `bits` random-hyperplane sign bits —
+    * the fused native kernel (graft.functions.HyperplaneBuckets): all
+    * tables×bits projections in one loop (exact arithmetic — products
+    * are exact negations/copies, the sequential double fold is
+    * bit-reproducible, so the oracle's list_dot_product on the same
+    * literals matches). Semantics are pinned equal to the
+    * expression-tree form below (HyperplaneBucketsSpec), whose
+    * tables×bits separate DotProduct nodes overflow the JIT budget at
+    * adaptive widths and ran ~1000x slower (the d10 sf100 profile: 93%
+    * of the run inside the two bucket stages). */
   def hyperplaneBuckets(v: Column, w: Array[Array[Array[Double]]]): Column =
+    graft.functions.HyperplaneBuckets(v, w)
+
+  /** The original expression-tree formulation, kept as the reference
+    * semantics for the fused kernel (spec-checked equal, including
+    * null vector / null element / length mismatch / NaN — all of
+    * which bucket to the all-zero code). */
+  def hyperplaneBucketsHof(v: Column, w: Array[Array[Array[Double]]]): Column =
     array(w.map { table =>
       table.zipWithIndex.map { case (plane, b) =>
         when(Vec.dot(v, typedLit(plane.toSeq)) >= 0.0, lit(1L << b))
