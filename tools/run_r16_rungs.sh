@@ -68,3 +68,22 @@ SPARK_DRIVER_MEM=16g SPARK_GRAFT_SF_DIR=/tmp/sf30 SPARK_GRAFT_CPUS=24 SPARK_GRAF
 python3 tools/splice_bench.py BENCH_sf30.json BENCH_DETAIL.json r16 || exit 1
 cleanup_tmp
 echo "=== r16 rungs complete ==="
+
+# === stage E (executed later in r16): fused-kernel re-splices ===
+# After graft.functions.HyperplaneBuckets landed (bit-identical to the
+# tree form — no re-gating; full sf0.01 gate re-run green 259+2), all
+# hyperplane-LSH bench rows were re-measured and re-spliced:
+#   sf100: d4,d7,d10_s3,kg1_s3,v19_s97,d6 (one JVM, quiet box)
+#   sf30:  per-batch fresh JVMs — [d10,d10_s3,d6], [hg1,hg2],
+#          [kg1,kg1_s3,hg1_s3,hg2_s3], v19 rows from the first pass.
+#          RULE: one shared JVM retains every prior query's shuffle
+#          files until GC; the 11-query single-JVM attempt filled the
+#          disk mid-suite (hg1's build scratch) and poisoned 8 rows
+#          with instant disk-full failures. Batch per family, cleanup
+#          /tmp/blockmgr-* /tmp/spark-* between, keep >=70GB free for
+#          hg1-full/kg1 at sf30 (delete /tmp/sf100 first if present).
+#   sf10:  hg1,hg2,kg1,v19,v19_s97,v7,sem1 (one JVM, load 0.56)
+#   sf1:   12-row family batch (warm artifacts, load 0.61)
+# LatencyReport re-measured on the regenerated sf1 fixture:
+# ivf_local nprobe 16->32 (measured knee: recall 0.938), hybrid cap
+# 2048 tradeoff recorded (P99 9.0->2.3ms at agreement 1.0->0.886).
