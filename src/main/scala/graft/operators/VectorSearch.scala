@@ -517,7 +517,10 @@ object VectorSearch {
     *  - no threshold (kg1's every-candidate graph): every pair
     *    survives, so filter-first saves nothing and scores the full
     *    multiset instead of the deduped pairs — keep the narrow
-    *    distinct-then-rescore-once shape.
+    *    distinct-then-rescore-once shape. (Consumers that only need a
+    *    bounded per-source top-k should prefer scoredEdgesLshRp: the
+    *    heap dedups in-stage and the multiset never reaches the
+    *    distinct's hash aggregate at all.)
     *
     * Broadcasting the vectors rides the pair family's documented
     * ≤2M-vector design ceiling (see RpBitsPairMax): ≤~1 GB broadcast. */
@@ -536,14 +539,60 @@ object VectorSearch {
     else rescorePairs(base, cand.distinct(), minCosine)
   }
 
-  /** One exact cosine rescore per unique candidate pair. */
+  /** DIRECTED scored candidate edges for thresholdless per-source
+    * top-k consumers (kg1's kNN graph): the single-probe candidate
+    * multiset is scored in-stage via two broadcast vector lookups
+    * (the scorePairsInline shape), mirrored INLINE into both
+    * directions with one explode (no second pass over the bucket
+    * join), and handed to the caller's bounded distinct-top-k heap —
+    * duplicates of a (src, dst) pair across tables carry bit-identical
+    * rounded scores and compare EQUAL on the heap's (score, dst)
+    * ordering, so heap-dedup ≡ the former distinct().rescore pipeline
+    * row-for-row. The kg1 sf30 profile motivating this: the distinct's
+    * hash aggregate over the 154M-row multiset was 49 s of a 63 s run
+    * (709 CPU-s + 1.3 GB spill) to deduplicate rows a per-key heap
+    * drops in O(1). Same ≤2M-vector broadcast ceiling as the rest of
+    * the pair family. */
+  def scoredEdgesLshRp(vectors: DataFrame,
+                       w: Array[Array[Array[Double]]]): DataFrame = {
+    val base = spread(vectors.select(col("vec_id"), col("v")))
+      .withColumn("vn", Vec.norm(col("v")))
+    val bk = base.select(col("vec_id"),
+      posexplode(hyperplaneBuckets(col("v"), w)).as(Seq("tbl", "bucket")))
+    val scored = bk.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
+      .join(bk.select(col("tbl"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .join(broadcast(base.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("vn").as("na"))), "id_a")
+      .join(broadcast(base.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("vn").as("nb"))), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(Vec.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("score"))
+    scored.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst"), col("score")),
+        struct(col("id_b").as("src"), col("id_a").as("dst"), col("score"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.score").as("score"))
+  }
+
+  /** One exact cosine rescore per unique candidate pair. The vector
+    * sides are BROADCAST (the same ≤2M-vector pair-family ceiling as
+    * scorePairsInline): Spark's size estimate for the 600k-vector
+    * side exceeds autoBroadcastJoinThreshold, and the SortMergeJoin
+    * fallback shuffles every candidate row WITH both 64-float
+    * payloads attached — the kg1 sf30 profile showed a 15.9 GB
+    * shuffle write + 15.5 GB spill (78 s of a 136 s run) for a pair
+    * list that is 966 MB narrow. */
   private def rescorePairs(base: DataFrame, cand: DataFrame,
                            minCosine: Double): DataFrame =
     cand
-      .join(base.select(col("vec_id").as("id_a"), col("v").as("va"),
-        col("vn").as("na")), "id_a")
-      .join(base.select(col("vec_id").as("id_b"), col("v").as("vb"),
-        col("vn").as("nb")), "id_b")
+      .join(broadcast(base.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("vn").as("na"))), "id_a")
+      .join(broadcast(base.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("vn").as("nb"))), "id_b")
       .withColumn("score", Vec.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("score") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))

@@ -1079,15 +1079,17 @@ object VectorQueries {
     * the bounded-heap TopKPerKey operator. Ranking on the 6-dp-rounded
     * score with dst tie-break, so both engines rank identical values. */
   def kg1KnnGraph(s: SparkSession, d: String): DataFrame = {
-    val pairs = VectorSearch.nearDupPairsLshRp(
+    // thresholdless: every candidate pair is scored in-stage and both
+    // directions stream into the bounded distinct-top-k heap, which
+    // drops the cross-table duplicates (bit-identical rounded scores)
+    // in O(1) — the former distinct().rescore shape paid a 154M-row
+    // hash aggregate (49 s of kg1's 63 s at sf30) to dedup rows the
+    // heap discards anyway; results are row-identical.
+    val directed = VectorSearch.scoredEdgesLshRp(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v")),
-      -1.0, pairWeightsFor(s, d)) // no threshold: every scored candidate pair
-    val directed = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"), col("score"))
-      .unionAll(pairs
-        .select(col("id_b").as("src"), col("id_a").as("dst"), col("score")))
+      pairWeightsFor(s, d))
     graft.plans.TopK.perKey(directed, Seq("src"),
-      Seq(col("score").desc, col("dst").asc), KnnGraphK)
+      Seq(col("score").desc, col("dst").asc), KnnGraphK, distinct = true)
       .select("src", "dst", "score", "rnk")
   }
 
@@ -1116,17 +1118,14 @@ object VectorQueries {
     * costs tens of minutes). The slice cuts pair mass ~9x at the same
     * operating point. */
   def kg1KnnGraphS(s: SparkSession, d: String): DataFrame = {
-    val pairs = VectorSearch.nearDupPairsLshRp(
+    // same score-in-stage + heap-dedup shape as kg1 (see kg1KnnGraph)
+    val directed = VectorSearch.scoredEdgesLshRp(
       Tables.embeddings(s, d)
         .filter(col("vec_id") % NearDupMpSliceMod === 0)
         .select(col("vec_id"), col("embedding").as("v")),
-      -1.0, pairWeightsFor(s, d))
-    val directed = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"), col("score"))
-      .unionAll(pairs
-        .select(col("id_b").as("src"), col("id_a").as("dst"), col("score")))
+      pairWeightsFor(s, d))
     graft.plans.TopK.perKey(directed, Seq("src"),
-      Seq(col("score").desc, col("dst").asc), KnnGraphK)
+      Seq(col("score").desc, col("dst").asc), KnnGraphK, distinct = true)
       .select("src", "dst", "score", "rnk")
   }
 

@@ -239,6 +239,29 @@ class Round7OpsSpec extends SparkSpec {
     assert(g.filter(col("src") === col("dst")).count() == 0)
   }
 
+  test("kg1: heap-dedup score-in-stage shape equals distinct-then-rescore") {
+    // the r16 shape (scoredEdgesLshRp + distinct top-k heap) must be
+    // row-identical to the former pipeline: distinct candidate pairs,
+    // one rescore per pair, mirror, row_number window
+    val w = VectorQueries.pairWeightsFor(spark, sf)
+    val pairs = operators.VectorSearch.nearDupPairsLshRp(
+      Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding").as("v")), -1.0, w)
+    val directed = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("score"))
+      .unionAll(pairs
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("score")))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("src")
+      .orderBy(col("score").desc, col("dst").asc)
+    val legacy = directed.withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= VectorQueries.KnnGraphK)
+      .select("src", "dst", "score", "rnk")
+    val current = VectorQueries.kg1KnnGraph(spark, sf)
+    assert(current.unionAll(legacy).distinct().count() == legacy.count(),
+      "row sets differ")
+    assert(current.count() == legacy.count())
+  }
+
   test("kcorePeel: K4 clique survives every peel, star dissolves") {
     import spark.implicits._
     // K4 (nodes 1-4) + a star centered at 10 with leaves 11..15
