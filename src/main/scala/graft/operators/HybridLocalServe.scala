@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{avg, col, count, lit, max}
 
 /** Driver-side per-request HYBRID serving runtime (r13 verdict task 6)
   * — the composition of the serving runtimes the way v19_hybrid_ann
@@ -40,7 +40,14 @@ import org.apache.spark.sql.functions.col
   * pattern is pruned by construction at any corpus size.
   */
 final class HybridLocalServer(
-    postings: java.util.HashMap[String, Array[(Long, Long, Long)]], // term -> (doc, tf, dl)
+    // term -> IMPACT-PRUNED postings (doc, tf, dl): the serve-side
+    // copy of Bm25.prunedTf, so per-request lexical work is bounded
+    // by |query terms| * PostingCap at any corpus size — the pruning
+    // that caps the batch arm also caps the P99 postingMass here
+    postings: java.util.HashMap[String, Array[(Long, Long, Long)]],
+    // term -> FULL document frequency (idf is computed from the
+    // unpruned corpus; pruning truncates lists, it does not re-weight)
+    dfByTerm: java.util.HashMap[String, Long],
     nDocs: Long, avgdl: Double,
     buckets: java.util.HashMap[Long, Array[(Long, Array[Double], Double)]], // (tbl<<48)|bucket -> (vec, v, vn)
     w: Array[Array[Array[Double]]], bits: Int,
@@ -124,7 +131,7 @@ final class HybridLocalServer(
       val plist = postings.get(term)
       if (plist != null) {
         postingMass += plist.length
-        val df = plist.length.toDouble
+        val df = dfByTerm.get(term).toDouble
         val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
         plist.foreach { case (docId, tf, dl) =>
           val part = idf * (tf * (K1 + 1.0)) /
@@ -189,16 +196,27 @@ final class HybridLocalServer(
 object HybridLocalServer {
 
   /** Build from the SAME persisted artifacts the batch v19 serves
-    * from: the Bm25 tf table and the v19 bucket directory (vixcb),
-    * plus the shared plane schedule. Collects are one-time index
-    * loads (the fit-or-load artifacts are metadata-bounded at the
-    * sf rungs; see the class scaladoc for the 100 TB layout). */
-  def fromArtifacts(tf: DataFrame, cb: DataFrame,
+    * from: the Bm25 PRUNED posting table (bm25ptf — bounded lists are
+    * the point of serving from a pruned index), the full tf table
+    * (read only through vocab-sized/scalar AGGREGATES: per-term df and
+    * the corpus n_docs/avgdl — never collected row-wise), and the v19
+    * bucket directory (vixcb) plus the shared plane schedule. Collects
+    * are one-time index loads (the fit-or-load artifacts are
+    * metadata-bounded at the sf rungs; see the class scaladoc for the
+    * 100 TB layout). */
+  def fromArtifacts(tf: DataFrame, ptf: DataFrame, cb: DataFrame,
                     w: Array[Array[Array[Double]]],
                     armK: Int, fuseK: Int,
-                    denseCap: Int = Int.MaxValue): HybridLocalServer = {
+                    denseCap: Int = Int.MaxValue,
+                    maxRows: Long = LocalServe.MaxRowsPerJvm): HybridLocalServer = {
+    // single-JVM admission guard (r16 verdict task 6) on both in-heap
+    // structures: the pruned postings and the bucket directory. A
+    // bigger corpus splits the same term-/(tbl,bucket)-keyed artifacts
+    // across serving nodes (LocalServe scaladoc's sharding seam).
+    LocalServe.guard(cb.count(), "hybrid dense bucket directory", maxRows)
+    LocalServe.guard(ptf.count(), "hybrid pruned posting table", maxRows)
     val bits = w(0).length
-    val postRows = tf.select(col("term"), col("doc_id").cast("long"),
+    val postRows = ptf.select(col("term"), col("doc_id").cast("long"),
       col("tf").cast("long"), col("dl").cast("long")).collect()
     val postings = new java.util.HashMap[String, Array[(Long, Long, Long)]]()
     postRows.groupBy(_.getString(0)).foreach { case (term, rows) =>
@@ -206,14 +224,16 @@ object HybridLocalServer {
         rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
           .sortBy(_._1))
     }
-    // corpus constants derived FROM tf, as Bm25.searchFromTf derives them
-    val docDl = new java.util.HashMap[Long, Long]()
-    postRows.foreach(r => docDl.merge(r.getLong(1), r.getLong(3),
-      (a, b) => math.max(a, b)))
-    val nDocs = docDl.size.toLong
-    var dlSum = 0.0
-    docDl.forEach((_, dl) => dlSum += dl.toDouble)
-    val avgdl = dlSum / nDocs
+    // full-corpus df per term (vocab-sized) and the corpus constants,
+    // via the SAME aggregates Bm25.searchPruned plans — the serve tier
+    // scores with the exact doubles the distributed arm scores with
+    val dfByTerm = new java.util.HashMap[String, Long]()
+    tf.groupBy("term").agg(count(lit(1)).as("df")).collect()
+      .foreach(r => dfByTerm.put(r.getString(0), r.getLong(1)))
+    val st = tf.groupBy("doc_id").agg(max("dl").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")).head()
+    val nDocs = st.getLong(0)
+    val avgdl = st.getDouble(1)
 
     val dirRows = cb.select(col("tbl"), col("bucket"), col("vec_id"),
       col("v"), col("vn")).collect()
@@ -223,7 +243,7 @@ object HybridLocalServer {
         dir.put(key, rows.map(r => (r.getLong(2),
           r.getSeq[Double](3).toArray, r.getDouble(4))).sortBy(_._1))
       }
-    new HybridLocalServer(postings, nDocs, avgdl, dir, w, bits, armK, fuseK,
+    new HybridLocalServer(postings, dfByTerm, nDocs, avgdl, dir, w, bits, armK, fuseK,
       denseCap)
   }
 }

@@ -33,6 +33,14 @@ object LatencyReport {
   // reference's serving loop (chroma.py:96-106) implicitly makes
   // explicit — ivf_local is the recall-≥0.9 default, ivf_local_fast
   // the old nprobe-4 point.
+  //
+  // ivf_local_fast is the LATENCY-FLOOR DEMO, not a deployable
+  // default (r16 verdict task 8): at nprobe=4 it serves recall 0.4703
+  // at P50 0.7 ms (LATENCY_sf1) — it exists to show what the floor
+  // costs. The measured points on the rotated sf1 fixture are
+  // nprobe=4 → 0.47, 16 → 0.77, 32 → 0.938 (the knee, the default).
+  // Ship nprobe>=32 unless a product explicitly accepts sub-0.5
+  // recall for the ~8x P50 win.
   private val NprobeFast =
     sys.env.getOrElse("GRAFT_LAT_NPROBE_FAST", "4").toInt
   private val IvfCells = 64
@@ -224,14 +232,15 @@ object LatencyReport {
       val cb = graft.operators.FitOrLoad.parquet(spark, "vixcb", sfDir,
         s"dim=${CorpusQueries.HybridDim};tables=${CorpusQueries.HybridTables};bits=$bits",
         docs.count())(VectorSearch.rpBuckets(dEmb, w))
+      val ptf = graft.operators.Bm25.prunedTfCached(tf, sfDir)
       val tB = System.nanoTime()
       val server = graft.operators.HybridLocalServer.fromArtifacts(
-        tf, cb, w, CorpusQueries.HybridArmK, CorpusQueries.HybridK)
+        tf, ptf, cb, w, CorpusQueries.HybridArmK, CorpusQueries.HybridK)
       // the tail-bounded deployment: same artifacts, dense-candidate
       // budget (r15 verdict task 5) — agreement vs the batch rows
       // records exactly what the cap costs
       val serverCapped = graft.operators.HybridLocalServer.fromArtifacts(
-        tf, cb, w, CorpusQueries.HybridArmK, CorpusQueries.HybridK,
+        tf, ptf, cb, w, CorpusQueries.HybridArmK, CorpusQueries.HybridK,
         HybridDenseCap)
       System.err.println(f"[latency] hybrid_local server build " +
         f"${(System.nanoTime() - tB) / 1e9}%.1f s")

@@ -14,6 +14,7 @@ class HybridLocalServeSpec extends SparkSpec {
   private lazy val docs = TextAnalysis.zipfDocsCached(
     Tables.documents(spark, sf).select("doc_id", "text"), "text", sf)
   private lazy val tf = Bm25.tfTableCached(docs, "text", sf)
+  private lazy val ptf = Bm25.prunedTfCached(tf, sf)
   private lazy val queries = TextAnalysis.zipfQueriesCached(tf, sf)
     .select(col("doc_id").as("query_id"), col("query"))
 
@@ -29,7 +30,7 @@ class HybridLocalServeSpec extends SparkSpec {
   }
 
   private lazy val server =
-    HybridLocalServer.fromArtifacts(tf, artifacts._1, artifacts._2,
+    HybridLocalServer.fromArtifacts(tf, ptf, artifacts._1, artifacts._2,
       CorpusQueries.HybridArmK, CorpusQueries.HybridK)
 
   test("hybrid_local == distributed v19_hybrid_ann, every query, bit-exact") {
@@ -89,7 +90,7 @@ class HybridLocalServeSpec extends SparkSpec {
     val qs = queries.collect().map(r => (r.getLong(0), r.getString(1)))
     // a cap at least as large as every request's candidate set is the
     // identity — bit-exact with the uncapped server on every query
-    val roomy = HybridLocalServer.fromArtifacts(tf, artifacts._1,
+    val roomy = HybridLocalServer.fromArtifacts(tf, ptf, artifacts._1,
       artifacts._2, CorpusQueries.HybridArmK, CorpusQueries.HybridK,
       denseCap = Int.MaxValue - 1)
     qs.foreach { case (_, text) =>
@@ -97,7 +98,7 @@ class HybridLocalServeSpec extends SparkSpec {
     // a tight cap bounds the admitted dense candidates on EVERY request
     // (the P99 driver: LATENCY_sf1 rho(ms, dense_cands) = 0.97)
     val cap = 3
-    val tight = HybridLocalServer.fromArtifacts(tf, artifacts._1,
+    val tight = HybridLocalServer.fromArtifacts(tf, ptf, artifacts._1,
       artifacts._2, CorpusQueries.HybridArmK, CorpusQueries.HybridK,
       denseCap = cap)
     var sawUncappedBigger = false

@@ -55,6 +55,30 @@ class PlanShapeSpec extends SparkSpec {
       s"cell-probe join is not a broadcast equi-join on cell_id:\n$p")
   }
 
+  test("BM25 score aggregation rides the doc_id partitioning: no exchange " +
+      "between the posting join and the (query, doc) sum") {
+    // the r17 lexical-arm shape: pruned postings repartition by doc_id,
+    // qdf broadcasts, and HashPartitioning(doc_id) satisfies the score
+    // aggregate's ClusteredDistribution(query_id, doc_id) — the scored
+    // stream (the 826M-row sf30 pole before this shape) must never hit
+    // an exchange. Plan-wise: exactly ONE hashpartitioning exchange
+    // (the doc_id repartition) below the scoring aggregate, and it
+    // carries doc_id, not (query_id, doc_id).
+    val docs = graft.operators.TextAnalysis.zipfDocsCached(
+      Tables.documents(spark, sf).select("doc_id", "text"), "text", sf)
+    val tf = graft.operators.Bm25.tfTableCached(docs, "text", sf)
+    val queries = graft.operators.TextAnalysis.zipfQueriesCached(tf, sf)
+      .select(col("doc_id").as("query_id"), col("query"))
+    val p = plan(graft.operators.Bm25.searchPruned(
+      tf, graft.operators.Bm25.prunedTfCached(tf, sf), queries, "query", 5))
+    // the aggregate's own exchange would carry BOTH grouping keys; the
+    // only query_id exchange allowed is TopKPerKey's post-heap merge
+    assert(!"hashpartitioning\\(query_id#\\d+, doc_id".r.findFirstIn(p).isDefined,
+      s"score aggregation re-shuffled the scored stream:\n$p")
+    assert("hashpartitioning\\(doc_id#\\d+".r.findFirstIn(p).isDefined,
+      s"expected the narrow doc_id posting repartition in:\n$p")
+  }
+
   test("v19 dense arm joins through broadcast probe keys, no cartesian") {
     val p = plan(graft.queries.CorpusQueries.v19HybridAnn(spark, sf))
     assert(!p.contains("CartesianProduct"),
