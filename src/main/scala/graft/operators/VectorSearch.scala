@@ -530,14 +530,40 @@ object VectorSearch {
       .withColumn("vn", Vec.norm(col("v")))
     val bk = base.select(col("vec_id"),
       posexplode(buckets(col("v"))).as(Seq("tbl", "bucket")))
-    val cand = bk.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
+    val cand = bucketPairJoin(bk)
+    if (minCosine > -1.0) scorePairsInline(base, cand, minCosine)
+    else rescorePairs(base, cand.distinct(), minCosine)
+  }
+
+  /** The (tbl, bucket) self-join emitting each unordered candidate
+    * pair once (id_a < id_b) — narrow (tbl, bucket, id) rows only,
+    * never the vectors (shipping payloads through an L×-exploded join
+    * multiplies shuffle bytes by L). The single shared implementation
+    * of the pair family's candidate generation: a change to the
+    * id_a < id_b convention or the join key lands everywhere at once. */
+  private def bucketPairJoin(bk: DataFrame): DataFrame =
+    bk.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
       .join(bk.select(col("tbl"), col("bucket"), col("vec_id").as("id_b")),
         Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    if (minCosine > -1.0) scorePairsInline(base, cand, minCosine)
-    else rescorePairs(base, cand.distinct(), minCosine)
-  }
+
+  /** Candidate pairs → exact cosine via the two BROADCAST vector
+    * lookups, UNROUNDED `score` (callers filter, then round to 6 dp).
+    * Broadcasting rides the pair family's documented ≤2M-vector
+    * ceiling (RpBitsPairMax): Spark's size estimate for a 600k-vector
+    * side exceeds autoBroadcastJoinThreshold, and the SortMergeJoin
+    * fallback shuffles every candidate row WITH both 64-float payloads
+    * attached — the kg1 sf30 profile showed a 15.9 GB shuffle write +
+    * 15.5 GB spill (78 s of a 136 s run) for a pair list that is
+    * 966 MB narrow. */
+  private def broadcastCosine(base: DataFrame, cand: DataFrame): DataFrame =
+    cand
+      .join(broadcast(base.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("vn").as("na"))), "id_a")
+      .join(broadcast(base.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("vn").as("nb"))), "id_b")
+      .withColumn("score", Vec.dot(col("va"), col("vb")) / (col("na") * col("nb")))
 
   /** DIRECTED scored candidate edges for thresholdless per-source
     * top-k consumers (kg1's kNN graph): the single-probe candidate
@@ -559,17 +585,15 @@ object VectorSearch {
       .withColumn("vn", Vec.norm(col("v")))
     val bk = base.select(col("vec_id"),
       posexplode(hyperplaneBuckets(col("v"), w)).as(Seq("tbl", "bucket")))
-    val scored = bk.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
-      .join(bk.select(col("tbl"), col("bucket"), col("vec_id").as("id_b")),
-        Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .join(broadcast(base.select(col("vec_id").as("id_a"), col("v").as("va"),
-        col("vn").as("na"))), "id_a")
-      .join(broadcast(base.select(col("vec_id").as("id_b"), col("v").as("vb"),
-        col("vn").as("nb"))), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(Vec.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
-          .as("score"))
+    // the >= -1.0 guard is rescorePairs' minCosine=-1 filter, kept for
+    // row-for-row equivalence on degenerate inputs too: an exact
+    // antipodal cosine computing just below -1.0, or a null score from
+    // a null-element/length-mismatch vector (which all share bucket 0),
+    // must not survive into the heap when the legacy distinct-then-
+    // rescore pipeline dropped it (r16 advisor)
+    val scored = broadcastCosine(base, bucketPairJoin(bk))
+      .filter(col("score").isNotNull && col("score") >= -1.0)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
     scored.select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst"), col("score")),
         struct(col("id_b").as("src"), col("id_a").as("dst"), col("score"))))
@@ -578,22 +602,12 @@ object VectorSearch {
         col("e.score").as("score"))
   }
 
-  /** One exact cosine rescore per unique candidate pair. The vector
-    * sides are BROADCAST (the same ≤2M-vector pair-family ceiling as
-    * scorePairsInline): Spark's size estimate for the 600k-vector
-    * side exceeds autoBroadcastJoinThreshold, and the SortMergeJoin
-    * fallback shuffles every candidate row WITH both 64-float
-    * payloads attached — the kg1 sf30 profile showed a 15.9 GB
-    * shuffle write + 15.5 GB spill (78 s of a 136 s run) for a pair
-    * list that is 966 MB narrow. */
+  /** One exact cosine rescore per unique candidate pair (the shared
+    * broadcastCosine lookup — see its scaladoc for why the vector
+    * sides must broadcast). */
   private def rescorePairs(base: DataFrame, cand: DataFrame,
                            minCosine: Double): DataFrame =
-    cand
-      .join(broadcast(base.select(col("vec_id").as("id_a"), col("v").as("va"),
-        col("vn").as("na"))), "id_a")
-      .join(broadcast(base.select(col("vec_id").as("id_b"), col("v").as("vb"),
-        col("vn").as("nb"))), "id_b")
-      .withColumn("score", Vec.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+    broadcastCosine(base, cand)
       .filter(col("score") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
 
@@ -606,15 +620,7 @@ object VectorSearch {
     * candidates. */
   private def scorePairsInline(base: DataFrame, cand: DataFrame,
                                minCosine: Double): DataFrame =
-    cand
-      .join(broadcast(base.select(col("vec_id").as("id_a"), col("v").as("va"),
-        col("vn").as("na"))), "id_a")
-      .join(broadcast(base.select(col("vec_id").as("id_b"), col("v").as("vb"),
-        col("vn").as("nb"))), "id_b")
-      .withColumn("score", Vec.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("score") >= minCosine)
-      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
-      .distinct()
+    rescorePairs(base, cand, minCosine).distinct()
 
   /** Multi-PROBE variant of the pair generator: the probing side of
     * the bucket self-join also visits every hamming-1 bucket, so a
