@@ -165,7 +165,12 @@ object HnswLocalServer {
   def fromArtifacts(edges: DataFrame, corpus: DataFrame,
                     w: Array[Array[Array[Double]]],
                     maxLevel: Int, probes: Int, beam: Int,
-                    hopsUpper: Int, hopsZero: Int, k: Int): HnswLocalServer = {
+                    hopsUpper: Int, hopsZero: Int, k: Int,
+                    maxRows: Long = LocalServe.MaxRowsPerJvm): HnswLocalServer = {
+    // single-JVM admission guard (r16 verdict task 6): one serving
+    // node holds ONE shard; a bigger corpus splits the same keyed
+    // artifacts across nodes (LocalServe scaladoc's sharding seam)
+    LocalServe.guard(corpus.count(), "HNSW corpus vector map", maxRows)
     val vecs = corpus.select("vec_id", "v").collect().map { r =>
       r.getLong(0) -> r.getSeq[Float](1).toArray
     }.toMap

