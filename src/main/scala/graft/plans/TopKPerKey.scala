@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, InterpretedOrdering, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
@@ -113,7 +113,12 @@ case class LocalTopKExec(
     val dd = distinct
     child.execute().mapPartitions ({ it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val ord = new InterpretedOrdering(sortOrder, childOutput)
+      // codegen'd comparator (interpreted fallback inside create):
+      // every streamed row pays >= 1 compare on the heap's reject
+      // fast path, and the r17 thread profile showed the interpreted
+      // comparator's per-call overhead dominating high-volume TopK
+      // stages (25B-row brute-kNN scans, the 1024-deep posting prune)
+      val ord = RowOrdering.create(sortOrder, childOutput)
       TopKHeap.collect(it, keyProj, ord, kk, dd).flatMap(_._2)
     }, preservesPartitioning = true)
   }
@@ -148,7 +153,7 @@ case class TopKMergeExec(
     val outAttrs = output
     child.execute().mapPartitions ({ it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val ord = new InterpretedOrdering(sortOrder, childOutput)
+      val ord = RowOrdering.create(sortOrder, childOutput)
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       val joined = new JoinedRow
