@@ -43,6 +43,24 @@ object FitOrLoad {
   def buildCount: Long = buildCountAcc.get()
   def loadCount: Long = loadCountAcc.get()
 
+  /** In-JVM memo of resolved artifacts, keyed by (session, cache
+    * path), holding the input contentSig it was validated against.
+    * The r17 qe1_prf regression was revalidation cost made per-call:
+    * every `parquet()` call re-ran the input COUNT JOB + the parquet
+    * schema read just to revalidate an artifact this JVM had already
+    * validated (artifact_loads 44→53 once the BM25 family shared the
+    * pruned posting table). A memo hit re-checks only the contentSig
+    * — a metadata stat walk, no Spark jobs — so the r9 staleness
+    * contract survives intact: an in-place input rewrite moves the
+    * sig and falls through to the full manifest validation
+    * (FitOrLoadSpec pins both the warm path and the refit). Non-path
+    * tags (sig "none") never memo-hit: for those the row count is
+    * the only staleness signal, so it must keep running. */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (String, DataFrame)]()
+  private val memoHitAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+  def memoHits: Long = memoHitAcc.get()
+
   /** Cheap input-CONTENT signal for the manifest: fold (relative path,
     * size, mtime) of every file under `p` into one hash. Row count alone
     * is not enough — the r9 fixture regeneration kept counts identical
@@ -124,6 +142,17 @@ object FitOrLoad {
              (build: => DataFrame): DataFrame = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_" +
       graft.Dist.pathTag(tag + "|" + params)
-    parquetAt(spark, path, s"$params|n=$inputCount|sig=${contentSig(tag)}")(build)
+    val key = (System.identityHashCode(spark), path)
+    val sig = contentSig(tag)
+    val hit = memo.get(key)
+    if (hit != null && sig != "none" && hit._1 == sig) {
+      memoHitAcc.incrementAndGet(); hit._2
+    } else {
+      // full validation path (first call, non-path tag, or the input
+      // changed under us): the count job + manifest check run here
+      val df = parquetAt(spark, path, s"$params|n=$inputCount|sig=$sig")(build)
+      memo.put(key, (sig, df))
+      df
+    }
   }
 }

@@ -156,6 +156,14 @@ final class HnswLocalServer(
 
 object HnswLocalServer {
 
+  /** Edge-ceiling multiplier over the corpus-row ceiling: a
+    * degree-bounded HNSW holds ≤ M(12) edges per (node, layer) and
+    * the geometric level assignment puts ~1/4 of nodes on each
+    * successive layer, so ~M·(1/(1−1/4)) = 16 edge rows per vector
+    * bounds any well-formed index; more than that means the artifact
+    * is not the degree-bounded graph this runtime was sized for. */
+  val EdgeRowsPerVector = 16L
+
   /** Build the runtime from the persisted artifacts: one edge-table
     * collect (metadata-sized: |corpus|·M·~1.33 rows), one corpus
     * collect for the vector map (the piece a 100 TB deployment backs
@@ -169,8 +177,15 @@ object HnswLocalServer {
                     maxRows: Long = LocalServe.MaxRowsPerJvm): HnswLocalServer = {
     // single-JVM admission guard (r16 verdict task 6): one serving
     // node holds ONE shard; a bigger corpus splits the same keyed
-    // artifacts across nodes (LocalServe scaladoc's sharding seam)
+    // artifacts across nodes (LocalServe scaladoc's sharding seam).
+    // The EDGE table is the larger driver-heap structure (~corpus ×
+    // M(12) × ~1.33 level-overlap, boxed per-src buffers), so it gets
+    // its own ceiling scaled by the degree bound — a corpus that
+    // passes the vector guard must not OOM on the edge collect
+    // (r17 advice; HnswLocalServeSpec pins the refusal).
     LocalServe.guard(corpus.count(), "HNSW corpus vector map", maxRows)
+    LocalServe.guard(edges.count(), "HNSW edge table",
+      maxRows * HnswLocalServer.EdgeRowsPerVector)
     val vecs = corpus.select("vec_id", "v").collect().map { r =>
       r.getLong(0) -> r.getSeq[Float](1).toArray
     }.toMap

@@ -195,6 +195,27 @@ final class HybridLocalServer(
 
 object HybridLocalServer {
 
+  /** The measured tail-bounded dense-candidate budget (r17 verdict
+    * task 6, LATENCY_sf1): the hybrid tail is entirely dense-candidate
+    * bound — rho(ms, dense_cands) = 0.97, slowest requests admit
+    * ~9-13k candidates from the hamming-1 probe expansion. Capping at
+    * 2048 keeps every exact-match cell's candidates while shedding
+    * that expansion tail: P99 9.0 → 2.3 ms at fused_agreement 0.886
+    * vs the uncapped batch-parity ranking. */
+  val TailBoundedDenseCap = 2048
+
+  /** The tail-bounded OPERATING POINT: same artifacts, same scoring,
+    * dense admission capped at [[TailBoundedDenseCap]]. The default
+    * `fromArtifacts` stays uncapped (bit-exact batch parity,
+    * HybridLocalServeSpec); deployments that need a latency SLO pick
+    * this point and accept the measured ~0.886 fusion agreement. */
+  def tailBounded(tf: DataFrame, ptf: DataFrame, cb: DataFrame,
+                  w: Array[Array[Array[Double]]],
+                  armK: Int, fuseK: Int,
+                  maxRows: Long = LocalServe.MaxRowsPerJvm): HybridLocalServer =
+    fromArtifacts(tf, ptf, cb, w, armK, fuseK,
+      denseCap = TailBoundedDenseCap, maxRows = maxRows)
+
   /** Build from the SAME persisted artifacts the batch v19 serves
     * from: the Bm25 PRUNED posting table (bm25ptf — bounded lists are
     * the point of serving from a pruned index), the full tf table

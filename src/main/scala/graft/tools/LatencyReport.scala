@@ -44,12 +44,12 @@ object LatencyReport {
   private val NprobeFast =
     sys.env.getOrElse("GRAFT_LAT_NPROBE_FAST", "4").toInt
   private val IvfCells = 64
-  // hybrid dense-candidate budget for the capped row (r15 verdict task
-  // 5): P99 requests admit ~9.5k dense candidates (rho(ms,dense_cands)
-  // = 0.97); 2048 sheds the hamming-1 expansion tail while keeping
-  // every exact-match cell's candidates.
-  private val HybridDenseCap =
-    sys.env.getOrElse("GRAFT_LAT_DENSE_CAP", "2048").toInt
+  // hybrid dense-candidate budget for the capped row: the NAMED
+  // tail-bounded operating point (r17 verdict task 6) — the measured
+  // knob lives with the server, not this report.
+  private val HybridDenseCap = sys.env.get("GRAFT_LAT_DENSE_CAP")
+    .map(_.toInt)
+    .getOrElse(graft.operators.HybridLocalServer.TailBoundedDenseCap)
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

@@ -128,6 +128,67 @@ class Bm25Spec extends SparkSpec {
     assert(roomy == full)
   }
 
+  test("impact round(x,4) agrees between Spark's BigDecimal HALF_UP and " +
+      "the oracle's FP-scaled round over the impact domain (r17 advice)") {
+    // Cross-engine risk class (new in r17): the pruned SET's identity
+    // hinges on Spark round(x,4) — shortest-decimal BigDecimal,
+    // HALF_UP — agreeing with DuckDB round(x,4) — std::round(x·1e4)/1e4
+    // — for every impact value; ONE disagreement changes which postings
+    // survive the cap (row-level diffs, not score noise). The two
+    // semantics DO diverge on adversarial doubles, so first prove this
+    // test can see a divergence, then sweep the reachable impact domain.
+    def spark4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def duck4(x: Double): Double = {
+      val v = x * 1e4
+      val f = math.floor(v)
+      (if (v - f >= 0.5) f + 1.0 else f) / 1e4 // std::round, x >= 0
+    }
+    // non-vacuity witness: shortest-decimal says ...75 exactly (HALF_UP
+    // rounds up) while the binary value ×1e4 sits below the boundary
+    assert(spark4(2.00675) != duck4(2.00675),
+      "emulations no longer distinguish the engines — test is vacuous")
+    // impact(tf, dl, avgdl) in both engines' exact op order
+    def impact(tf: Long, dl: Long, avgdl: Double): Double =
+      (tf * (Bm25.K1 + 1.0)) /
+        (tf + (Bm25.K1 * ((1.0 - Bm25.B) + ((Bm25.B * dl) / avgdl))))
+    // (1) the REAL fixture domain: every (tf, dl) the sf corpus holds,
+    // with its exact avgdl — parity here is what the gates rely on
+    val tf = Bm25.tfTable(Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")), "text")
+    val avgdl = tf.groupBy("doc_id").agg(max("dl").as("dl"))
+      .agg(avg(col("dl"))).head().getDouble(0)
+    val domain = tf.select("tf", "dl").distinct().collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue()))
+    assert(domain.nonEmpty)
+    domain.foreach { case (t, d) =>
+      val x = impact(t, d, avgdl)
+      assert(spark4(x) == duck4(x),
+        s"engine round divergence on fixture posting tf=$t dl=$d: $x")
+    }
+    // (2) an adversarial sweep beyond the fixture: integer tf/dl grids
+    // with a deterministic avgdl sweep — any divergence fails loudly,
+    // the signal to switch the impact order to integer-scaled compare
+    val rnd = new scala.util.Random(97)
+    val avgdls = Array.tabulate(200)(_ => 1.0 + rnd.nextDouble() * 299.0) :+ avgdl
+    var checked = 0L
+    avgdls.foreach { a =>
+      var t = 1L
+      while (t <= 32) {
+        var d = 1L
+        while (d <= 128) {
+          val x = impact(t, d, a)
+          if (spark4(x) != duck4(x))
+            fail(s"engine round divergence at tf=$t dl=$d avgdl=$a: impact=$x")
+          checked += 1; d += 1
+        }
+        t += 1
+      }
+    }
+    assert(checked > 800000L)
+  }
+
   test("k bounds results per query and ranks are dense from 1") {
     val res = Bm25.search(fixture, "text",
       queries(1L -> "the data", 2L -> "quiet pond"), "query", 2).collect()

@@ -53,4 +53,32 @@ class HnswLocalServeSpec extends SparkSpec {
       s"local-vs-distributed drift:\nonly-local=${local -- distributed}\n" +
         s"only-dist=${distributed -- local}")
   }
+
+  test("fromArtifacts refuses an edge table over the edge-row ceiling " +
+      "even when the corpus passes the vector guard (r17 advice)") {
+    import spark.implicits._
+    // a corpus comfortably under maxRows=8 ...
+    val corpus = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").as("v"))
+    // ... paired with an edge artifact past 8 × EdgeRowsPerVector rows
+    // (a malformed / wrong-corpus artifact: a well-formed M(12)-bounded
+    // graph always fits ≤16 rows/vector). The OLD guard checked only
+    // the corpus, so this load passed and OOM'd later on the boxed
+    // per-src edge buffers — the larger driver-heap structure.
+    val ceiling = 8L * graft.operators.HnswLocalServer.EdgeRowsPerVector
+    val bloated = spark.range(ceiling + 1)
+      .select(lit(0).as("layer"), (col("id") % 8).as("src"),
+        ((col("id") + 1) % 8).as("dst"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.HnswLocalServer.fromArtifacts(
+        bloated, corpus, VectorQueries.rpWeightsPair,
+        VectorQueries.HnswMaxLevel, VectorQueries.HnswProbes,
+        VectorQueries.HnswBeam, VectorQueries.HnswHopsUpper,
+        VectorQueries.HnswHopsZero, VectorQueries.K, maxRows = 8L)
+    }
+    assert(ex.getMessage.contains("HNSW edge table") &&
+      ex.getMessage.contains("sharding seam"),
+      s"refusal must name the edge table and the sharding seam: ${ex.getMessage}")
+  }
 }

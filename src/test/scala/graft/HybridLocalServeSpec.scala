@@ -112,6 +112,23 @@ class HybridLocalServeSpec extends SparkSpec {
       "no fixture query exceeded the tight cap; test saw no capping")
   }
 
+  test("tailBounded is the named measured operating point: the 2048 cap, " +
+      "identical to an explicitly capped server (r17 verdict task 6)") {
+    assert(HybridLocalServer.TailBoundedDenseCap == 2048,
+      "the named point must stay the LATENCY_sf1-measured cap " +
+        "(re-measure before moving it)")
+    val named = HybridLocalServer.tailBounded(tf, ptf, artifacts._1,
+      artifacts._2, CorpusQueries.HybridArmK, CorpusQueries.HybridK)
+    val explicit = HybridLocalServer.fromArtifacts(tf, ptf, artifacts._1,
+      artifacts._2, CorpusQueries.HybridArmK, CorpusQueries.HybridK,
+      denseCap = HybridLocalServer.TailBoundedDenseCap)
+    queries.collect().map(_.getString(1)).foreach { text =>
+      val (rows, _, cands) = named.searchWithStats(text)
+      assert(cands <= HybridLocalServer.TailBoundedDenseCap)
+      assert(rows.toSeq == explicit.search(text).toSeq)
+    }
+  }
+
   test("per-request latency is job-free in-process compute") {
     val q = queries.head().getString(1)
     server.search(q) // warm (JIT)

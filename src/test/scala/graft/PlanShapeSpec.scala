@@ -72,10 +72,15 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(graft.operators.Bm25.searchPruned(
       tf, graft.operators.Bm25.prunedTfCached(tf, sf), queries, "query", 5))
     // the aggregate's own exchange would carry BOTH grouping keys; the
-    // only query_id exchange allowed is TopKPerKey's post-heap merge
-    assert(!"hashpartitioning\\(query_id#\\d+, doc_id".r.findFirstIn(p).isDefined,
+    // only query_id exchange allowed is TopKPerKey's post-heap merge.
+    // Match on attribute NAMES, not `#\d+,` adjacency: Long attributes
+    // render with a type suffix (query_id#123L), which made the old
+    // comma-anchored regex unable to match ANY real exchange (r17
+    // advice) — the assertion was vacuously green.
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(!exchanges.exists(l => l.contains("query_id#") && l.contains("doc_id#")),
       s"score aggregation re-shuffled the scored stream:\n$p")
-    assert("hashpartitioning\\(doc_id#\\d+".r.findFirstIn(p).isDefined,
+    assert(exchanges.exists(l => l.contains("doc_id#") && !l.contains("query_id#")),
       s"expected the narrow doc_id posting repartition in:\n$p")
   }
 
