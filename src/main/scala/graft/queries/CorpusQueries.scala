@@ -1091,7 +1091,12 @@ object CorpusQueries {
     * re-declare it — with the MATERIALIZED hints DuckDB binds CTE
     * names query-wide, so a nested duplicate `toks` is a binder error
     * (it was only ever accidental duplication anyway). */
-  private lazy val b2Ctes: String = {
+  private lazy val b2Ctes: String = b2CtesW("")
+
+  /** b2's CTE chain with an optional query-set predicate (the twin's
+    * % HybridSubMod subset): corpus-side CTEs (tf/stats/ptf/tdf) are
+    * untouched — only qt shrinks, exactly like hybridLexCtesW. */
+  private def b2CtesW(qryWhere: String): String = {
     val K1 = graft.operators.Bm25.K1
     val B = graft.operators.Bm25.B
     val cap = graft.operators.Bm25.PostingCap
@@ -1110,7 +1115,7 @@ object CorpusQueries {
        |         FROM tf t CROSS JOIN stats s) WHERE prn <= $cap),
        |qt AS MATERIALIZED (SELECT query_id, unnest(list_distinct(
        |         list_filter(string_split(query, ' '), t -> length(t) > 0))) AS term
-       |       FROM qry),
+       |       FROM qry$qryWhere),
        |tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
        |qdf AS (SELECT query_id, term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
        |        FROM qt JOIN tdf USING (term) CROSS JOIN stats),
@@ -1129,6 +1134,27 @@ object CorpusQueries {
        |  FROM sc) WHERE rnk <= $Bm25K""".stripMargin
 
   lazy val b2Sql: String = s"WITH $b2Ctes\n$b2RankedBody"
+
+  /** b2_bm25_s97 — b2 on the deterministic query subset (query_id %
+    * HybridSubMod = 0, the v12_s97 rule): the scale-rung attestation
+    * twin for the FULL-query b2 row at rungs where the oracle's
+    * (query, doc) score aggregate exceeds the node (sf100: ~150k
+    * queries x terms x cap keys spilled past the free disk at a
+    * 100 GB memory limit). Corpus-side structures (tf, ptf, df) stay
+    * full-size — only the query set shrinks. */
+  def b2Bm25S(s: SparkSession, d: String): DataFrame = {
+    val docs = TextAnalysis.zipfDocsCached(
+      Tables.documents(s, d).select("doc_id", "text"), "text", d)
+    val tf = graft.operators.Bm25.tfTableCached(docs, "text", d)
+    val ptf = graft.operators.Bm25.prunedTfCached(tf, d)
+    val queries = TextAnalysis.zipfQueriesCached(tf, d)
+      .select(col("doc_id").as("query_id"), col("query"))
+      .filter(col("query_id") % HybridSubMod === 0)
+    graft.operators.Bm25.searchPruned(tf, ptf, queries, "query", Bm25K)
+  }
+
+  lazy val b2SSql: String =
+    s"WITH ${b2CtesW(s" WHERE query_id % $HybridSubMod = 0")}\n$b2RankedBody"
 
   // ---- prc1_filter_pr_curve -------------------------------------------
 

@@ -1306,17 +1306,7 @@ object VectorQueries {
       corpus, HnswMaxLevel, HnswHopsUpper, HnswHopsZero, HnswBeam,
       Some(hnswSeeds(s, d)))
     val exact = v1KnnCos(s, d).select("query_id", "vec_id")
-    (0 to HnswHopsZero).map { h =>
-      val approx = graft.operators.HnswIndex
-        .resultsFromVisited(vis.take(h + 1), edges, corpus, K)
-        .select(col("query_id"), col("vec_id")).withColumn("__hit", lit(1L))
-      exact.join(approx, Seq("query_id", "vec_id"), "left")
-        .agg(count(lit(1)).as("__n"),
-          sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
-        .select(lit(h.toLong).as("hops"), col("n_overlap"),
-          round(col("n_overlap").cast("double") / col("__n").cast("double"), 6)
-            .as("recall"))
-    }.reduce(_ unionByName _)
+    hopRecallCurve(vis, edges, corpus, exact)
   }
 
   /** hg3_hnsw_s3 — hg3's hop-sweep recall curve for the SLICED walk
@@ -1341,7 +1331,89 @@ object VectorQueries {
       corpus, HnswMaxLevel, HnswHopsUpper, HnswHopsZero, HnswBeam, Some(seeds))
     val exact = VectorSearch.knnCosine(queryVecs(s, d), corpus, K)
       .select("query_id", "vec_id")
-    (0 to HnswHopsZero).map { h =>
+    hopRecallCurve(vis, edges, corpus, exact)
+  }
+
+  // ---- hg6: planted-cluster fixture arm (r17 verdict task 2) ----------
+
+  /** Planted-cluster geometry knobs. Every corpus/query vector is
+    * pulled `PlantedAlpha` of the way toward one of `PlantedClusters`
+    * anchor vectors (cluster = id % clusters; the anchors are the
+    * first corpus vectors, so the transform is a deterministic
+    * self-join of the fixture — no synthesized data). The synthetic
+    * embedding fixture is noise-dominated, and hg3's flat-in-hops
+    * recall (0.9→0.4 across rungs, identical at hops 0-2) is
+    * CONSISTENT with greedy descent having no gradient there — but
+    * flatness alone cannot distinguish "geometry gives hops nothing"
+    * from "the walk is broken". This arm plants the geometry real
+    * embedding corpora have (cluster structure + in-cluster spread)
+    * and re-asks the question where a sound walk MUST answer: recall
+    * must RISE with hops. alpha=0.5 is the demonstrative regime
+    * (PlantedTune sweep): the cluster term dominates ranking
+    * (in-cluster cosine >> cross-cluster) while the residual still
+    * flips enough hyperplane signs that LSH probing alone cannot
+    * enumerate a cluster — hops have both room and gradient. */
+  val PlantedClusters = 8
+  val PlantedAlpha = 0.5
+  // Serving knobs for the planted row — the weak-seed operating point
+  // (PlantedTune at sf1, alpha=0.5): probes=0 seeds leave the walk
+  // room to climb (0.65 → 0.725 over hops 0..3); probes=1/2 seed sets
+  // already reach 0.925/1.0 and the curve flattens — the SAME
+  // saturation mechanism behind hg3's flat curve, now demonstrated on
+  // geometry where the walk provably navigates.
+  val PlantedProbes = 0
+  val PlantedBeam = HnswBeam
+  val PlantedHopsZero = 3
+
+  /** (1−alpha)·v + alpha·anchor, elementwise in DOUBLE — the exact
+    * per-element expression the oracle's list_zip CTE mirrors. */
+  private def plantedMix(vc: org.apache.spark.sql.Column,
+                         ac: org.apache.spark.sql.Column,
+                         alpha: Double): org.apache.spark.sql.Column =
+    zip_with(vc.cast("array<double>"), ac.cast("array<double>"),
+      (x, c) => lit(1.0 - alpha) * x + lit(alpha) * c)
+
+  private def plantedAnchors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") >= QN && col("vec_id") < QN + PlantedClusters)
+      .select((col("vec_id") - QN).as("__cl"), col("embedding").as("__av"))
+
+  def plantedCorpus(s: SparkSession, d: String,
+                    alpha: Double = PlantedAlpha): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") >= QN)
+      .withColumn("__cl", pmod(col("vec_id"), lit(PlantedClusters.toLong)))
+      .join(broadcast(plantedAnchors(s, d)), "__cl")
+      .select(col("vec_id"),
+        plantedMix(col("embedding"), col("__av"), alpha).as("v"))
+
+  def plantedQueries(s: SparkSession, d: String,
+                     alpha: Double = PlantedAlpha): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < QN)
+      .withColumn("__cl", pmod(col("vec_id"), lit(PlantedClusters.toLong)))
+      .join(broadcast(plantedAnchors(s, d)), "__cl")
+      .select(col("vec_id").as("query_id"),
+        plantedMix(col("embedding"), col("__av"), alpha).as("qv"))
+
+  /** The planted graph persisted through the same fit-or-load cache
+    * as hg1's (identical cost attribution; keyed by the planted
+    * knobs so a geometry change refits). */
+  private def plantedEdgesCached(s: SparkSession, d: String): DataFrame = {
+    val bits = hnswBitsFor(pairBits(embCount(s, d)))
+    graft.operators.FitOrLoad.parquet(s, "hnsw_edges_pl", d,
+      s"bits=${bits.mkString(".")};tbl=${hnswTablesFor(bits).mkString(".")};" +
+        s"m=$HnswM;nd=$HnswNdRounds;seed=$RpSeed;" +
+        s"cl=$PlantedClusters;al=$PlantedAlpha",
+      Tables.embeddings(s, d).count()) {
+      graft.operators.HnswIndex.buildEdges(plantedCorpus(s, d),
+        pairWeights(bits(0)), bits, hnswTablesFor(bits), HnswM, HnswNdRounds)
+    }
+  }
+
+  /** The hg3 hop-sweep recall tail over a prepared walk: recall@K of
+    * the hop-h result set vs `exact`, one row per h. */
+  private def hopRecallCurve(vis: Seq[DataFrame], edges: DataFrame,
+                             corpus: DataFrame, exact: DataFrame): DataFrame =
+    (0 until vis.length).map { h =>
       val approx = graft.operators.HnswIndex
         .resultsFromVisited(vis.take(h + 1), edges, corpus, K)
         .select(col("query_id"), col("vec_id")).withColumn("__hit", lit(1L))
@@ -1352,6 +1424,49 @@ object VectorQueries {
           round(col("n_overlap").cast("double") / col("__n").cast("double"), 6)
             .as("recall"))
     }.reduce(_ unionByName _)
+
+  /** hg6_hnsw_planted — hg3's hop-sweep recall curve on the
+    * planted-cluster geometry: same build, same probes/beam/hop
+    * schedule, same exact-vs-walk recall rows; only the vectors (and
+    * therefore the ground truth) carry planted structure. A walk
+    * regression that flattens THIS curve fails the gate even while
+    * hg3's noise-fixture curve stays flat by geometry. */
+  def hg6HnswPlanted(s: SparkSession, d: String): DataFrame = {
+    val corpus = plantedCorpus(s, d)
+    val queries = plantedQueries(s, d)
+    val edges = plantedEdgesCached(s, d)
+    val seeds = VectorSearch.knnLshRpMultiProbe(queries, corpus,
+      PlantedBeam, pairWeightsFor(s, d), PlantedProbes)
+      .join(queries, "query_id")
+      .select(col("query_id"), col("qv"), col("vec_id").as("node"))
+    val vis = graft.operators.HnswIndex.visitedStates(queries, edges,
+      corpus, HnswMaxLevel, HnswHopsUpper, PlantedHopsZero, PlantedBeam,
+      Some(seeds))
+    val exact = VectorSearch.knnCosine(queries, corpus, K)
+      .select("query_id", "vec_id")
+    hopRecallCurve(vis, edges, corpus, exact)
+  }
+
+  /** PlantedTune's sweep entry: explicit alpha/probes/beam/hop knobs,
+    * edges built fresh (uncached) so geometry can vary per config. */
+  def hg6PlantedRecallCfg(s: SparkSession, d: String, alpha: Double,
+                          probes: Int, beam: Int,
+                          hopsZero: Int = HnswHopsZero): DataFrame = {
+    val corpus = plantedCorpus(s, d, alpha).localCheckpoint()
+    val queries = plantedQueries(s, d, alpha).localCheckpoint()
+    val bits = hnswBitsFor(pairBits(embCount(s, d)))
+    val edges = graft.operators.HnswIndex.buildEdges(corpus,
+      pairWeights(bits(0)), bits, hnswTablesFor(bits), HnswM, HnswNdRounds)
+      .localCheckpoint()
+    val seeds = VectorSearch.knnLshRpMultiProbe(queries, corpus,
+      beam, pairWeightsFor(s, d), probes)
+      .join(queries, "query_id")
+      .select(col("query_id"), col("qv"), col("vec_id").as("node"))
+    val vis = graft.operators.HnswIndex.visitedStates(queries, edges,
+      corpus, HnswMaxLevel, HnswHopsUpper, hopsZero, beam, Some(seeds))
+    val exact = VectorSearch.knnCosine(queries, corpus, K)
+      .select("query_id", "vec_id")
+    hopRecallCurve(vis, edges, corpus, exact)
   }
 
   /** hg4_hnsw_upsert — incremental graph maintenance: every 10th
@@ -1522,7 +1637,17 @@ object VectorQueries {
   /** The unrolled greedy walk: s0 = entry point; two steps per layer
     * 3→1; s_z0 is the cursor entering layer 0, s_z1/s_z2 its layer-0
     * steps. Returns (cteSql, finalStateNamesByHop). */
-  private lazy val hnswWalkCtesS: (String, IndexedSeq[String]) = {
+  private lazy val hnswWalkCtesS: (String, IndexedSeq[String]) =
+    hnswWalkCtesFor(HnswProbes, HnswBeam, HnswHopsZero)
+
+  /** The walk CTE builder with explicit serving knobs — hg2/hg3 use
+    * the Hnsw* constants; hg6's planted arm serves at (probes=0,
+    * beam=8, hopsZero=3), the weak-seed operating point where hop
+    * value is measurable (PlantedTune: probes>=1 seed sets already
+    * saturate what the graph can reach, the same mechanism behind
+    * hg3's flat curve). */
+  private def hnswWalkCtesFor(probes: Int, beam: Int,
+                              hopsZero: Int): (String, IndexedSeq[String]) = {
     def stepCte(prev: String, out: String, l: Int, k: Int): String =
       s"""$out AS MATERIALIZED (
          |  SELECT query_id, qv, cand AS node FROM (
@@ -1549,17 +1674,17 @@ object VectorQueries {
     // HnswProbes of the ADAPTIVE width's bits — generated with
     // range(nb.bits) arms per radius, mirroring the Spark side's
     // (0 until 1<<bits).filter(bitCount ≤ r) over the same width.
-    require(HnswProbes <= 2,
+    require(probes <= 2,
       "seed-mask SQL generation is written for probe radius <= 2")
     // range() only takes constant bounds in DuckDB — enumerate to the
     // max width and cut to the adaptive width with a WHERE filter
     val maskArms = Seq("SELECT 0::BIGINT AS m") ++
-      (if (HnswProbes >= 1) Seq(
+      (if (probes >= 1) Seq(
         s"""SELECT (1::BIGINT << i.range) AS m
            |   FROM range(0, $RpBitsPairMax) i WHERE i.range < $nbBitsS"""
           .stripMargin)
        else Nil) ++
-      (if (HnswProbes >= 2) Seq(
+      (if (probes >= 2) Seq(
         s"""SELECT xor(1::BIGINT << i.range, 1::BIGINT << j.range) AS m
            |   FROM range(0, $RpBitsPairMax) i, range(0, $RpBitsPairMax) j
            |   WHERE i.range < j.range AND j.range < $nbBitsS""".stripMargin)
@@ -1590,7 +1715,7 @@ object VectorQueries {
          |      row_number() OVER (PARTITION BY query_id
          |        ORDER BY score DESC, vec_id ASC) AS rn
          |    FROM scand) sr JOIN q qq2 ON qq2.query_id = sr.query_id
-         |  WHERE rn <= $HnswBeam)""".stripMargin
+         |  WHERE rn <= $beam)""".stripMargin
     var prev = "s0"; var i = 0
     val ctes = scala.collection.mutable.ArrayBuffer(s0)
     for (l <- HnswMaxLevel to 1 by -1; _ <- 1 to HnswHopsUpper) {
@@ -1604,8 +1729,8 @@ object VectorQueries {
          |    SELECT query_id, qv, node FROM seed) zz)""".stripMargin
     prev = "sz"
     val zeroStates = scala.collection.mutable.ArrayBuffer(prev)
-    for (_ <- 1 to HnswHopsZero) {
-      i += 1; ctes += stepCte(prev, s"s$i", 0, HnswBeam); prev = s"s$i"
+    for (_ <- 1 to hopsZero) {
+      i += 1; ctes += stepCte(prev, s"s$i", 0, beam); prev = s"s$i"
       zeroStates += prev
     }
     (ctes.mkString(",\n"), zeroStates.toIndexedSeq)
@@ -1613,8 +1738,12 @@ object VectorQueries {
 
   /** vis/cand/result CTEs for `hops` layer-0 steps; result CTE is
     * res_<hops>. */
-  private def hnswResCtesS(hops: Int): String = {
-    val states = hnswWalkCtesS._2.take(hops + 1)
+  private def hnswResCtesS(hops: Int): String =
+    hnswResCtesFor(hnswWalkCtesS._2)(hops)
+
+  /** Same result CTEs over an explicit walk-state list (hg6). */
+  private def hnswResCtesFor(allStates: IndexedSeq[String])(hops: Int): String = {
+    val states = allStates.take(hops + 1)
     s"""vis_$hops AS MATERIALIZED (SELECT DISTINCT query_id, qv, node FROM (
        |    ${states.map(st => s"SELECT query_id, qv, node FROM $st")
           .mkString("\n    UNION ALL\n    ")}) uv_$hops),
@@ -1751,15 +1880,9 @@ object VectorQueries {
        |$hg3RecallTail""".stripMargin
 
   /** hg3's hop-sweep tail over `exact` + the res_h CTEs — shared by
-    * the full oracle and the sliced twin. */
-  private lazy val hg3RecallTail: String =
-    (0 to HnswHopsZero).map { h =>
-      s"""SELECT $h AS hops, CAST(sum(hit) AS BIGINT) AS n_overlap,
-         |  round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
-         |FROM (SELECT CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
-         |      FROM exact e LEFT JOIN res_$h a
-         |        ON e.query_id = a.query_id AND e.vec_id = a.vec_id) j_$h""".stripMargin
-    }.mkString("\nUNION ALL\n")
+    * the full oracle, the sliced twin, and (at hg6's hop count) the
+    * planted arm. */
+  private lazy val hg3RecallTail: String = hgRecallTailFor(HnswHopsZero)
 
   /** hg3's oracle over the sliced corpus CTE (hg2SSql's `c`; nb still
     * measures the UNSLICED table) with the exact arm inlined over the
@@ -1777,6 +1900,54 @@ object VectorQueries {
        |exact AS (SELECT query_id, vec_id FROM (
        |  ${topkSql(s"SELECT query_id, vec_id, ${cosS("qv", "v")} AS score FROM c, q", desc = true)}))
        |$hg3RecallTail""".stripMargin
+
+  /** hg6's oracle: the identical edge/walk machinery over the PLANTED
+    * corpus/query CTEs — (1−alpha)·own + alpha·anchor elementwise in
+    * DOUBLE (list_zip mirrors Spark's zip_with exactly: float→double
+    * casts then one multiply-add per element, same order) — with the
+    * walk unrolled at hg6's weak-seed knobs (probes=0, beam=8, 3
+    * layer-0 hops) and the exact arm inlined over the same planted
+    * vectors. */
+  lazy val hg6Sql: String = {
+    val mixS = s"${1.0 - PlantedAlpha} * __z[1] + $PlantedAlpha * __z[2]"
+    val pcCte =
+      s"""c AS (SELECT e.vec_id,
+         |  list_transform(list_zip(e.embedding::DOUBLE[], a.embedding::DOUBLE[]),
+         |    __z -> $mixS) AS v
+         |FROM embeddings e JOIN embeddings a
+         |  ON a.vec_id = $QN + (e.vec_id % $PlantedClusters)
+         |WHERE e.vec_id >= $QN)""".stripMargin
+    val pqCte =
+      s"""q AS (SELECT e.vec_id AS query_id,
+         |  list_transform(list_zip(e.embedding::DOUBLE[], a.embedding::DOUBLE[]),
+         |    __z -> $mixS) AS qv
+         |FROM embeddings e JOIN embeddings a
+         |  ON a.vec_id = $QN + (e.vec_id % $PlantedClusters)
+         |WHERE e.vec_id < $QN)""".stripMargin
+    val (walk, states) =
+      hnswWalkCtesFor(PlantedProbes, PlantedBeam, PlantedHopsZero)
+    s"""WITH $pqCte,
+       |$pcCte,
+       |w(tbl, bit, wv) AS (VALUES
+       |    $rpWeightRowsPairExtS),
+       |${pairNbCteS()},
+       |$hnswEdgeCtesS,
+       |$walk,
+       |${(0 to PlantedHopsZero).map(hnswResCtesFor(states)).mkString(",\n")},
+       |exact AS (SELECT query_id, vec_id FROM (
+       |  ${topkSql(s"SELECT query_id, vec_id, ${cosS("qv", "v")} AS score FROM c, q", desc = true)}))
+       |${hgRecallTailFor(PlantedHopsZero)}""".stripMargin
+  }
+
+  /** The hop-sweep tail over `exact` + the res_h CTEs, to `hops`. */
+  private def hgRecallTailFor(hops: Int): String =
+    (0 to hops).map { h =>
+      s"""SELECT $h AS hops, CAST(sum(hit) AS BIGINT) AS n_overlap,
+         |  round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+         |FROM (SELECT CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |      FROM exact e LEFT JOIN res_$h a
+         |        ON e.query_id = a.query_id AND e.vec_id = a.vec_id) j_$h""".stripMargin
+    }.mkString("\nUNION ALL\n")
 
   // ---- vq2 / v11: product quantization (8 subspaces × 16 codes) -------
 

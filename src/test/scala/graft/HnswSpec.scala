@@ -107,4 +107,24 @@ class HnswSpec extends SparkSpec {
     assert(rows.last._2 >= 0.8,
       s"seeded graph search recall below serving grade: ${rows.last._2}")
   }
+
+  test("hg6 planted-cluster walk: recall non-decreasing in hops, " +
+      "serving-grade on geometry with a gradient (r17 verdict task 2)") {
+    val rows = VectorQueries.hg6HnswPlanted(spark, sf)
+      .orderBy("hops").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.length == VectorQueries.PlantedHopsZero + 1)
+    // the planted arm runs WEAK seeds (probes=0) on purpose — any
+    // walk regression (broken edge join, wrong rounding in the step
+    // comparator, dead beam) that silently flattens hg3's already-
+    // flat noise-fixture curve shows up here as a recall DROP vs the
+    // curve the fixture supports
+    assert(rows.sliding(2).forall { case Array(x, y) => y._2 >= x._2 },
+      s"planted recall must not decrease with hops: ${rows.mkString(", ")}")
+    assert(rows.last._2 >= 0.8,
+      s"planted-cluster recall below serving grade: ${rows.last._2}")
+    // the measured hop VALUE lives at sf1 (0.65 hop-0 -> 0.725 hop-3,
+    // PlantedTune); at spec scale the curve may already start high —
+    // assert only that the walk never loses ground the seeds gained
+  }
 }
