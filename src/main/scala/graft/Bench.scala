@@ -114,9 +114,15 @@ object Bench {
     val artifactState =
       if (builds == 0 && loads == 0) "none"
       else if (builds == 0) "warm" else if (loads == 0) "cold" else "mixed"
+    // memo_hits (r18): validated-artifact re-uses served from the
+    // in-JVM memo — these were counted as artifact_loads before the
+    // FitOrLoad memo existed, so loads dropping across rounds is the
+    // memo working, not artifacts going missing.
+    val memoHits = graft.operators.FitOrLoad.memoHits
     val loadS =
       f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,""" +
-        s""""artifact_state":"$artifactState","artifact_builds":$builds,"artifact_loads":$loads"""
+        s""""artifact_state":"$artifactState","artifact_builds":$builds,""" +
+        s""""artifact_loads":$loads,"artifact_memo_hits":$memoHits"""
     val fullJson = {
       val qs = results.map { case (k, v, b) =>
         f""""$k":{"sec":$v%.3f,"build_sec":$b%.3f,"query_sec":${v - b}%.3f}"""

@@ -253,7 +253,13 @@ object GraphOps {
     * corners for the per-node rollup.
     */
   def triangles(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("id_a"), col("id_b"))
+    // materialize the edge list BEFORE the 3-way self-join (the
+    // pageRank/kcore pattern): without the cut, the upstream pair
+    // GENERATION lineage (d2's shingle self-join at corpus scale)
+    // executes once per join arm and the three full-size shuffle
+    // trees coexist — 3x shuffle disk blew the sf100 node where the
+    // checkpointed form fits easily (pairs are near-dup-sized)
+    val e = edges.select(col("id_a"), col("id_b")).localCheckpoint()
     val wedges = e.select(col("id_a").as("a"), col("id_b").as("b"))
       .join(e.select(col("id_a").as("b"), col("id_b").as("c")), "b")
     val tri = wedges
