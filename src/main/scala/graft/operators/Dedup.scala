@@ -354,14 +354,37 @@ object Dedup {
     * it sits past 10^8 docs (and the fix is the same two-knob widen).
     * Rows through the join are (combo, key, id, simhash) — no payload
     * problem. */
+  /** Keyed-row budget per shuffle partition for the combo self-join.
+    * The r18 sf100 event-log profile found d7's only superlinear term:
+    * at the session-fixed 32 shuffle partitions, 225 M keyed rows put
+    * ~7 M rows of join state in each partition — past the execution-
+    * memory threshold, 20.9 GB of sorter spill; re-running the join at
+    * 128 partitions cut the stage's CPU 31%. On a real cluster the
+    * partition count scales with the data; this derives it instead of
+    * inheriting the session constant: ~2 M keyed rows/partition keeps
+    * per-task join state in memory at any N while small inputs stay at
+    * defaultParallelism (identical plans at gate scale). */
+  val SimhashKeyedRowsPerPartition = 2000000L
+
   def simhashPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming < SimhashBlocks,
       s"pigeonhole guarantee needs maxHamming < $SimhashBlocks blocks")
     val masks = simhashComboMasks(maxHamming)
-    val keyed = sims.select(col("doc_id"), col("simhash"),
+    // localCheckpoint: the signature table is N×16B (tiny at any rung)
+    // and it feeds three consumers — the sizing count plus both join
+    // sides — so the upstream 60-aggregate fingerprint job runs once.
+    val sigs = sims.select(col("doc_id"), col("simhash")).localCheckpoint()
+    val parts = math.max(
+      sims.sparkSession.sparkContext.defaultParallelism,
+      (sigs.count() * masks.length / SimhashKeyedRowsPerPartition + 1).toInt)
+    val keyed = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array(masks.map(m =>
         col("simhash").bitwiseAND(lit(m))): _*))
         .as(Seq("combo", "key")))
+      // explicit HashPartitioning(combo, key) at the DERIVED count:
+      // both self-join sides inherit it (one ReusedExchange), so the
+      // join itself adds no exchange and its state is bounded per task
+      .repartition(parts, col("combo"), col("key"))
     val a = keyed.select(col("combo"), col("key"),
       col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val b = keyed.select(col("combo"), col("key"),

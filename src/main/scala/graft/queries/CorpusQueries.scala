@@ -2034,8 +2034,7 @@ object CorpusQueries {
   /** Connected components over the d2 near-dup pair graph + group
     * sizes — the survivor-selection input of a dedup pipeline. */
   def d8DedupGroups(s: SparkSession, d: String): DataFrame =
-    graft.operators.GraphOps.dedupGroups(
-      d2NgramJaccard(s, d).select("id_a", "id_b"))
+    graft.operators.GraphOps.dedupGroups(d2PairsCached(s, d))
 
   /** d8's registry entry reads the SAME fit-or-load cache as its
     * consumers (d9/cd1/red1): the component table is ONE offline
@@ -2056,6 +2055,24 @@ object CorpusQueries {
     graft.operators.FitOrLoad.parquet(s, "d8comp", d,
       s"cap=${graft.operators.Dedup.DropDfCap}",
       Tables.documents(s, d).count())(d8DedupGroups(s, d))
+
+  /** The d2 near-dup pair table (id_a, id_b) persisted fit-or-load
+    * per dataset — the shared EDGE artifact under the whole graph
+    * family (d8 components, g1 PageRank, kc1 k-core, tc1 triangles,
+    * g3 BFS). At sf100 the pair GENERATION (df-capped shingle index +
+    * self-join over 5 M docs) costs ~minutes and r18's first gating
+    * ran it once per graph query (g1 614 s / kc1 497 s / tc1 295 s,
+    * each mostly pair-gen); one dedup pipeline materializes its edge
+    * list once and every graph report reads it (same first-consumer
+    * attribution as d8comp/the BM25 posting artifact). Deterministic
+    * derivation (integer intersections, per-pair division) ⇒ cached
+    * and fresh pairs are row-identical, so the DuckDB oracles keep
+    * recomputing their own pairGraphCtes unchanged. */
+  private def d2PairsCached(s: SparkSession, d: String): DataFrame =
+    graft.operators.FitOrLoad.parquet(s, "d2pairs", d,
+      s"cap=${graft.operators.Dedup.DropDfCap},jmin=$JaccardMin",
+      Tables.documents(s, d).count())(
+      d2NgramJaccard(s, d).select("id_a", "id_b"))
 
   /** The d2 near-dup pair graph as CTEs ending in `sym` (symmetrized
     * src→dst edges) — shared by the d8 components oracle (transitive
@@ -2114,8 +2131,7 @@ object CorpusQueries {
     * doc loosely similar to many unrelated ones). Composes the same
     * capped pair generator as d8/g1. */
   def tc1Triangles(s: SparkSession, d: String): DataFrame =
-    graft.operators.GraphOps.triangles(
-      d2NgramJaccard(s, d).select("id_a", "id_b"))
+    graft.operators.GraphOps.triangles(d2PairsCached(s, d))
 
   val tc1Sql: String =
     s"""WITH $pairGraphCtes,
@@ -2135,7 +2151,7 @@ object CorpusQueries {
     * expansion, one equi-join + anti-join per round, rounds bounded by
     * the component's eccentricity. Unreachable docs are absent. */
   def g3BfsHops(s: SparkSession, d: String): DataFrame = {
-    val pairs = d2NgramJaccard(s, d).select("id_a", "id_b").localCheckpoint()
+    val pairs = d2PairsCached(s, d)
     val seed = pairs.agg(min("id_a").as("doc_id"))
     graft.operators.GraphOps.bfsHops(pairs, seed)
       .select(col("id").as("doc_id"), col("hops"))
@@ -2206,8 +2222,7 @@ object CorpusQueries {
     * float-addition-order divergence, so an ITERATIVE numeric job is
     * oracle-hashable). */
   def g1PageRank(s: SparkSession, d: String): DataFrame =
-    graft.operators.GraphOps.pageRank(
-      d2NgramJaccard(s, d).select("id_a", "id_b"), PrIters, PrScale)
+    graft.operators.GraphOps.pageRank(d2PairsCached(s, d), PrIters, PrScale)
 
   /** Oracle: the same five iterations unrolled as CTEs with identical
     * integer arithmetic (`//` = Spark `DIV` for the positive operands
@@ -2241,8 +2256,7 @@ object CorpusQueries {
     * stars/chains for dedup triage. 3 declared rounds, oracle = the
     * same peels unrolled as CTEs (g1's pattern). */
   def kc1Kcore(s: SparkSession, d: String): DataFrame =
-    graft.operators.GraphOps.kcorePeel(
-      d2NgramJaccard(s, d).select("id_a", "id_b"), KcoreK, KcoreRounds)
+    graft.operators.GraphOps.kcorePeel(d2PairsCached(s, d), KcoreK, KcoreRounds)
 
   val kc1Sql: String = {
     val rounds = (1 to KcoreRounds).map { i =>
