@@ -374,8 +374,12 @@ object Dedup {
     // and it feeds three consumers — the sizing count plus both join
     // sides — so the upstream 60-aggregate fingerprint job runs once.
     val sigs = sims.select(col("doc_id"), col("simhash")).localCheckpoint()
-    val parts = math.max(
-      sims.sparkSession.sparkContext.defaultParallelism,
+    // never BELOW the session's shuffle-partition setting (rung runs
+    // size that knob deliberately); the derived count only raises it
+    // when the keyed volume outgrows the session default
+    val sessionParts =
+      sims.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(sessionParts,
       (sigs.count() * masks.length / SimhashKeyedRowsPerPartition + 1).toInt)
     val keyed = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array(masks.map(m =>
