@@ -155,10 +155,34 @@ object Dedup {
     * nb) with id_a < id_b. Buckets with df in (dfCap, dropCap] run
     * through the SALTED self-join (candidates generated, work spread);
     * only df > dropCap is dropped. */
+  /** Shingle-row budget per shuffle partition for the pair self-join
+    * and the pair aggregation. The r18 sf100 event-log profile (g1's
+    * cold d2pairs build, 5 M docs): 260 M shingle rows fan out to
+    * 1.29 B candidate-pair rows, and at the session's 32 partitions
+    * BOTH the join+partial-agg stage and the final pair aggregate
+    * crossed execution memory — 116 GB + 112 GB of sorter spill, the
+    * two tallest stages of the build. Deriving the width from the
+    * materialized shingle count (the cache makes it a free job) keeps
+    * per-task state bounded at any N; gates stay at the session value. */
+  val ShingleRowsPerPartition = 1000000L
+
   private def pairIntersections(docs: DataFrame, n: Int, dfCap: Int,
                                 dropCap: Int): DataFrame = {
     val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val sh = shingleHashRows(docs, n).select("doc_id", "h")
+    val raw = shingleHashRows(docs, n).select("doc_id", "h")
+    val sessionParts =
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // the sizing count is one shuffle-free tokenize+hash scan (seconds
+    // at 5 M docs, ms at gate scale) — cheaper than letting the window
+    // + self-join + pair agg all run over-narrow
+    val parts = math.max(sessionParts,
+      (raw.count() / ShingleRowsPerPartition + 1).toInt)
+    // one explicit HashPartitioning(h) at the derived width, placed
+    // BELOW the df-count window: the window's ClusteredDistribution(h)
+    // is satisfied (no second exchange), it runs at `parts` tasks, and
+    // the cached result hands the same partitioning to both self-join
+    // sides (zero join exchange)
+    val sh = raw.repartition(parts, col("h"))
       .withColumn("__df", count(lit(1)).over(wh))
       .filter(col("__df") <= dropCap)
       .cache()
@@ -183,6 +207,12 @@ object Dedup {
       .select("id_a", "id_b")
     coldPairs.unionAll(hotPairs)
       .filter(col("id_a") < col("id_b"))
+      // pair agg stays at the session width: an explicit pair-key
+      // repartition at the derived width was A/B-profiled at sf100 and
+      // LOST (final-agg stage 2505 → 5090 s CPU — stacking partial+
+      // final above the user exchange re-probes all 1.3 B rows in one
+      // stage); with the join already widened, the map-side partial
+      // agg no longer thrashes and the narrow final agg is acceptable
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
       .join(broadcast(counts.select(col("doc_id").as("id_a"), col("nsh").as("na"))), "id_a")
