@@ -49,14 +49,14 @@ final class IvfLocalServer(
     s
   }
 
-  /** Spark Round(HALF_UP) semantics on double. */
-  private def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-
-  /** Serve one request: top-k (vec_id, score, rnk) for `qv` — the
-    * exact rows knnIvfAssigned produces for this query. */
-  def search(qv: Array[Float]): Array[(Long, Double, Int)] = {
+  /** Per-request top-k on the UNROUNDED score — the merge currency of
+    * the sharded router (ShardedIvfServer): a shard's k best over its
+    * OWNED probed cells, ranked exactly as the single-node serve ranks
+    * (score desc, vec_id asc). The probe list is computed from the
+    * full (metadata-sized) centroid table every node holds, so N
+    * shards each scanning owned ∩ probed partition the single-node
+    * candidate set exactly. */
+  def topUnrounded(qv: Array[Float]): Array[(Long, Double)] = {
     val qsq = dotF(qv, qv)
     val qn = math.sqrt(qsq)
     // probeCells: cdist = sqrt(max(qsq - 2*q·c + csq, 0)), rank by
@@ -69,12 +69,16 @@ final class IvfLocalServer(
       cells.getOrElse(cid, Array.empty[(Long, Array[Float], Double)])
         .foreach { case (id, v, vn) => out += ((id, dotF(qv, v) / (qn * vn))) }
     }
-    // topK: rank on the UNROUNDED score with vec_id tie-break, round
-    // to 6 dp only on output (VectorSearch.topK's convention)
-    out.toArray.sortBy { case (id, sc) => (-sc, id) }
-      .take(k).zipWithIndex
-      .map { case ((id, sc), i) => (id, round6(sc), i + 1) }
+    // rank on the UNROUNDED score with vec_id tie-break
+    out.toArray.sortBy { case (id, sc) => (-sc, id) }.take(k)
   }
+
+  /** Serve one request: top-k (vec_id, score, rnk) for `qv` — the
+    * exact rows knnIvfAssigned produces for this query (round to 6 dp
+    * only on output, VectorSearch.topK's convention). */
+  def search(qv: Array[Float]): Array[(Long, Double, Int)] =
+    topUnrounded(qv).zipWithIndex
+      .map { case ((id, sc), i) => (id, LocalServe.round6(sc), i + 1) }
 }
 
 object IvfLocalServer {

@@ -37,7 +37,13 @@ object LocalServe {
       s"$what holds $n rows — over the $max-row single-JVM serving " +
         "ceiling. One LocalServer node serves ONE shard: split the " +
         "same keyed artifacts across N nodes (hash(cell_id | bucket | " +
-        "term) % N — the per-cell sharding seam, see LocalServe " +
-        "scaladoc) and route each request to the nodes owning its " +
-        "probed keys.")
+        "term) % N — the per-cell sharding seam, see ShardedIvfServer " +
+        "for the implemented IVF form) and route each request to the " +
+        "nodes owning its probed keys.")
+
+  /** Spark Round(HALF_UP) semantics on double — the output rounding
+    * every serving tier shares with its batch contract. */
+  private[operators] def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 }

@@ -191,15 +191,24 @@ object LatencyReport {
       assigned, centroids, K, Nprobe)
     val ivfServerFast = graft.operators.IvfLocalServer.fromArtifacts(
       assigned, centroids, K, NprobeFast)
+    // the implemented per-cell sharding seam (r18): 4 single-JVM
+    // shards of the SAME artifacts + a top-k merge router, measured
+    // beside its one-node sibling so the fan-out/merge overhead of
+    // the 100 TB serving layout is a number, not an assumption
+    // (ShardedIvfServeSpec pins bit-exact parity, so recall and
+    // result rows are ivf_local's by construction)
+    val ivfServerSharded = graft.operators.ShardedIvfServer.fromArtifacts(
+      assigned, centroids, K, Nprobe, nShards = 4)
     System.err.println(f"[latency] ivf_local server build " +
       f"${(System.nanoTime() - tIvf) / 1e9}%.1f s")
     def ivfLocalFamily(name: String,
-                       srv: graft.operators.IvfLocalServer): String = {
-      srv.search(qvMap(qIds.head)) // warm (JIT)
+                       search: Array[Float] => Array[(Long, Double, Int)])
+        : String = {
+      search(qvMap(qIds.head)) // warm (JIT)
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, Double, Int)]
       val lat = Latency.measure[Long](qIds, qid =>
-        srv.search(qvMap(qid)).foreach { case (id, sc, rnk) =>
+        search(qvMap(qid)).foreach { case (id, sc, rnk) =>
           out += ((qid, id, sc, rnk)) })
       import spark.implicits._
       summarize(name, lat,
@@ -325,8 +334,9 @@ object LatencyReport {
     }
 
     val fams = Seq(family("ivf", serveIvf),
-      ivfLocalFamily("ivf_local", ivfServer),
-      ivfLocalFamily("ivf_local_fast", ivfServerFast),
+      ivfLocalFamily("ivf_local", ivfServer.search),
+      ivfLocalFamily("ivf_local_fast", ivfServerFast.search),
+      ivfLocalFamily("ivf_sharded4", ivfServerSharded.search),
       hnswLocalFamily) ++
       hybridLocalFamilies ++
       Seq(family("hnsw_spark", serveHnsw), family("hnsw_spark_1hop", serveHnswFast))
