@@ -125,12 +125,26 @@ object FitOrLoad {
         df
       case None =>
         val t0 = System.nanoTime()
-        build.write.mode(SaveMode.Overwrite).parquet(path)
-        java.nio.file.Files.write(mf.toPath, fingerprint.getBytes("UTF-8"))
-        buildNanosAcc.addAndGet(System.nanoTime() - t0)
+        // builds can NEST (the d8comp component build reads the
+        // d2pairs edge artifact, triggering ITS build when cold): the
+        // inner build's wall time already lies inside the outer's
+        // window, so only the OUTERMOST frame accumulates — otherwise
+        // build_sec double-counts and Bench's query_sec = sec −
+        // build_sec goes negative (the r18 d8-at-sf1 artifact bug)
+        val depth = buildDepth.get()
+        buildDepth.set(depth + 1)
+        try {
+          build.write.mode(SaveMode.Overwrite).parquet(path)
+          java.nio.file.Files.write(mf.toPath, fingerprint.getBytes("UTF-8"))
+        } finally buildDepth.set(depth)
+        if (depth == 0) buildNanosAcc.addAndGet(System.nanoTime() - t0)
         buildCountAcc.incrementAndGet()
         spark.read.parquet(path)
     }
+  }
+
+  private val buildDepth = new ThreadLocal[Int] {
+    override def initialValue(): Int = 0
   }
 
   /** Cache under the JVM tmpdir, keyed by artifact prefix + dataset

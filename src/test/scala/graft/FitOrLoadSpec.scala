@@ -58,6 +58,32 @@ class FitOrLoadSpec extends SparkSpec {
     assert(builds == 2)
   }
 
+  test("nested cold builds accumulate buildSeconds once, not per frame") {
+    // the d8comp-reads-d2pairs shape: the OUTER artifact's build
+    // triggers the inner artifact's build inside its own timing
+    // window. Before the depth guard, both frames accumulated and
+    // build_sec could exceed the query's wall clock (negative
+    // query_sec in the r18 sf1 splice).
+    val in = freshDir("folnest"); val path = in.getAbsolutePath
+    Seq(7, 8, 9).toDF("x").write.mode("overwrite").parquet(path)
+    def inner() = FitOrLoad.parquet(spark, "folnesti", path, "k=1",
+      spark.read.parquet(path).count()) {
+      spark.read.parquet(path).agg(sum("x").as("s"))
+    }
+    val before = FitOrLoad.buildSeconds
+    val t0 = System.nanoTime()
+    FitOrLoad.parquet(spark, "folnesto", path, "k=1",
+      spark.read.parquet(path).count()) {
+      inner().select((col("s") + 1).as("s"))
+    }.collect()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val delta = FitOrLoad.buildSeconds - before
+    assert(delta > 0.0, "outer cold build must accumulate")
+    assert(delta <= wall + 0.05,
+      f"nested builds double-counted: build_sec delta $delta%.2f s " +
+        f"exceeds the call's own wall clock $wall%.2f s")
+  }
+
   test("contentSig: stable on unchanged dir, moves on rewrite, constant for non-paths") {
     val in = freshDir("folsig"); val path = in.getAbsolutePath
     Seq(1).toDF("x").write.mode("overwrite").parquet(path)
