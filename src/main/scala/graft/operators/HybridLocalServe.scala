@@ -114,6 +114,68 @@ final class HybridLocalServer(
   def search(query: String): Array[(Long, Double, Int)] =
     searchWithStats(query)._1
 
+  /** Shard-facing lexical partials (ShardedHybridServer): for each
+    * query term THIS node's posting shard owns, the term's scored
+    * postings (doc_id, unrounded BM25 part). Shipping per-term parts
+    * — ≤ PostingCap rows/term, the same volume the single node scans —
+    * lets the router re-sum in ascending GLOBAL term order, so the
+    * sharded sum is bit-identical to the single-node sum (each term is
+    * owned by exactly one shard; no cross-shard add-order ambiguity). */
+  private[operators] def lexTermParts(
+      toks: Array[String]): Array[(String, Array[(Long, Double)])] =
+    toks.distinct.sorted.flatMap { term =>
+      val plist = postings.get(term)
+      if (plist == null) None
+      else {
+        val df = dfByTerm.get(term).toDouble
+        val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+        Some(term -> plist.map { case (docId, tf, dl) =>
+          (docId, idf * (tf * (K1 + 1.0)) /
+            (tf + K1 * ((1.0 - B) + B * dl / avgdl)))
+        })
+      }
+    }
+
+  /** Shard-facing dense candidates (ShardedHybridServer): every
+    * distinct vector in THIS node's share of the probed cells, with
+    * its cosine. UNCAPPED by design — a vector's score is the same
+    * whichever table's bucket admitted it, so router-side dedup
+    * reproduces the single-node candidate set exactly; the denseCap
+    * operating point is admission-ORDER-dependent and stays a
+    * single-node knob. */
+  private[operators] def denseCandidates(
+      toks: Array[String]): Array[(Long, Double)] = {
+    if (toks.isEmpty) return Array.empty
+    val qv = embed(toks)
+    val qn = math.sqrt(dot(qv, qv))
+    val m = new java.util.HashMap[Long, Double]()
+    var t = 0
+    while (t < w.length) {
+      var b0 = 0L
+      var b = 0
+      while (b < bits) {
+        if (dot(qv, w(t)(b)) >= 0.0) b0 |= (1L << b)
+        b += 1
+      }
+      var p = -1
+      while (p < bits) {
+        val probed = if (p < 0) b0 else b0 ^ (1L << p)
+        val cell = buckets.get((t.toLong << 48) | probed)
+        if (cell != null) cell.foreach { case (vecId, v, vn) =>
+          if (!m.containsKey(vecId)) m.put(vecId, dot(qv, v) / (qn * vn))
+        }
+        p += 1
+      }
+      t += 1
+    }
+    val out = new Array[(Long, Double)](m.size)
+    val it = m.entrySet().iterator(); var i = 0
+    while (it.hasNext) { val e = it.next(); out(i) = (e.getKey, e.getValue); i += 1 }
+    out
+  }
+
+  private[operators] def tokensOf(q: String): Array[String] = tokens(q)
+
   /** search + the request's exact work profile, for tail-latency
     * attribution: `postingMass` = Σ posting-list lengths over the
     * query's distinct matched terms (every BM25 partial the lexical

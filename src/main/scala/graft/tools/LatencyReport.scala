@@ -251,6 +251,13 @@ object LatencyReport {
       val serverCapped = graft.operators.HybridLocalServer.fromArtifacts(
         tf, ptf, cb, w, CorpusQueries.HybridArmK, CorpusQueries.HybridK,
         HybridDenseCap)
+      // the sharded hybrid fleet (r18): term-/(tbl,bucket)-split
+      // shards + router-side term-ordered re-sum and dense dedup —
+      // ShardedHybridServeSpec pins bit-exact parity, so this row
+      // measures only the fan-out/merge overhead of the composed case
+      val serverSharded = graft.operators.ShardedHybridServer.fromArtifacts(
+        tf, ptf, cb, w, CorpusQueries.HybridArmK, CorpusQueries.HybridK,
+        nShards = 4)
       System.err.println(f"[latency] hybrid_local server build " +
         f"${(System.nanoTime() - tB) / 1e9}%.1f s")
       val qids = hq.map(_._1).toSet
@@ -259,21 +266,23 @@ object LatencyReport {
         .select("query_id", "doc_id", "rrf_score", "rnk").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
         .toSet
-      Seq(("hybrid_local", server, -1),
-          ("hybrid_local_capped", serverCapped, HybridDenseCap)).map {
+      Seq(("hybrid_local", server.searchWithStats _, -1),
+          ("hybrid_local_capped", serverCapped.searchWithStats _, HybridDenseCap),
+          ("hybrid_sharded4", serverSharded.searchWithStats _, -1)).map {
         case (name, srv, cap) => hybridMeasure(name, srv, cap, hq, batch) }
     }
 
     def hybridMeasure(famName: String,
-                      server: graft.operators.HybridLocalServer, cap: Int,
+                      searchWithStats: String => (Array[(Long, Double, Int)], Long, Long),
+                      cap: Int,
                       hq: Array[(Long, String)],
                       batch: Set[(Long, Long, Double, Int)]): String = {
-      server.search(hq.head._2) // warm (JIT)
+      searchWithStats(hq.head._2) // warm (JIT)
       val out = scala.collection.mutable.Set.empty[(Long, Long, Double, Int)]
       val stats = scala.collection.mutable.Map.empty[Long, (Long, Long)]
       val lat = graft.operators.Latency.measure[(Long, String)](hq.toSeq,
         { case (qid, text) =>
-          val (hits, mass, cands) = server.searchWithStats(text)
+          val (hits, mass, cands) = searchWithStats(text)
           stats(qid) = (mass, cands)
           hits.foreach { case (d, s, r) => out += ((qid, d, s, r)) } })
       val agree = if (batch.isEmpty) 0.0
