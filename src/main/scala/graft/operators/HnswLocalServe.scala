@@ -34,9 +34,15 @@ final class HnswLocalServer(
     vectors: Map[Long, Array[Float]],
     buckets: Map[(Int, Long), Array[Long]],
     w: Array[Array[Array[Double]]],
-    entry: Long,
+    entryCandidate: Option[(Int, Long)],       // (level, vec_id); None = empty shard
     maxLevel: Int, probes: Int, beam: Int,
     hopsUpper: Int, hopsZero: Int, k: Int) extends Serializable {
+
+  private def entry: Long = {
+    require(entryCandidate.nonEmpty,
+      "HnswLocalServer: cannot serve from an empty corpus")
+    entryCandidate.get._2
+  }
 
   // masks with <= probes bits set: the multi-probe expansion
   // (VectorSearch.knnLshRpMultiProbeFrom's query-side xor set) —
@@ -113,6 +119,39 @@ final class HnswLocalServer(
       id -> round6(dot(qv, v) / (qn * norm(v)))
     }, width)
   }
+
+  // ---- shard-facing surface (ShardedHnswServer): the three owner-
+  // scoped lookups a router needs to drive the walk across a node-
+  // sharded fleet. Each answers only for keys THIS shard owns (its
+  // vectors, its nodes' adjacency rows, its vectors' bucket entries),
+  // so a fleet-wide union is exactly the single-node structure — and
+  // every score is computed by the one shard owning that vector, with
+  // the identical dot fold, so merges are order-independent.
+
+  /** This shard's best entry candidate: (level, vec_id) by the global
+    * (level desc, vec_id asc) order, None for an empty shard. */
+  private[operators] def entryPoint: Option[(Int, Long)] = entryCandidate
+
+  /** Layer-`layer` out-neighbors of the ids this shard owns (ids
+    * owned elsewhere contribute nothing — their owner answers). */
+  private[operators] def neighborsOwned(ids: Array[Long],
+                                        layer: Int): Array[Long] = {
+    val adj = layerAdj(layer)
+    ids.flatMap(n => adj.getOrElse(n, Array.empty[Long]))
+  }
+
+  /** UNROUNDED cosine of `qv` against each owned id in `ids` —
+    * callers apply the walk's round6 exactly where the single-node
+    * path does (steps and final ranking, not seeds). */
+  private[operators] def scoreOwned(qv: Array[Float], qn: Double,
+                                    ids: Array[Long]): Array[(Long, Double)] =
+    ids.flatMap { id =>
+      vectors.get(id).map(v => id -> dot(qv, v) / (qn * norm(v)))
+    }
+
+  /** Members of LSH bucket (t, b) among this shard's vectors. */
+  private[operators] def bucketMembersOwned(t: Int, b: Long): Array[Long] =
+    buckets.getOrElse((t, b), Array.empty[Long])
 
   /** Serve one request: top-k (vec_id, score, rnk) for `qv` — the
     * exact result hg2's distributed walk produces for this query. */
@@ -228,7 +267,7 @@ object HnswLocalServer {
       }
     }
     val entry = vecs.keys.toArray.map(id => (level(id), id))
-      .sortBy { case (lvl, id) => (-lvl, id) }.head._2
+      .sortBy { case (lvl, id) => (-lvl, id) }.headOption
     new HnswLocalServer(
       adj.map(_.map { case (s, ds) => s -> ds.toArray }.toMap),
       vecs,

@@ -37,9 +37,10 @@ object LocalServe {
       s"$what holds $n rows — over the $max-row single-JVM serving " +
         "ceiling. One LocalServer node serves ONE shard: split the " +
         "same keyed artifacts across N nodes (hash(cell_id | bucket | " +
-        "term) % N — the per-cell sharding seam, see ShardedIvfServer " +
-        "for the implemented IVF form) and route each request to the " +
-        "nodes owning its probed keys.")
+        "term | vec_id) % N — the per-cell sharding seam, implemented " +
+        "for every family: ShardedIvfServer, ShardedHybridServer, " +
+        "ShardedHnswServer) and route each request to the nodes " +
+        "owning its probed keys.")
 
   /** Spark Round(HALF_UP) semantics on double — the output rounding
     * every serving tier shares with its batch contract. */

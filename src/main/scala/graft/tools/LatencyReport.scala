@@ -166,19 +166,19 @@ object LatencyReport {
       VectorQueries.HnswHopsZero, K)
     System.err.println(f"[latency] hnsw_local server build " +
       f"${(System.nanoTime() - tBuild) / 1e9}%.1f s")
+    // the graph-structured sharding seam (r18): 4 node-sharded
+    // HnswLocalServer shards + the walk-driving router — the hop
+    // crosses shard boundaries every step, so this row prices the
+    // per-hop fan-out of a distributed graph walk beside its one-node
+    // sibling (ShardedHnswServeSpec pins bit-exact parity, so recall
+    // and result rows are hnsw_local's by construction)
+    val hnswSharded = graft.operators.ShardedHnswServer.fromArtifacts(
+      edges, corpus, VectorQueries.pairWeightsFor(spark, sfDir),
+      VectorQueries.HnswMaxLevel, VectorQueries.HnswProbes,
+      VectorQueries.HnswBeam, VectorQueries.HnswHopsUpper,
+      VectorQueries.HnswHopsZero, K, nShards = 4)
     val qvMap = queries.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    def hnswLocalFamily: String = {
-      server.search(qvMap(qIds.head)) // warm (JIT)
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, Long, Double, Int)]
-      val lat = Latency.measure[Long](qIds, qid =>
-        server.search(qvMap(qid)).foreach { case (id, sc, rnk) =>
-          out += ((qid, id, sc, rnk)) })
-      import spark.implicits._
-      summarize("hnsw_local", lat,
-        out.toSeq.toDF("query_id", "vec_id", "score", "rnk"))
-    }
 
     // ---- IVF local serving runtime (r12 verdict task 6): centroids +
     // cell-partitioned vectors collected once; each request is a
@@ -201,8 +201,8 @@ object LatencyReport {
       assigned, centroids, K, Nprobe, nShards = 4)
     System.err.println(f"[latency] ivf_local server build " +
       f"${(System.nanoTime() - tIvf) / 1e9}%.1f s")
-    def ivfLocalFamily(name: String,
-                       search: Array[Float] => Array[(Long, Double, Int)])
+    def localFamily(name: String,
+                    search: Array[Float] => Array[(Long, Double, Int)])
         : String = {
       search(qvMap(qIds.head)) // warm (JIT)
       val out = scala.collection.mutable.ArrayBuffer
@@ -343,10 +343,11 @@ object LatencyReport {
     }
 
     val fams = Seq(family("ivf", serveIvf),
-      ivfLocalFamily("ivf_local", ivfServer.search),
-      ivfLocalFamily("ivf_local_fast", ivfServerFast.search),
-      ivfLocalFamily("ivf_sharded4", ivfServerSharded.search),
-      hnswLocalFamily) ++
+      localFamily("ivf_local", ivfServer.search),
+      localFamily("ivf_local_fast", ivfServerFast.search),
+      localFamily("ivf_sharded4", ivfServerSharded.search),
+      localFamily("hnsw_local", server.search),
+      localFamily("hnsw_sharded4", hnswSharded.search)) ++
       hybridLocalFamilies ++
       Seq(family("hnsw_spark", serveHnsw), family("hnsw_spark_1hop", serveHnswFast))
     val json = s"""{"sf":"$sfDir","k":$K,"nprobe":$Nprobe,""" +
