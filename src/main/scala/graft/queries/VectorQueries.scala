@@ -1447,6 +1447,50 @@ object VectorQueries {
     hopRecallCurve(vis, edges, corpus, exact)
   }
 
+  // ---- hg6_planted_s3: the planted arm's big-rung slice twin ----------
+
+  /** The planted corpus on the established vec_id % 3 attestation
+    * slice (hg1_s3/hg2_s3/hg3_s3's convention): full-N adaptive
+    * widths (embCount measures the UNSLICED table), the same planted
+    * mix, 1/9 the per-layer pair mass — so the arm's oracle fits the
+    * node at the rungs where hg6's full oracle dies in the same
+    * per-src top-M window sort that excludes hg1/hg2 (r17 verdict
+    * task 2 named sf30 as a target rung for the planted walk). */
+  private def plantedCorpusS(s: SparkSession, d: String): DataFrame =
+    plantedCorpus(s, d).filter(col("vec_id") % NearDupMpSliceMod === 0)
+
+  private def plantedEdgesCachedS(s: SparkSession, d: String): DataFrame = {
+    val bits = hnswBitsFor(pairBits(embCount(s, d)))
+    graft.operators.FitOrLoad.parquet(s, "hnsw_edges_pl_s3", d,
+      s"bits=${bits.mkString(".")};tbl=${hnswTablesFor(bits).mkString(".")};" +
+        s"m=$HnswM;nd=$HnswNdRounds;seed=$RpSeed;" +
+        s"cl=$PlantedClusters;al=$PlantedAlpha;slice=$NearDupMpSliceMod",
+      plantedCorpusS(s, d).count()) {
+      graft.operators.HnswIndex.buildEdges(plantedCorpusS(s, d),
+        pairWeights(bits(0)), bits, hnswTablesFor(bits), HnswM, HnswNdRounds)
+    }
+  }
+
+  /** hg6_planted_s3 — hg6's hop-sweep recall curve over the SLICED
+    * planted corpus (walk, graph, and ground truth all share the
+    * slice, hg3_s3's rule), at the same weak-seed operating point
+    * (probes=0, beam=8, hops 0→3). */
+  def hg6PlantedS3(s: SparkSession, d: String): DataFrame = {
+    val corpus = plantedCorpusS(s, d)
+    val queries = plantedQueries(s, d)
+    val edges = plantedEdgesCachedS(s, d)
+    val seeds = VectorSearch.knnLshRpMultiProbe(queries, corpus,
+      PlantedBeam, pairWeightsFor(s, d), PlantedProbes)
+      .join(queries, "query_id")
+      .select(col("query_id"), col("qv"), col("vec_id").as("node"))
+    val vis = graft.operators.HnswIndex.visitedStates(queries, edges,
+      corpus, HnswMaxLevel, HnswHopsUpper, PlantedHopsZero, PlantedBeam,
+      Some(seeds))
+    val exact = VectorSearch.knnCosine(queries, corpus, K)
+      .select("query_id", "vec_id")
+    hopRecallCurve(vis, edges, corpus, exact)
+  }
+
   /** PlantedTune's sweep entry: explicit alpha/probes/beam/hop knobs,
     * edges built fresh (uncached) so geometry can vary per config. */
   def hg6PlantedRecallCfg(s: SparkSession, d: String, alpha: Double,
@@ -1908,7 +1952,15 @@ object VectorQueries {
     * walk unrolled at hg6's weak-seed knobs (probes=0, beam=8, 3
     * layer-0 hops) and the exact arm inlined over the same planted
     * vectors. */
-  lazy val hg6Sql: String = {
+  lazy val hg6Sql: String = hg6SqlFrom(s"e.vec_id >= $QN")
+
+  /** hg6's oracle over the SLICED planted corpus (the s3 twin: walk,
+    * graph, and exact arm all share the vec_id % 3 slice; nb still
+    * measures the unsliced table so widths stay full-N). */
+  lazy val hg6SSql: String = hg6SqlFrom(
+    s"e.vec_id >= $QN AND e.vec_id % $NearDupMpSliceMod = 0")
+
+  private def hg6SqlFrom(corpusWhere: String): String = {
     val mixS = s"${1.0 - PlantedAlpha} * __z[1] + $PlantedAlpha * __z[2]"
     val pcCte =
       s"""c AS (SELECT e.vec_id,
@@ -1916,7 +1968,7 @@ object VectorQueries {
          |    __z -> $mixS) AS v
          |FROM embeddings e JOIN embeddings a
          |  ON a.vec_id = $QN + (e.vec_id % $PlantedClusters)
-         |WHERE e.vec_id >= $QN)""".stripMargin
+         |WHERE $corpusWhere)""".stripMargin
     val pqCte =
       s"""q AS (SELECT e.vec_id AS query_id,
          |  list_transform(list_zip(e.embedding::DOUBLE[], a.embedding::DOUBLE[]),

@@ -127,4 +127,16 @@ class HnswSpec extends SparkSpec {
     // PlantedTune); at spec scale the curve may already start high —
     // assert only that the walk never loses ground the seeds gained
   }
+
+  test("hg6_planted_s3: the sliced planted twin keeps the full arm's " +
+      "contract (hop schedule, monotone recall, serving-grade tail)") {
+    val rows = VectorQueries.hg6PlantedS3(spark, sf)
+      .orderBy("hops").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.length == VectorQueries.PlantedHopsZero + 1)
+    assert(rows.sliding(2).forall { case Array(x, y) => y._2 >= x._2 },
+      s"sliced planted recall must not decrease with hops: ${rows.mkString(", ")}")
+    assert(rows.last._2 >= 0.8,
+      s"sliced planted recall below serving grade: ${rows.last._2}")
+  }
 }
