@@ -130,7 +130,17 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
                         dfCap: Int = DefaultDfCap,
-                        dropCap: Int = DropDfCap): DataFrame = {
+                        dropCap: Int = DropDfCap): DataFrame =
+    ngramJaccardPairsFromRows(shingleHashRowsMaterialized(docs, n),
+      minJaccard, dfCap, dropCap)
+
+  /** ngramJaccardPairs over already-materialized shingle rows — the
+    * share point for d16, which feeds the same scan to both the exact
+    * (d2) and the banded (d3) arm. */
+  private[graft] def ngramJaccardPairsFromRows(raw: DataFrame,
+                                               minJaccard: Double,
+                                               dfCap: Int = DefaultDfCap,
+                                               dropCap: Int = DropDfCap): DataFrame = {
     // the inverted-index join is on the 8-byte shingle HASH, not the
     // shingle string — same pairs on both engines (the oracle joins on
     // the same portable hash), far narrower shuffle rows. The shingle
@@ -143,7 +153,7 @@ object Dedup {
     // million-doc bucket (collect_list would OOM; a separate
     // aggregate+anti-join branch raced the other cache consumers into
     // materializing this pipeline twice)
-    pairIntersections(docs, n, dfCap, dropCap)
+    pairIntersectionsFromRows(raw, dfCap, dropCap)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
@@ -166,15 +176,32 @@ object Dedup {
     * per-task state bounded at any N; gates stay at the session value. */
   val ShingleRowsPerPartition = 1000000L
 
+  /** The tokenize→shingle→hash scan materialized ONCE (localCheckpoint)
+    * so every consumer inside one query — the sizing count, the df-cap
+    * window build, the signature aggregation — reads the 16-byte rows
+    * instead of re-running the interpreted tokenize pipeline. Before
+    * this the scan ran twice per pairIntersections call (count + cache
+    * build) and d14 ran it four times end to end; at 100 TB each
+    * avoided re-scan is a full corpus pass. */
+  def shingleHashRowsMaterialized(docs: DataFrame, n: Int): DataFrame =
+    shingleHashRows(docs, n).localCheckpoint()
+
   private def pairIntersections(docs: DataFrame, n: Int, dfCap: Int,
-                                dropCap: Int): DataFrame = {
+                                dropCap: Int): DataFrame =
+    pairIntersectionsFromRows(shingleHashRowsMaterialized(docs, n),
+      dfCap, dropCap)
+
+  /** pairIntersections over ALREADY-MATERIALIZED (doc_id, h) shingle
+    * rows — the share point for queries that need both the exact pair
+    * intersections and another view of the same shingle scan (d14,
+    * d16). `raw` must be materialized (checkpointed/cached): it is
+    * consumed by the sizing count and the join build below. */
+  private[graft] def pairIntersectionsFromRows(raw: DataFrame, dfCap: Int,
+                                               dropCap: Int): DataFrame = {
     val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val raw = shingleHashRows(docs, n).select("doc_id", "h")
     val sessionParts =
-      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // the sizing count is one shuffle-free tokenize+hash scan (seconds
-    // at 5 M docs, ms at gate scale) — cheaper than letting the window
-    // + self-join + pair agg all run over-narrow
+      raw.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // the sizing count reads the checkpointed rows — no re-scan
     val parts = math.max(sessionParts,
       (raw.count() / ShingleRowsPerPartition + 1).toInt)
     // one explicit HashPartitioning(h) at the derived width, placed
@@ -231,11 +258,19 @@ object Dedup {
                        dfCap: Int = DefaultDfCap,
                        dropCap: Int = DropDfCap): DataFrame = {
     val p = pairIntersections(docs, n, dfCap, dropCap)
-    val ab = p.select(col("id_a").as("id_in"), col("id_b").as("id_out"),
-      (col("inter").cast("double") / col("na")).as("containment"))
-    val ba = p.select(col("id_b").as("id_in"), col("id_a").as("id_out"),
-      (col("inter").cast("double") / col("nb")).as("containment"))
-    ab.unionAll(ba)
+    // both directions come out of ONE pass over the pair table: the
+    // previous unionAll of two projections re-executed the whole
+    // inverted-index self-join + pair aggregation per direction (the
+    // union's branches share no physical plan), doubling the query's
+    // dominant stage. explode of a 2-struct array is the same multiset.
+    p.select(explode(array(
+        struct(col("id_a").as("id_in"), col("id_b").as("id_out"),
+          (col("inter").cast("double") / col("na")).as("containment")),
+        struct(col("id_b").as("id_in"), col("id_a").as("id_out"),
+          (col("inter").cast("double") / col("nb")).as("containment"))))
+        .as("e"))
+      .select(col("e.id_in").as("id_in"), col("e.id_out").as("id_out"),
+        col("e.containment").as("containment"))
       .filter(col("containment") >= minContainment)
       .select(col("id_in"), col("id_out"),
         round(col("containment"), 6).as("containment"))
@@ -277,14 +312,25 @@ object Dedup {
     * its members are found by exact/canonical dedup). */
   def minhashCandidates(docs: DataFrame, n: Int,
                         dfCap: Int = DefaultDfCap,
-                        dropCap: Int = DropDfCap): DataFrame = {
+                        dropCap: Int = DropDfCap): DataFrame =
+    minhashBandPairs(minhashSignatures(shingleHashRows(docs, n)),
+      dfCap, dropCap)
+      .groupBy("id_a", "id_b")
+      .agg(countDistinct("band_idx").as("n_shared_bands"))
+
+  /** The banded LSH self-join from PRECOMPUTED signatures: (id_a, id_b,
+    * band_idx) with id_a < id_b, one row per shared band — the share
+    * point for d14/d16, which reuse one signature table across several
+    * consumers instead of re-running the scan + 16-perm aggregation. */
+  private[graft] def minhashBandPairs(sigs: DataFrame, dfCap: Int,
+                                      dropCap: Int): DataFrame = {
     // bucket-size cap as a window count over the band key — one pass,
     // same shuffle key as the self-join (see ngramJaccardPairs); the
     // result is cached so the banded self-join doesn't run the
-    // tokenize→shingle→hash→16-perm-groupBy pipeline twice
+    // signature pipeline twice
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy("band_idx", "band_key")
-    val banded = minhashSignatures(shingleHashRows(docs, n))
+    val banded = sigs
       .select(col("doc_id"), posexplode(bandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
       .withColumn("__df", count(lit(1)).over(wb))
       .filter(col("__df") <= dropCap)
@@ -304,8 +350,6 @@ object Dedup {
       .select("id_a", "id_b", "band_idx")
     coldPairs.unionAll(hotPairs)
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(countDistinct("band_idx").as("n_shared_bands"))
   }
 
   /** d14: MinHash Jaccard ESTIMATION — the other half of the MinHash
@@ -321,9 +365,18 @@ object Dedup {
   def minhashEstimates(docs: DataFrame, n: Int,
                        dfCap: Int = DefaultDfCap,
                        dropCap: Int = DropDfCap): DataFrame = {
-    val sigs = minhashSignatures(shingleHashRows(docs, n))
-    val cand = minhashCandidates(docs, n, dfCap, dropCap).select("id_a", "id_b")
-    val exact = pairIntersections(docs, n, dfCap, dropCap)
+    // ONE materialized shingle scan feeds everything: before this the
+    // query ran the tokenize→shingle→hash pipeline four times (the
+    // standalone signature build, minhashCandidates' internal rebuild,
+    // pairIntersections' sizing count and its cache build) and the
+    // 16-permutation signature aggregation twice. sigs is checkpointed
+    // because it has three consumers (the band pipeline + both sig_a /
+    // sig_b join sides).
+    val raw = shingleHashRowsMaterialized(docs, n)
+    val sigs = minhashSignatures(raw).localCheckpoint()
+    val cand = minhashBandPairs(sigs, dfCap, dropCap)
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val exact = pairIntersectionsFromRows(raw, dfCap, dropCap)
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .as("xj"))

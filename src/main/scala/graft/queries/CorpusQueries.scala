@@ -354,8 +354,14 @@ object CorpusQueries {
     * explicit left-associated multiplications, never libm pow, so both
     * engines produce identical doubles. */
   def d16LshCurve(s: SparkSession, d: String): DataFrame = {
-    val exact = d2NgramJaccard(s, d)
-    val cand = d3Minhash(s, d).select(col("id_a"), col("id_b"))
+    // both arms share ONE materialized tokenize→shingle→hash scan: the
+    // exact (d2) arm and the banded (d3) arm previously each re-ran the
+    // full pipeline (2 corpus scans + 2 signature-input builds)
+    val raw = Dedup.shingleHashRowsMaterialized(Tables.documents(s, d), 3)
+    val exact = Dedup.ngramJaccardPairsFromRows(raw, JaccardMin)
+    val cand = Dedup.minhashBandPairs(Dedup.minhashSignatures(raw),
+        Dedup.DefaultDfCap, Dedup.DropDfCap)
+      .select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
       .withColumn("__hit", lit(1L))
     val jm = (col("band").cast("double") + 0.5) / 10.0
     val j4 = jm * jm * jm * jm

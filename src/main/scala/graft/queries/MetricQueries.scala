@@ -344,7 +344,12 @@ object MetricQueries {
     * score = min(5, 1 + floor(10·jaccard)); relevant iff score ≥ 4
     * (the reference's threshold, queries.py:29). */
   def r1Relevancy(s: SparkSession, d: String): DataFrame =
-    CorpusQueries.d2NgramJaccard(s, d)
+    r1FromPairs(CorpusQueries.d2NgramJaccard(s, d))
+
+  /** r1's scoring over a precomputed d2 pair table — the share point
+    * for r3, which otherwise runs the full d2 pipeline once per arm. */
+  private def r1FromPairs(pairs: DataFrame): DataFrame =
+    pairs
       .withColumn("relevancy_score",
         least(lit(5L), lit(1L) + floor(col("jaccard") * 10)))
       .withColumn("is_relevant",
@@ -368,10 +373,15 @@ object MetricQueries {
     * DuckDB can replicate it) — a real deployment swaps ONLY the
     * factory. Distinct-token jaccard banded to 1-5 with all-integer
     * arithmetic: score = min(5, 1 + (10·|∩|) div |∪|). */
-  def r2RelevancyJudge(s: SparkSession, d: String): DataFrame = {
+  def r2RelevancyJudge(s: SparkSession, d: String): DataFrame =
+    r2FromPairs(s, d, CorpusQueries.d2NgramJaccard(s, d))
+
+  /** r2's judge over a precomputed d2 pair table (share point for r3). */
+  private def r2FromPairs(s: SparkSession, d: String,
+                          idPairs: DataFrame): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val pairs = CorpusQueries.d2NgramJaccard(s, d).select("id_a", "id_b")
+    val pairs = idPairs.select("id_a", "id_b")
       .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
       .select("id_a", "id_b", "text_a", "text_b")
@@ -386,9 +396,13 @@ object MetricQueries {
     * exists (queries.py:160-240's 1-5 scale), and the disagreement
     * surface a human reviews. Integer scores; mean is one division. */
   def r3RelevancyEnsemble(s: SparkSession, d: String): DataFrame = {
-    val a = r1Relevancy(s, d)
+    // ONE d2 run feeds both arms: the pair table is queries-output-
+    // sized (tiny next to the corpus), so checkpointing it replaces a
+    // second full tokenize→shingle→self-join pipeline with a re-read
+    val pairs = CorpusQueries.d2NgramJaccard(s, d).localCheckpoint()
+    val a = r1FromPairs(pairs)
       .select(col("id_a"), col("id_b"), col("relevancy_score").as("score_jac"))
-    val b = r2RelevancyJudge(s, d)
+    val b = r2FromPairs(s, d, pairs)
       .select(col("id_a"), col("id_b"), col("relevancy_score").as("score_judge"))
     a.join(b, Seq("id_a", "id_b"))
       .select(col("id_a"), col("id_b"), col("score_jac"), col("score_judge"),

@@ -1412,18 +1412,23 @@ object VectorQueries {
   /** The hg3 hop-sweep recall tail over a prepared walk: recall@K of
     * the hop-h result set vs `exact`, one row per h. */
   private def hopRecallCurve(vis: Seq[DataFrame], edges: DataFrame,
-                             corpus: DataFrame, exact: DataFrame): DataFrame =
+                             corpus: DataFrame, exact: DataFrame): DataFrame = {
+    // the brute-force ground truth is queries×K rows; checkpoint it so
+    // the per-hop overlap joins read it instead of re-running the full
+    // exact kNN once per hop (4 brute-force corpus passes → 1)
+    val ex = exact.localCheckpoint()
     (0 until vis.length).map { h =>
       val approx = graft.operators.HnswIndex
         .resultsFromVisited(vis.take(h + 1), edges, corpus, K)
         .select(col("query_id"), col("vec_id")).withColumn("__hit", lit(1L))
-      exact.join(approx, Seq("query_id", "vec_id"), "left")
+      ex.join(approx, Seq("query_id", "vec_id"), "left")
         .agg(count(lit(1)).as("__n"),
           sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
         .select(lit(h.toLong).as("hops"), col("n_overlap"),
           round(col("n_overlap").cast("double") / col("__n").cast("double"), 6)
             .as("recall"))
     }.reduce(_ unionByName _)
+  }
 
   /** hg6_hnsw_planted — hg3's hop-sweep recall curve on the
     * planted-cluster geometry: same build, same probes/beam/hop
@@ -2858,9 +2863,15 @@ object VectorQueries {
     * overlapped against the exact answer; the serving system reads
     * this table to pick its operating point. */
   def v18TuningCurve(s: SparkSession, d: String): DataFrame = {
-    val exact = v1KnnCos(s, d).select("query_id", "vec_id")
+    // the exact arm and the corpus→cell assignment are IDENTICAL across
+    // the four probe widths — checkpoint both so each extra nprobe pays
+    // only its own probe join, not a fresh brute-force pass plus a
+    // fresh corpus×centroids assignment (4 of each → 1 of each)
+    val exact = v1KnnCos(s, d).select("query_id", "vec_id").localCheckpoint()
+    val assigned = VectorSearch.assignCells(ivfCorpus(s, d), centroids(s, d))
+      .localCheckpoint()
     (1 to 4).map { p =>
-      val approx = VectorSearch.knnIvf(queryVecs(s, d), ivfCorpus(s, d),
+      val approx = VectorSearch.knnIvfAssigned(queryVecs(s, d), assigned,
         centroids(s, d), K, p)
         .select(col("query_id"), col("vec_id")).withColumn("__hit", lit(1L))
       exact.join(approx, Seq("query_id", "vec_id"), "left")
