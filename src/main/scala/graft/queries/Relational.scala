@@ -914,16 +914,30 @@ object Relational {
       .option("maxFilesPerTrigger", 1).parquet(dir)
       .as[graft.streaming.EventStream.AlertEvent]
     val sink = s"al1_out_${tag.replaceAll("[^A-Za-z0-9_]", "_")}"
-    val q = graft.streaming.EventStream
-      .alertStream(stream, AlertThreshold, AlertRunLen)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val fedBatches = q.recentProgress.count(_.numInputRows > 0)
-    require(fedBatches >= 2,
-      s"al1 must span micro-batches (saw $fedBatches with input rows)")
+    // State-partition width derived from KEY CARDINALITY, not the
+    // session default: the stateful fold is keyed by event_type (a
+    // fixed small vocabulary at any scale factor), and a stateful
+    // stream's parallelism is bounded by its key count — every state
+    // partition beyond that pays pure per-micro-batch store overhead
+    // (open/commit/checkpoint × partitions × batches; measured 6.97 →
+    // 5.5 s at sf0.1 where 32 partitions held ~5 keys). The stream
+    // captures the conf at start; restore it right after.
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val nKeys = batch.select("event_type").distinct().count()
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(1L, math.min(sessionParts.toLong, nKeys)).toString)
+    try {
+      val q = graft.streaming.EventStream
+        .alertStream(stream, AlertThreshold, AlertRunLen)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val fedBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(fedBatches >= 2,
+        s"al1 must span micro-batches (saw $fedBatches with input rows)")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
     drainSink(spark, sink, dir, s"$tmp/graft_al1_result_$tag")
   }
 
@@ -1618,10 +1632,19 @@ object Relational {
       val dir = new java.io.File("spark-warehouse", t)
       if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
     }
+    // repartition on the bucket key at the bucket count BEFORE the
+    // bucketed write: Spark's bucket id is the same HashPartitioning
+    // hash, so each write task then holds exactly one bucket and emits
+    // ONE file — without it every scan task emits a file per bucket it
+    // touches (scan-tasks × 8 small files per table, the guide §6
+    // small-files trap; at cluster scale that is thousands of files
+    // per bucket and a listing/open cost every later join pays)
     Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+      .repartition(8, col("l_orderkey"))
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable(lt)
     Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority")
+      .repartition(8, col("o_orderkey"))
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable(ot)
     spark.table(lt).hint("merge")
@@ -2130,8 +2153,14 @@ object Relational {
     * part sets map-side (baskets are small — pair volume is
     * Σ|basket|², not N²); the top-20 rides bounded heaps. */
   def mb1MarketBasket(spark: SparkSession, sfDir: String): DataFrame = {
+    // the deduped basket table feeds FOUR consumers (per-part counts,
+    // the order count, and both self-join sides); materialize it once —
+    // unchecked, each consumer re-ran the lineitem scan + distinct
+    // (plan showed 5 lineitem scans), a full fact-table pass each at
+    // 100 TB
     val baskets = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint()
     val parts = baskets.groupBy("l_partkey").agg(count(lit(1)).as("c"))
     val nOrders = baskets.select("l_orderkey").distinct()
       .agg(count(lit(1)).as("n_orders"))
@@ -2445,6 +2474,10 @@ object Relational {
       .crossJoin(broadcast(mx))
       .withColumn("recency", datediff(col("__md"), col("__last")))
       .drop("__md", "__last")
+      // consumed by the sizing count, the first quintile rank, and the
+      // spend total — materialize the per-customer aggregate once
+      // instead of re-running the orders scan + groupBy three times
+      .localCheckpoint()
     val n = per.count()
     def quintile(df: DataFrame, ord: Seq[org.apache.spark.sql.Column],
                  name: String): DataFrame =

@@ -1417,9 +1417,32 @@ object VectorQueries {
     // the per-hop overlap joins read it instead of re-running the full
     // exact kNN once per hop (4 brute-force corpus passes → 1)
     val ex = exact.localCheckpoint()
+    // Score the visited neighborhoods ONCE, tagging each candidate with
+    // the EARLIEST hop that reaches it: hop h's result set in
+    // resultsFromVisited(vis.take(h+1)) is exactly the top-K over
+    // candidates with first-hop ≤ h, so one neighborhood expansion +
+    // one corpus scoring join replaces vis.length of each (the curve
+    // previously re-expanded and re-scored the growing candidate set
+    // per hop level — 4 corpus passes for a 4-point curve).
+    val e0 = edges.filter(col("layer") === 0).select(col("src"), col("dst"))
+    val tagged = vis.zipWithIndex.map { case (st, i) =>
+      st.select(col("query_id"), col("qv"), col("node"))
+        .withColumn("__hop", lit(i))
+    }.reduce(_ unionAll _)
+    val cands = tagged
+      .select(col("query_id"), col("qv"), col("node").as("cand"), col("__hop"))
+      .unionAll(e0.join(broadcast(tagged), col("node") === col("src"))
+        .select(col("query_id"), col("qv"), col("dst").as("cand"), col("__hop")))
+      .groupBy("query_id", "cand")
+      .agg(min("__hop").as("__hop"), first("qv").as("qv"))
+    val scored = corpus.select(col("vec_id").as("cand"), col("v"))
+      .join(broadcast(cands), "cand")
+      .select(col("query_id"), col("cand").as("vec_id"), col("__hop"),
+        round(graft.functions.Vec.cosine(col("qv"), col("v")), 6).as("score"))
+      .localCheckpoint()
     (0 until vis.length).map { h =>
-      val approx = graft.operators.HnswIndex
-        .resultsFromVisited(vis.take(h + 1), edges, corpus, K)
+      val approx = graft.plans.TopK.perKey(scored.filter(col("__hop") <= h),
+          Seq("query_id"), Seq(col("score").desc, col("vec_id").asc), K)
         .select(col("query_id"), col("vec_id")).withColumn("__hit", lit(1L))
       ex.join(approx, Seq("query_id", "vec_id"), "left")
         .agg(count(lit(1)).as("__n"),
