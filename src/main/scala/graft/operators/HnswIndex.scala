@@ -246,6 +246,11 @@ object HnswIndex {
                     beam: Int = 1, seeds: Option[DataFrame] = None
                    ): Seq[DataFrame] = {
     val base = withLevels(corpus, maxLevel).localCheckpoint()
+    // one edge-table read for the whole walk: every step filters one
+    // layer out of `edges`, and without materialization each of the
+    // ~(maxLevel·hopsUpper + hopsZero) step jobs re-reads the persisted
+    // edge parquet (a full index scan per hop at any scale)
+    val e = edges.localCheckpoint()
     val entry = base.orderBy(col("lvl").desc, col("vec_id").asc).limit(1)
       .select(col("vec_id").as("node"))
     // each cursor state is queries-sized (a handful of rows), but its
@@ -255,11 +260,11 @@ object HnswIndex {
     var cur = queries.select(col("query_id"), col("qv"))
       .crossJoin(broadcast(entry)).localCheckpoint()
     for (l <- maxLevel to 1 by -1; _ <- 1 to hopsUpper)
-      cur = step(cur, edges.filter(col("layer") === l), base, 1)
+      cur = step(cur, e.filter(col("layer") === l), base, 1)
         .localCheckpoint()
     cur = seeds.fold(cur)(sd => cur.unionByName(sd)
       .dropDuplicates("query_id", "node").localCheckpoint())
-    val e0 = edges.filter(col("layer") === 0)
+    val e0 = e.filter(col("layer") === 0)
     val states = scala.collection.mutable.ArrayBuffer(cur)
     for (_ <- 1 to hopsZero) {
       cur = step(cur, e0, base, beam).localCheckpoint(); states += cur
