@@ -17,10 +17,19 @@ import org.apache.spark.sql.functions._
 object Upsert {
 
   def lastWriteWins(batches: DataFrame, keyCol: String, versionCol: String): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(col(versionCol).desc)
-    batches.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    // max_by over the version (distinct per key — the declared input
+    // contract above) replaces the rank-1 window: the shuffle on the
+    // key stays, but the per-partition sort goes away and the
+    // aggregation combines map-side — on the serving path this runs
+    // over the whole assignment table at every index read. The winning
+    // row's payload travels as ONE struct so its columns stay mutually
+    // consistent (the assignCells min_by pattern).
+    val others = batches.columns.filter(_ != keyCol).toSeq
+    batches
+      .groupBy(col(keyCol))
+      .agg(max_by(struct(others.map(col): _*), col(versionCol)).as("__w"))
+      .select(batches.columns.toSeq.map(c =>
+        if (c == keyCol) col(c) else col(s"__w.$c").as(c)): _*)
   }
 
   /** Change-data-capture merge (cdc1) — apply one I/U/D change batch

@@ -1248,12 +1248,16 @@ object CorpusQueries {
         graft.operators.Sampling.mixedHash(col("doc_id"))),
       Seq(), Seq(col("__h").asc, col("doc_id").asc), CellK)
       .select(col("doc_id").as("cell_id"), col("embedding").as("cv"))
-    val wA = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-      .orderBy(col("__cos").desc, col("cell_id").asc)
+    // argmax as max_by over the (cos, −cell_id) total order: the
+    // rank-1 window shuffled AND sorted the doc×CellK rows; max_by is
+    // one map-side-combinable aggregation (tie → smaller cell id,
+    // identical to the window's ORDER BY cos DESC, cell ASC)
     val asg = emb.crossJoin(broadcast(cents))
       .withColumn("__cos",
         graft.functions.Vec.cosine(col("embedding"), col("cv")))
-      .withColumn("__rn", row_number().over(wA)).filter(col("__rn") === 1)
+      .groupBy("doc_id")
+      .agg(max_by(col("cell_id"),
+        struct(col("__cos"), (-col("cell_id")).as("__nc"))).as("cell_id"))
       .select("doc_id", "cell_id")
     val tf = graft.Dist.spread(docs)
       .select(col("doc_id"), explode(Embed.tokens(col("text"))).as("term"))
@@ -2688,10 +2692,14 @@ object CorpusQueries {
       .groupBy("doc_id", "lang", "ml").agg(sum("term").as("ll"))
       .join(broadcast(priors), "ml")
       .withColumn("score", col("ll") + col("prior_q"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, col("ml").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .groupBy(col("lang"), col("ml").as("pred_lang"))
+    // per-doc argmax as min_by over (−score, ml): score is an integer
+    // (quantized millinats) so negation is exact, and ml breaks ties
+    // ascending — identical to the rank-1 window it replaces, minus the
+    // per-partition sort and with map-side partial aggregation
+    scored.groupBy(col("doc_id"), col("lang"))
+      .agg(min_by(col("ml"),
+        struct((-col("score")).as("__ns"), col("ml"))).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
   }
 

@@ -3279,19 +3279,17 @@ object Relational {
       expr("datediff(CAST(ts AS DATE), DATE'2024-01-01')").cast("long")
         .as("day_idx"),
       unix_millis(col("ts")).as("st"), col("event_id"), col("value"))
-    def first(asc: Boolean, name: String) = {
-      val ord = if (asc) Seq(col("st").asc, col("event_id").asc)
-                else Seq(col("st").desc, col("event_id").desc)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type", "day_idx").orderBy(ord: _*)
-      base.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .select(col("event_type"), col("day_idx"), col("value").as(name))
-    }
+    // open/close are min_by/max_by over the (st, event_id) total order
+    // (event_id is unique, so the extremum is deterministic) — ONE
+    // map-side-combinable aggregation pass computes the whole bar. The
+    // previous shape ran the scan three times (agg + two rank-1
+    // windows, each a full shuffle AND per-partition sort) and joined
+    // the three results back together.
     base.groupBy("event_type", "day_idx")
-      .agg(count(lit(1)).as("n_events"), max("value").as("high"),
-        min("value").as("low"))
-      .join(first(asc = true, "open"), Seq("event_type", "day_idx"))
-      .join(first(asc = false, "close"), Seq("event_type", "day_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("value"), struct(col("st"), col("event_id"))).as("open"),
+        max("value").as("high"), min("value").as("low"),
+        max_by(col("value"), struct(col("st"), col("event_id"))).as("close"))
       .select("event_type", "day_idx", "n_events", "open", "high", "low",
         "close")
   }

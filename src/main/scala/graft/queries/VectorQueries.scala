@@ -981,11 +981,13 @@ object VectorQueries {
       .join(labels.select(col("vec_id").as("dst"),
         col("label").as("n_label")), "dst")
       .groupBy("src", "n_label").agg(count(lit(1)).as("n_votes"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
-      .orderBy(col("n_votes").desc, col("n_label").asc)
-    val pred = votes.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("src").as("vec_id"), col("n_label").as("pred"))
+    // majority vote as min_by over (−votes, label): same winner as the
+    // rank-1 window (votes DESC, label ASC) without the shuffle's
+    // per-partition sort, and with map-side partial aggregation
+    val pred = votes.groupBy("src")
+      .agg(min_by(col("n_label"),
+        struct((-col("n_votes")).as("__nv"), col("n_label"))).as("pred"))
+      .select(col("src").as("vec_id"), col("pred"))
     pred.join(labels, "vec_id")
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
