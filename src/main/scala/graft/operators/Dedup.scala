@@ -196,8 +196,13 @@ object Dedup {
     * intersections and another view of the same shingle scan (d14,
     * d16). `raw` must be materialized (checkpointed/cached): it is
     * consumed by the sizing count and the join build below. */
-  private[graft] def pairIntersectionsFromRows(raw: DataFrame, dfCap: Int,
-                                               dropCap: Int): DataFrame = {
+  /** The drop-capped inverted index: (doc_id, h, __df) hash-partitioned
+    * on h at a width derived from the shingle count, df-counted in the
+    * same exchange, dropCap-pruned, CACHED. The share point for both
+    * the full pair self-join (d2/d13) and the candidate-bounded
+    * intersection (d14). `raw` must be materialized. */
+  private[graft] def prunedShingleRows(raw: DataFrame,
+                                       dropCap: Int): DataFrame = {
     val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
     val sessionParts =
       raw.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
@@ -209,10 +214,15 @@ object Dedup {
     // is satisfied (no second exchange), it runs at `parts` tasks, and
     // the cached result hands the same partitioning to both self-join
     // sides (zero join exchange)
-    val sh = raw.repartition(parts, col("h"))
+    raw.repartition(parts, col("h"))
       .withColumn("__df", count(lit(1)).over(wh))
       .filter(col("__df") <= dropCap)
       .cache()
+  }
+
+  private[graft] def pairIntersectionsFromRows(raw: DataFrame, dfCap: Int,
+                                               dropCap: Int): DataFrame = {
+    val sh = prunedShingleRows(raw, dropCap)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     // cold buckets (the overwhelming majority) self-join plainly;
     // HOT buckets — df in (dfCap, dropCap] — go through Dist.saltedJoin
@@ -376,7 +386,27 @@ object Dedup {
     val sigs = minhashSignatures(raw).localCheckpoint()
     val cand = minhashBandPairs(sigs, dfCap, dropCap)
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-    val exact = pairIntersectionsFromRows(raw, dfCap, dropCap)
+      .localCheckpoint() // feeds the exact semi-join + both sig joins
+    // exact jaccard ONLY for the candidate pairs (guide §3.2 shape):
+    // the full pair self-join materializes the intersection of EVERY
+    // co-shingle pair — the d2-sized candidate-pair explosion, 1.3 B
+    // rows at sf100 — and the old LEFT JOIN then kept the LSH
+    // candidates (a vanishing fraction; that selectivity is the whole
+    // point of banding). Routing the pruned inverted index through the
+    // candidate pair list instead bounds the work at
+    // |shingle rows| × candidates-per-doc. Same values: a candidate
+    // pair sharing no shingle has no intersection row and its exact
+    // jaccard coalesces to 0 exactly as before.
+    val sh = prunedShingleRows(raw, dropCap).select("doc_id", "h")
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val exact = sh.select(col("doc_id").as("id_a"), col("h"))
+      .join(cand, "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(broadcast(counts.select(col("doc_id").as("id_a"),
+        col("nsh").as("na"))), "id_a")
+      .join(broadcast(counts.select(col("doc_id").as("id_b"),
+        col("nsh").as("nb"))), "id_b")
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .as("xj"))
