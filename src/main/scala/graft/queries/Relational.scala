@@ -1433,7 +1433,10 @@ object Relational {
     * rest at +500, inserts re-keyed %13 at +7). Emits the post-merge
     * table with each row's provenance op ('=' untouched). */
   def cdc1Merge(spark: SparkSession, sfDir: String): DataFrame = {
+    // five consumers (delete/update/insert slices, the max-key probe,
+    // and the merge base) — materialize the projection once
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+      .localCheckpoint()
     val k = col("o_orderkey")
     val del = o.filter(k % 11 === 0)
       .select(k, lit("D").as("op"), lit(null).cast("double").as("o_totalprice"))
@@ -1760,13 +1763,19 @@ object Relational {
   /** Per-user funnel stage times: first view, first click strictly
     * after it, first purchase strictly after that (shared by q17/e4). */
   private def funnelStages(ev: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    // each stage is user-count-sized and feeds BOTH the next stage's
+    // join and the final counts/joins — materialize so stage n+1 does
+    // not re-run the event scans of stages 1..n (the uncached chain
+    // re-scanned events 6x per funnel query)
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts").as("t_view"))
+      .localCheckpoint()
     def firstAfter(tpe: String, prev: DataFrame, prevTs: String, outTs: String) =
       ev.filter(col("event_type") === tpe)
         .join(prev, "user_id")
         .filter(col("ts") > col(prevTs))
         .groupBy("user_id").agg(min("ts").as(outTs))
+        .localCheckpoint()
     val c = firstAfter("click", v, "t_view", "t_click")
     val p = firstAfter("purchase", c, "t_click", "t_purchase")
     (v, c, p)

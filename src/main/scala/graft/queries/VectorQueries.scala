@@ -1573,7 +1573,11 @@ object VectorQueries {
     val merged = corpus.filter(col("vec_id") % 10 =!= 0).unionByName(batch)
     val old = hnswEdgesCached(s, d).filter(col("src") % 10 =!= 0)
       .select("layer", "src", "dst")
+    // the delta feeds both directions; without materialization the
+    // whole hg4 bucket-join + rescore + top-M pipeline executed twice
+    // (once for delta, once for its reverse)
     val delta = hg4HnswUpsert(s, d).select("layer", "src", "dst")
+      .localCheckpoint()
     val rev = delta.select(col("layer"), col("dst").as("src"),
       col("src").as("dst"))
     graft.operators.HnswIndex.compactEdges(
