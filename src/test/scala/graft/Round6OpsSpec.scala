@@ -311,4 +311,51 @@ class Round6OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(rr == Map(1L -> 1.0, 2L -> 0.333333, 3L -> 0.0))
   }
+
+  test("d14 candidate-bounded exact arm equals the full-join formulation") {
+    // pins the §3.2 restructure: exact jaccard computed ONLY for the
+    // LSH candidate pairs must equal the old shape (full co-shingle
+    // pair intersections LEFT JOINed onto the candidates, missing
+    // pairs coalescing to 0) on the corpus fixture
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val got = Dedup.minhashEstimates(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val raw = Dedup.shingleHashRowsMaterialized(docs, 3)
+    val cand = Dedup.minhashCandidates(docs, 3).select("id_a", "id_b")
+    val full = Dedup.pairIntersectionsFromRows(
+        raw, Dedup.DefaultDfCap, Dedup.DropDfCap)
+      .select(col("id_a"), col("id_b"), (col("inter").cast("double")
+        / (col("na") + col("nb") - col("inter"))).as("xj"))
+    val expected = cand.join(full, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        round(coalesce(col("xj"), lit(0.0)), 6).as("exact_jaccard"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty && got.keySet == expected.keySet)
+    expected.foreach { case (k, xj) =>
+      assert(got(k)._2 == xj, s"pair $k: exact ${got(k)._2} != $xj")
+    }
+  }
+
+  test("lastWriteWins: highest version wins, payload consistent, column order kept") {
+    import spark.implicits._
+    val batches = Seq(
+      (1L, "a-v1", 10L, 1),
+      (1L, "a-v3", 30L, 3),
+      (1L, "a-v2", 20L, 2),
+      (2L, "b-v1", 11L, 1)
+    ).toDF("key", "name", "payload", "version")
+    val out = graft.operators.Upsert.lastWriteWins(batches, "key", "version")
+    assert(out.columns.toSeq == Seq("key", "name", "payload", "version"),
+      "output column order must match the input")
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getInt(3)))
+      .toMap
+    // the whole winning ROW survives together (name+payload from v3,
+    // never a mix of versions)
+    assert(got == Map(1L -> ("a-v3", 30L, 3), 2L -> ("b-v1", 11L, 1)))
+  }
 }
