@@ -1462,8 +1462,12 @@ object VectorQueries {
     * regression that flattens THIS curve fails the gate even while
     * hg3's noise-fixture curve stays flat by geometry. */
   def hg6HnswPlanted(s: SparkSession, d: String): DataFrame = {
-    val corpus = plantedCorpus(s, d)
-    val queries = plantedQueries(s, d)
+    // the planted mix (embeddings scan + broadcast anchor join +
+    // elementwise zip_with) feeds seeds, the walk base, the scoring
+    // join and the exact arm — materialize it once per query (queries
+    // likewise: seeds probe + seed join + walk + exact)
+    val corpus = plantedCorpus(s, d).localCheckpoint()
+    val queries = plantedQueries(s, d).localCheckpoint()
     val edges = plantedEdgesCached(s, d)
     val seeds = VectorSearch.knnLshRpMultiProbe(queries, corpus,
       PlantedBeam, pairWeightsFor(s, d), PlantedProbes)
@@ -1506,8 +1510,9 @@ object VectorQueries {
     * slice, hg3_s3's rule), at the same weak-seed operating point
     * (probes=0, beam=8, hops 0→3). */
   def hg6PlantedS3(s: SparkSession, d: String): DataFrame = {
-    val corpus = plantedCorpusS(s, d)
-    val queries = plantedQueries(s, d)
+    // same share as hg6 (see above), over the sliced corpus
+    val corpus = plantedCorpusS(s, d).localCheckpoint()
+    val queries = plantedQueries(s, d).localCheckpoint()
     val edges = plantedEdgesCachedS(s, d)
     val seeds = VectorSearch.knnLshRpMultiProbe(queries, corpus,
       PlantedBeam, pairWeightsFor(s, d), PlantedProbes)
